@@ -1,0 +1,44 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Canonical mapping from the driver's `events` table to a delta log
+ * (graft.resolve.ChangeRow schema). This is the EmoDB-semantic fixture used
+ * by the correctness queries: each event is one delta against the per-user
+ * document in table "events":
+ *
+ *   key      = user_id (as string)
+ *   changeId = (ms = epoch millis of ts, seq = event_id, node = "")
+ *              -- ts is monotone in event_id in the testdata, so fold order
+ *                 == event_id order and DuckDB arg_max(x, event_id) is an
+ *                 exact oracle for last-writer fields
+ *   delta    = {..,"last_type":"<event_type>","last_value":<value>,
+ *                  "last_<event_type>":<value>,"k":<props.k>}
+ *   tags     = [event_type]
+ *
+ * Resolved document fields are therefore SQL-expressible: last_type/
+ * last_value = global last writer, last_<t> = last writer per type,
+ * k = last props.k, ~version = count of events.
+ */
+object EventLog {
+
+  def changes(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val valueStr = ev("value").cast("string")
+    ev.select(
+      lit("events").as("table"),
+      col("user_id").cast("string").as("key"),
+      col("ts_ms").as("ms"),
+      col("event_id").cast("long").as("seq"),
+      lit("").as("node"),
+      concat(
+        lit("{..,\"last_type\":\""), col("event_type"),
+        lit("\",\"last_value\":"), valueStr,
+        lit(",\"last_"), col("event_type"), lit("\":"), valueStr,
+        lit(",\"k\":"), get_json_object(col("props"), "$.k"),
+        lit("}")).as("delta"),
+      array(col("event_type")).as("tags"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.resolve
+
+import graft.delta.{Delta, DslParser}
+import graft.json.TimeUuid
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * One row of the delta log (the engine's stored representation of a
+ * document: current doc = fold of its log, FIXTURES.md §A1).
+ * changeId = (ms, seq, node), totally ordered.
+ */
+final case class ChangeRow(
+    table: String,
+    key: String,
+    ms: Long,
+    seq: Long,
+    node: String,
+    delta: String,
+    tags: Seq[String])
+
+/** A resolved document row (FIXTURES.md §A2). Timestamps as epoch millis;
+  * body as canonical JSON text (null when deleted). */
+final case class DocRow(
+    table: String,
+    id: String,
+    version: Long,
+    signature: String,
+    deleted: Boolean,
+    first_update_ms: Long,
+    last_update_ms: Long,
+    last_mutate_ms: Long,
+    placement: String,
+    body: String,
+    last_tags: Seq[String],
+    redundant_changes: Long)
+
+/**
+ * Batch resolve: Dataset[ChangeRow] -> Dataset[DocRow].
+ *
+ * Scale design: ONE hash shuffle on (table, key) whose sort phase also
+ * provides the per-document changeId order (secondary sort), then a
+ * streaming per-partition fold with O(1) state per document — no per-group
+ * materialization, no driver-side work, skew-free for EmoDB-sized documents
+ * (delta logs are per-document and small; a single hot document is bounded
+ * by the compaction analog, not by this operator).
+ */
+object ResolveEngine {
+
+  /** Columns required of a changes DataFrame. */
+  val changeColumns: Seq[String] = Seq("table", "key", "ms", "seq", "node", "delta", "tags")
+
+  def resolve(changes: DataFrame, placement: String = "default",
+              includeDeleted: Boolean = true): Dataset[DocRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val ds = changes
+      .select(col("table").cast("string"), col("key").cast("string"),
+        col("ms").cast("long"), col("seq").cast("long"),
+        col("node").cast("string"), col("delta").cast("string"),
+        coalesce(col("tags"), array()).as("tags"))
+      .as[ChangeRow]
+
+    val docs = ds
+      .repartition(col("table"), col("key"))
+      .sortWithinPartitions("table", "key", "ms", "seq", "node")
+      .mapPartitions(foldPartition(placement))
+
+    if (includeDeleted) docs else docs.filter(!_.deleted)
+  }
+
+  /** Streaming fold over a (table,key)-clustered, changeId-sorted iterator. */
+  private def foldPartition(placement: String)(rows: Iterator[ChangeRow]): Iterator[DocRow] =
+    new Iterator[DocRow] {
+      private val it = rows.buffered
+      // Delta texts repeat heavily across documents (e.g. templated updates):
+      // cache parsed ASTs per partition, bounded.
+      private val deltaCache = new java.util.LinkedHashMap[String, Delta](1024, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Delta]): Boolean = size > 4096
+      }
+      private def parseDelta(text: String): Delta = {
+        var d = deltaCache.get(text)
+        if (d == null) { d = DslParser.parseDelta(text); deltaCache.put(text, d) }
+        d
+      }
+
+      def hasNext: Boolean = it.hasNext
+
+      def next(): DocRow = {
+        val first = it.head
+        val resolver = new Resolver(first.table, first.key, placement)
+        while (it.hasNext && it.head.table == first.table && it.head.key == first.key) {
+          val c = it.next()
+          resolver.update(TimeUuid(c.ms, c.seq, c.node), parseDelta(c.delta),
+            if (c.tags == null) Set.empty else c.tags.toSet)
+        }
+        toRow(resolver.result())
+      }
+    }
+
+  def toRow(r: ResolvedDoc): DocRow = DocRow(
+    table = r.table,
+    id = r.id,
+    version = r.version,
+    signature = r.signature,
+    deleted = r.deleted,
+    first_update_ms = if (r.firstUpdateAt == null) 0L else r.firstUpdateAt.ms,
+    last_update_ms = if (r.lastUpdateAt == null) 0L else r.lastUpdateAt.ms,
+    last_mutate_ms = if (r.lastMutateAt == null) 0L else r.lastMutateAt.ms,
+    placement = r.placement,
+    body = r.bodyJson,
+    last_tags = r.lastTags.toSeq.sorted,
+    redundant_changes = r.redundantChanges)
+}

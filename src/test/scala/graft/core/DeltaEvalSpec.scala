@@ -1,0 +1,102 @@
+package graft.core
+
+import graft.delta._
+import graft.json._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics cases ported from the reference's DeltaEvaluatorTest
+  * (sor-api/src/test/.../delta/eval/DeltaEvaluatorTest.java). */
+class DeltaEvalSpec extends AnyFunSuite {
+
+  private def eval(delta: String, json: JValue): JValue =
+    DeltaEvaluator.eval(Deltas.fromString(delta), json)
+
+  private def j(text: String): JValue = JsonCodec.parse(text)
+
+  test("set list") {
+    assert(eval("""{..,"tags":["NEWBIE"]}""", JUndefined) === j("""{"tags":["NEWBIE"]}"""))
+  }
+
+  test("top level delete and resurrect") {
+    var root: JValue = JUndefined
+    root = eval("""{"name":"Bob"}""", root)
+    assert(root === j("""{"name":"Bob"}"""))
+    root = eval("~", root)
+    assert(root === JUndefined)
+    // update racing the delete wins going forward
+    root = eval("""{..,"state":"APPROVED"}""", root)
+    assert(root === j("""{"state":"APPROVED"}"""))
+  }
+
+  test("mid level delete") {
+    var root: JValue = JUndefined
+    root = eval("""{"name":"Bob","avatar":{"url":"http://images.example.com/1234"}}""", root)
+    root = eval("""{..,"avatar":~}""", root)
+    assert(root === j("""{"name":"Bob"}"""))
+    // updateIfExists on deleted key is a no-op
+    root = eval("""{..,"avatar":if + then {..,"state":"APPROVED"} end}""", root)
+    assert(root === j("""{"name":"Bob"}"""))
+    // a new update undoes the delete
+    root = eval("""{..,"avatar":{"url":"http://images.example.com/2345"}}""", root)
+    assert(root === j("""{"name":"Bob","avatar":{"url":"http://images.example.com/2345"}}"""))
+  }
+
+  test("retain + removeRest") {
+    val root = j("""{"name":"Bob","version":5,"private":{"uid":"bob","uxid":"123xyz"}}""")
+    val out = eval("""{"private":{..,"uxid":"789abc"},"version":..}""", root)
+    assert(out === j("""{"version":5,"private":{"uid":"bob","uxid":"789abc"}}"""))
+  }
+
+  test("conditional update with removeRest") {
+    val d = """{"key":if + then 5 end}"""
+    assert(eval(d, j("""{"xyz":1,"key":2}""")) === j("""{"key":5}"""))
+    assert(eval(d, j("""{"xyz":1}""")) === j("""{}"""))
+    assert(!Deltas.fromString(d).isConstant)
+    // unconditional form is constant
+    val d2 = Deltas.fromString("""{"key":5}""")
+    assert(d2 === Literal(j("""{"key":5}"""))) // collapsed at build time
+  }
+
+  test("set delta semantics: sorted-set union/remove") {
+    // add to undefined
+    assert(eval("""(..,"a","c")""", JUndefined) === j("""["a","c"]"""))
+    // union with existing, sorted, dedup
+    assert(eval("""(..,"b")""", j("""["c","a"]""")) === j("""["a","b","c"]"""))
+    // remove
+    assert(eval("""(..,~"c",~"x")""", j("""["c","a"]""")) === j("""["a"]"""))
+    // replace (no ..)
+    assert(eval("""("z")""", j("""["c","a"]""")) === j("""["z"]"""))
+    // delete if empty
+    assert(eval("""(..,~"a")?""", j("""["a"]""")) === JUndefined)
+    assert(eval("""()?""", j("""["a"]""")) === JUndefined)
+    // non-list existing treated as undefined
+    assert(eval("""(..,"a")""", JString("not-a-list")) === j("""["a"]"""))
+    // cross-type sort: null < bool < list < map < number < string
+    assert(eval("""(..,null,true,3,"s")""", j("""[1.5]""")) ===
+      JArr(Vector(JNull, JValue.JTrue, JDouble(1.5), JLong(3), JString("s"))))
+  }
+
+  test("map delta deleteIfEmpty") {
+    assert(eval("""{..,"a":~}?""", j("""{"a":1}""")) === JUndefined)
+    assert(eval("""{..,"a":~}?""", j("""{"a":1,"b":2}""")) === j("""{"b":2}"""))
+    assert(eval("""{..,"a":~}""", j("""{"a":1}""")) === j("""{}"""))
+  }
+
+  test("conditional delta evaluates against current value") {
+    val d = """if {..,"objVersion":le(5)} then {"content":"replaced","objVersion":6} end"""
+    assert(eval(d, j("""{"content":"orig","objVersion":5}""")) ===
+      j("""{"content":"replaced","objVersion":6}"""))
+    assert(eval(d, j("""{"content":"orig","objVersion":7}""")) ===
+      j("""{"content":"orig","objVersion":7}"""))
+    // elif chain
+    val d2 = """if 1 then "one" elif 2 then "two" else "other" end"""
+    assert(eval(d2, JLong(1)) === JString("one"))
+    assert(eval(d2, JLong(2)) === JString("two"))
+    assert(eval(d2, JLong(3)) === JString("other"))
+  }
+
+  test("noop keeps value including undefined") {
+    assert(eval("..", JUndefined) === JUndefined)
+    assert(eval("..", JLong(5)) === JLong(5))
+  }
+}
