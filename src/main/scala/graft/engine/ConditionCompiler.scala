@@ -1,0 +1,240 @@
+package graft.engine
+
+import graft.condition._
+import graft.json._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Compiles condition DSL trees to native Catalyst [[Column]] predicates
+ * when the target schema allows it (SURVEY §2.2 "Spark primitive" column).
+ *
+ * The key insight making this exact: with a KNOWN static column type, the
+ * reference's type-strict equality and long/double promotion asymmetry are
+ * decidable at compile time — e.g. `equal(3)` against a DoubleType column
+ * is constant-false (3L != 3.0 under Objects.equals), while `gt(2.5)`
+ * against a LongType column promotes numerically. What the schema cannot
+ * express (UNDEFINED-vs-null on schemaless bodies) stays on the parity
+ * evaluator path ([[expressions.emoCondEval]]).
+ *
+ * Compiled predicates are plain Catalyst expressions, so filter pushdown,
+ * partition pruning and whole-stage codegen all apply.
+ */
+object ConditionCompiler {
+
+  /** Compile against a DataFrame row treated as the JSON object: map-condition
+    * keys are columns. Missing columns evaluate as UNDEFINED statically. */
+  def compileRow(cond: Condition, df: DataFrame,
+                 intrinsics: Map[String, Column] = Map.empty): Column = {
+    val schema = df.schema
+    cond match {
+      case MapCondition(entries) =>
+        entries.map { case (k, sub) =>
+          schema.find(_.name == k) match {
+            case Some(f) => compileField(sub, df(k), f.dataType, intrinsics)
+            case None    => staticEval(sub, JUndefined)
+          }
+        }.foldLeft(lit(true))(_ && _)
+      case AndCondition(cs) => cs.map(compileRow(_, df, intrinsics)).foldLeft(lit(true))(_ && _)
+      case OrCondition(cs)  => cs.map(compileRow(_, df, intrinsics)).foldLeft(lit(false))(_ || _)
+      case NotCondition(c)  => !compileRow(c, df, intrinsics)
+      case ConstantCondition(b) => lit(b)
+      case IntrinsicCondition(name, sub) => compileIntrinsic(name, sub, intrinsics)
+      case PartitionCondition(n, sub) =>
+        val part = expressions.emoPartition(intrinsics(Intrinsic.Table), intrinsics(Intrinsic.Id), n)
+        compileField(sub, part, IntegerType, intrinsics)
+      case other =>
+        throw new IllegalArgumentException(s"condition not applicable to a row: $other")
+    }
+  }
+
+  /** Compile a condition applied to a single typed column. */
+  def compileField(cond: Condition, col: Column, dt: DataType,
+                   intrinsics: Map[String, Column] = Map.empty): Column = cond match {
+
+    case ConstantCondition(b) => lit(b)
+
+    case EqualCondition(v) => equalTyped(col, dt, v)
+
+    case InCondition(vs) =>
+      vs.toSeq.map(equalTyped(col, dt, _)).foldLeft(lit(false))(_ || _)
+
+    case IsCondition(state) =>
+      import State._
+      state match {
+        case UNDEFINED => lit(false) // a schema column is always present
+        case DEFINED   => lit(true)
+        case NULL      => col.isNull
+        case BOOL      => boolOf(dt == BooleanType, col)
+        case NUM       => boolOf(isNumeric(dt), col)
+        case STRING    => boolOf(dt == StringType, col)
+        case ARRAY     => boolOf(dt.isInstanceOf[ArrayType], col)
+        case OBJECT    => boolOf(dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType], col)
+      }
+
+    case ComparisonCondition(op, v) =>
+      val cmp: Option[Column] = (dt, v) match {
+        case (t, JLong(n)) if isNumeric(t)   => Some(applyCmp(op, col, lit(n)))
+        case (t, JDouble(n)) if isNumeric(t) => Some(applyCmp(op, col, lit(n)))
+        case (StringType, JString(s))        => Some(applyCmp(op, col, lit(s)))
+        case _                               => None // mixed types never match
+      }
+      cmp.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+
+    case lc @ LikeCondition(pattern) =>
+      if (dt != StringType) lit(false)
+      else coalesce(col.like(globToSqlLike(pattern)), lit(false))
+
+    case NotCondition(c) => !compileField(c, col, dt, intrinsics)
+
+    case AndCondition(cs) =>
+      cs.map(compileField(_, col, dt, intrinsics)).foldLeft(lit(true))(_ && _)
+
+    case OrCondition(cs) =>
+      cs.map(compileField(_, col, dt, intrinsics)).foldLeft(lit(false))(_ || _)
+
+    case MapCondition(entries) =>
+      dt match {
+        case st: StructType =>
+          val fieldChecks = entries.map { case (k, sub) =>
+            st.find(_.name == k) match {
+              case Some(f) => compileField(sub, col.getField(k), f.dataType, intrinsics)
+              case None    => staticEval(sub, JUndefined)
+            }
+          }
+          fieldChecks.foldLeft(col.isNotNull)(_ && _)
+        case _ => lit(false) // value must be an object
+      }
+
+    case ContainsCondition(condValues, containment) =>
+      import Containment._
+      dt match {
+        case _ if condValues.isEmpty && containment != ONLY => lit(true)
+        case ArrayType(et, _) =>
+          val typed = condValues.toSeq.filter(v => literalMatchesType(v, et))
+          val litsArr = array(typed.map(jlit): _*)
+          containment match {
+            case ANY =>
+              if (typed.isEmpty) lit(false)
+              else coalesce(arrays_overlap(col, litsArr), lit(false))
+            case ALL =>
+              if (typed.size < condValues.size) lit(false) // untyped value can't be contained
+              else coalesce(size(array_except(litsArr, col)) === 0, lit(false))
+            case ONLY =>
+              if (typed.size < condValues.size) lit(false)
+              else coalesce(size(array_except(litsArr, col)) === 0 &&
+                size(array_distinct(col)) === typed.size, lit(false))
+          }
+        case _ => lit(false) // value is not a list
+      }
+
+    case IntrinsicCondition(name, sub) => compileIntrinsic(name, sub, intrinsics)
+
+    case PartitionCondition(n, sub) =>
+      val part = expressions.emoPartition(intrinsics(Intrinsic.Table), intrinsics(Intrinsic.Id), n)
+      compileField(sub, part, IntegerType, intrinsics)
+  }
+
+  private def compileIntrinsic(name: String, sub: Condition,
+                               intrinsics: Map[String, Column]): Column = {
+    require(intrinsics.nonEmpty, "May not reference intrinsic values from this context.")
+    require(name != Intrinsic.Version, "~version is not supported in conditions (by design)")
+    val c = intrinsics.getOrElse(name,
+      throw new UnsupportedOperationException(name))
+    val dt = name match {
+      case Intrinsic.Deleted => BooleanType
+      case _                 => StringType
+    }
+    compileField(sub, c, dt, intrinsics)
+  }
+
+  // ------------------------------------------------------------------ helpers
+
+  /** Type-strict equality resolved statically per the column type. */
+  private def equalTyped(col: Column, dt: DataType, v: JValue): Column = v match {
+    case JNull      => col.isNull
+    case JLong(n)   => dt match {
+      case LongType | IntegerType | ShortType | ByteType => colEq(col, lit(n))
+      case _ => lit(false) // 3 != 3.0 and != "3"
+    }
+    case JDouble(n) => dt match {
+      case DoubleType | FloatType => colEq(col, lit(n))
+      case _ => lit(false)
+    }
+    case JString(s) => if (dt == StringType) colEq(col, lit(s)) else lit(false)
+    case JBool(b)   => if (dt == BooleanType) colEq(col, lit(b)) else lit(false)
+    case JArr(items) => dt match {
+      case ArrayType(et, _) if items.forall(literalMatchesType(_, et)) =>
+        colEq(col, array(items.map(jlit): _*))
+      case _ => lit(false)
+    }
+    case JObj(_)    => dt match {
+      case _: StructType => lit(false) // struct literals: not supported natively; row-mode handles objects
+      case _             => lit(false)
+    }
+    case JUndefined => lit(false)
+  }
+
+  private def colEq(col: Column, v: Column): Column = coalesce(col === v, lit(false))
+
+  private def boolOf(b: Boolean, col: Column): Column =
+    if (b) col.isNotNull else lit(false)
+
+  private def applyCmp(op: Comparison.Comparison, l: Column, r: Column): Column = {
+    import Comparison._
+    op match {
+      case GT => l > r
+      case GE => l >= r
+      case LT => l < r
+      case LE => l <= r
+    }
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  private def literalMatchesType(v: JValue, dt: DataType): Boolean = (v, dt) match {
+    case (JLong(_), LongType | IntegerType | ShortType | ByteType) => true
+    case (JDouble(_), DoubleType | FloatType) => true
+    case (JString(_), StringType) => true
+    case (JBool(_), BooleanType) => true
+    case _ => false
+  }
+
+  private def jlit(v: JValue): Column = v match {
+    case JLong(n)   => lit(n)
+    case JDouble(n) => lit(n)
+    case JString(s) => lit(s)
+    case JBool(b)   => lit(b)
+    case JNull      => lit(null)
+    case other      => throw new IllegalArgumentException(s"not a scalar literal: $other")
+  }
+
+  /** Evaluate a sub-condition against a static value at compile time
+    * (e.g. a missing column is UNDEFINED for every row). */
+  private def staticEval(c: Condition, v: JValue): Column =
+    lit(ConditionEvaluator.eval(c, v))
+
+  /** Translate the condition glob (only `*`, escape `\*`) to SQL LIKE:
+    * `*` -> `%`; literal `%`/`_`/`\` escaped with backslash. */
+  def globToSqlLike(pattern: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == '*') {
+        sb.append("*"); i += 2
+      } else c match {
+        case '*'  => sb.append('%'); i += 1
+        case '%'  => sb.append("\\%"); i += 1
+        case '_'  => sb.append("\\_"); i += 1
+        case '\\' => sb.append("\\\\"); i += 1
+        case _    => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+}

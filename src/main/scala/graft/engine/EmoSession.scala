@@ -1,0 +1,107 @@
+package graft.engine
+
+import graft.resolve.{DocRow, ResolveEngine}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * REST-shaped query facade over a delta log (SURVEY §2.1): the engine's
+ * equivalents of get / multiGet / scan / getSplits / timeline / listTables.
+ *
+ * The underlying store is a changes DataFrame (ResolveEngine.changeColumns
+ * schema); resolved documents are computed by the fold and cached per
+ * session. At scale the resolved view is a materialized table maintained by
+ * the streaming materializer; here it is re-derived lazily.
+ */
+final class EmoSession(val spark: SparkSession, changes: DataFrame,
+                       placement: String = "default") {
+
+  /** Resolved current documents (including tombstones). */
+  lazy val docs: Dataset[DocRow] = ResolveEngine.resolve(changes, placement)
+
+  private def docsDf: DataFrame = docs.toDF()
+
+  /** Point get: resolve one document. Uses a key-pushdown filter BEFORE the
+    * fold shuffle — only that coordinate's deltas are read. */
+  def get(table: String, key: String, includeDeleted: Boolean = false): Option[DocRow] = {
+    val one = ResolveEngine.resolve(
+      changes.where(col("table") === table && col("key") === key), placement)
+      .collect()
+    one.headOption.filter(d => includeDeleted || !d.deleted)
+  }
+
+  /** Batch point reads: semi-join of the key list against the log (small
+    * lists broadcast automatically). */
+  def multiGet(coords: Seq[(String, String)], includeDeleted: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val keys = coords.toDF("table", "key")
+    val filtered = changes.join(broadcast(keys), Seq("table", "key"), "left_semi")
+    val resolved = ResolveEngine.resolve(filtered, placement)
+    (if (includeDeleted) resolved else resolved.filter(!_.deleted)).toDF()
+      .withColumnRenamed("id", "key")
+  }
+
+  /** Scan-order key: (shard, table, key) like the reference's shard-prefixed
+    * row keys — deterministic but not key-alphabetical (SURVEY §1.3). */
+  def rowKey(table: Column, key: Column): Column = expressions.emoRowKey(table, key)
+
+  /** Ordered scan with resumable pagination from an exclusive start row key. */
+  def scan(table: String, fromRowKeyExclusive: Option[String] = None,
+           limit: Int = 10, includeDeleted: Boolean = false): DataFrame = {
+    var df = docsDf.where(col("table") === table)
+    if (!includeDeleted) df = df.where(!col("deleted"))
+    val rk = rowKey(col("table"), col("id"))
+    fromRowKeyExclusive.foreach(from => df = df.where(rk > lit(from)))
+    df.withColumn("row_key", rk).orderBy("row_key").limit(limit)
+  }
+
+  /** Filtered scan: condition DSL compiled to the exact-parity evaluator on
+    * the body (schemaless path; for typed frames use ConditionCompiler). */
+  def scanWhere(table: String, conditionText: String, limit: Int = Int.MaxValue): DataFrame = {
+    val df = docsDf.where(col("table") === table && !col("deleted"))
+      .where(expressions.emoCondEval(conditionText, col("body"), col("id"), col("table")))
+    df.withColumn("row_key", rowKey(col("table"), col("id"))).orderBy("row_key").limit(limit)
+  }
+
+  /** Split planning: Spark partitions ARE the splits. Returns (split id,
+    * approximate records) by hashing keys into `numSplits` ranges, mirroring
+    * token-range splits grouped to ~recordsPerSplit. */
+  def getSplits(table: String, recordsPerSplit: Int = 10000): DataFrame = {
+    val total = docsDf.where(col("table") === table).count()
+    val numSplits = math.max(1, (total / math.max(1, recordsPerSplit)).toInt)
+    docsDf.where(col("table") === table)
+      .withColumn("split", pmod(expressions.emoHash32(col("id")), lit(numSplits)))
+      .groupBy("split").agg(count(lit(1)).as("records"))
+      .orderBy("split")
+  }
+
+  /** One split's rows (a partition-parallel consumer reads one split each). */
+  def getSplit(table: String, split: Int, numSplits: Int): DataFrame =
+    docsDf.where(col("table") === table &&
+      pmod(expressions.emoHash32(col("id")), lit(numSplits)) === split)
+
+  /** Per-document change history, TimeUUID-bounded, forward or reverse. */
+  def timeline(table: String, key: String,
+               startMs: Option[Long] = None, endMs: Option[Long] = None,
+               reversed: Boolean = false, limit: Int = Int.MaxValue): DataFrame = {
+    var df = changes.where(col("table") === table && col("key") === key)
+    startMs.foreach(s => df = df.where(col("ms") >= s))
+    endMs.foreach(e => df = df.where(col("ms") <= e))
+    val order = if (reversed) Seq(col("ms").desc, col("seq").desc, col("node").desc)
+                else Seq(col("ms").asc, col("seq").asc, col("node").asc)
+    df.orderBy(order: _*).limit(limit)
+  }
+
+  /** Paged table catalog listing. */
+  def listTables(fromExclusive: Option[String] = None, limit: Int = Int.MaxValue): DataFrame = {
+    var df = changes.select(col("table")).distinct()
+    fromExclusive.foreach(f => df = df.where(col("table") > f))
+    df.orderBy("table").limit(limit)
+  }
+
+  /** Approximate record count including tombstones (bounded when limit set). */
+  def tableApproximateSize(table: String, limit: Option[Int] = None): Long = {
+    val df = docsDf.where(col("table") === table)
+    limit.map(n => df.limit(n).count()).getOrElse(df.count())
+  }
+}

@@ -41,4 +41,49 @@ object EventLog {
         lit("}")).as("delta"),
       array(col("event_type")).as("tags"))
   }
+
+  /** Generic variant: build the change log with a custom delta text column
+    * and tags column over the events table. */
+  def changesWith(spark: SparkSession, sfDir: String,
+                  delta: org.apache.spark.sql.Column,
+                  tags: org.apache.spark.sql.Column): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
+      lit("events").as("table"),
+      col("user_id").cast("string").as("key"),
+      col("ts_ms").as("ms"),
+      col("event_id").cast("long").as("seq"),
+      lit("").as("node"),
+      delta.as("delta"),
+      tags.as("tags"))
+  }
+
+  /** Set-delta log: each event adds its type to the doc's sorted "types" set. */
+  def setDeltaChanges(spark: SparkSession, sfDir: String): DataFrame =
+    changesWith(spark, sfDir,
+      concat(lit("{..,\"types\":(..,\""), col("event_type"), lit("\")}")),
+      array(col("event_type")))
+
+  /** Conditional-delta log: running max via CAS delta
+    * `{..,"max_value":if or(~,lt(V)) then V end}`. */
+  def maxDeltaChanges(spark: SparkSession, sfDir: String): DataFrame =
+    changesWith(spark, sfDir,
+      concat(lit("{..,\"max_value\":if or(~,lt("), col("value").cast("string"),
+        lit(")) then "), col("value").cast("string"), lit(" end}")),
+      array(col("event_type")))
+
+  /** Delete-delta log: an 'error' event deletes the document; anything else
+    * writes its type. Exercises tombstones + resurrect-on-update. */
+  def deleteOnErrorChanges(spark: SparkSession, sfDir: String): DataFrame =
+    changesWith(spark, sfDir,
+      when(col("event_type") === "error", lit("~"))
+        .otherwise(concat(lit("{..,\"t\":\""), col("event_type"), lit("\"}"))),
+      array(col("event_type")))
+
+  /** Content-only log with constant (empty) tags: consecutive same-type
+    * events are redundant changes (DefaultResolver.java:73-90 semantics). */
+  def typeOnlyChanges(spark: SparkSession, sfDir: String): DataFrame =
+    changesWith(spark, sfDir,
+      concat(lit("{\"t\":\""), col("event_type"), lit("\"}")),
+      array().cast("array<string>"))
 }

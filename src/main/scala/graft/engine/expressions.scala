@@ -1,0 +1,128 @@
+package graft.engine
+
+import graft.condition.{Condition, ConditionEvaluator, Conditions, IntrinsicsView}
+import graft.json.{Hashes, JsonCodec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions (SURVEY §4.3).
+ *
+ * `EmoHash32` gives bit-parity with the reference's Guava murmur3_32 use
+ * (partition + shard hashing, ConditionEvaluator.java:266-276 /
+ * RowKeyUtils.java:69-70) — Spark's builtin `hash()` is murmur3 with a
+ * different seed and per-field combining, so it cannot be reused.
+ *
+ * `EmoCondEval` is the exact-parity fallback for evaluating a condition DSL
+ * expression against a schemaless JSON document body (+ optional intrinsic
+ * columns): semantics Catalyst cannot express natively (UNDEFINED vs null,
+ * type-strict equality on heterogeneous values).
+ */
+case class EmoHash32(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    var total = 0
+    val byteArrays = new Array[Array[Byte]](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      val bytes = if (v == null) Array.emptyByteArray
+        else v.asInstanceOf[UTF8String].getBytes
+      byteArrays(i) = bytes
+      total += bytes.length
+      i += 1
+    }
+    val all = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < byteArrays.length) {
+      System.arraycopy(byteArrays(i), 0, all, off, byteArrays(i).length)
+      off += byteArrays(i).length
+      i += 1
+    }
+    Hashes.murmur3_32(all)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/**
+ * Parity evaluation of a condition against (bodyJson [, id, table]).
+ * children: bodyJson (string, null => UNDEFINED) and optionally id + table
+ * (strings) when the condition references `intrinsic(...)`/`partition(...)`.
+ */
+case class EmoCondEval(conditionText: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  @transient private lazy val cond: Condition = Conditions.fromString(conditionText)
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val body = children.head.eval(input)
+    val json = if (body == null) graft.json.JUndefined
+      else JsonCodec.parse(body.asInstanceOf[UTF8String].toString)
+    val intrinsics =
+      if (children.length >= 3) {
+        val id = children(1).eval(input)
+        val table = children(2).eval(input)
+        IntrinsicsView(
+          if (id == null) null else id.toString,
+          if (table == null) null else table.toString,
+          null, deleted = false, null, null, null, null)
+      } else null
+    ConditionEvaluator.eval(cond, json, intrinsics)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object expressions {
+  import org.apache.spark.sql.GraftBridge
+
+  private def toExpr(c: Column): Expression = GraftBridge.expression(c)
+  private def toCol(e: Expression): Column = GraftBridge.column(e)
+
+  /** murmur3_32 over the concatenated UTF-8 bytes of the given string columns. */
+  def emoHash32(cols: Column*): Column = toCol(EmoHash32(cols.map(toExpr)))
+
+  /** Document partition id: abs(murmur3_32(table ++ id)) % n + 1 (Java int abs). */
+  def emoPartition(table: Column, id: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val h = emoHash32(table, id)
+    // Java semantics: abs(MIN_VALUE) stays negative; Spark's non-ANSI abs+pct match
+    (abs(h) % n) + 1
+  }
+
+  /** Row-key shard id (low bits of the key hash): scan-order parity. */
+  def emoShard(table: Column, key: Column, numShards: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    abs(emoHash32(table, key)) % numShards
+  }
+
+  /** Sortable scan-order key: (shard-hex, table, key) — byte order parity
+    * with the reference's shard-prefixed row keys (RowKeyUtils.java:41-70). */
+  def emoRowKey(table: Column, key: Column, numShards: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    concat(format_string("%02x", emoShard(table, key, numShards)), lit("/"), table, lit("/"), key)
+  }
+
+  /** Exact-parity condition evaluation on a JSON body column. */
+  def emoCondEval(conditionText: String, body: Column): Column =
+    toCol(EmoCondEval(conditionText, Seq(toExpr(body))))
+
+  def emoCondEval(conditionText: String, body: Column, id: Column, table: Column): Column =
+    toCol(EmoCondEval(conditionText, Seq(toExpr(body), toExpr(id), toExpr(table))))
+}

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * All operators are pure DataFrame transformations built from codegen'd
+ * builtins (no UDFs in the hot path) and shuffle only on the grouping keys
+ * they need, so they scale linearly with executors:
+ *
+ *  - exact:   one hash-aggregate on a 128-bit content hash (never shuffles
+ *             full text — hash first, group on the hash).
+ *  - minhash: shingle -> k minhash slots -> b bands; candidate generation is
+ *             an equi-join on (band, bandHash) buckets, NOT an all-pairs
+ *             cross join — the only quadratic step is within buckets.
+ *  - simhash: 64-bit fingerprint; near-dup = equal fingerprint buckets
+ *             (or banded sub-fingerprints for Hamming distance > 0).
+ *  - ngram Jaccard: exact verification on candidate pairs only.
+ */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of a column. Returns one row per
+    * distinct value: canonical (min) id, duplicate count. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows minus exact duplicates (keeps the min-id representative). */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val canon = exactGroups(df, textCol, idCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(canon, Seq(idCol), "left_semi")
+  }
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace tokens). */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    // sliding n-grams: join tokens[i..i+n) for start index i in 0..size-n
+    val lastStart = size(tokens) - n
+    val idxs = when(lastStart >= 0, sequence(lit(0), lastStart))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idxs, i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k permutations approximated by (a_i*h + b_i) mod p
+    * over 31-bit shingle hashes (products stay < 2^62: no overflow under
+    * ANSI arithmetic). Returns array<long> of length k. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val hashes = transform(shinglesCol, s => pmod(xxhash64(s), lit(p)))
+    val slots = (0 until k).map { i =>
+      val a = 2L * i + 1      // odd, < 2^31
+      val b = 104729L * (i + 1)
+      array_min(transform(hashes, h => pmod(h * a + b, lit(p))))
+    }
+    array(slots: _*)
+  }
+
+  /** LSH banding: (id, band, bandHash) rows — join on (band, bandHash) to
+    * get candidate pairs. bands * rowsPerBand must equal k. */
+  def minhashBands(df: DataFrame, idCol: String, sigCol: String,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))).as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandRows: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs (id1 < id2) via MinHash LSH over word
+    * n-gram shingles, verified with exact Jaccard similarity >= threshold. */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val withShingles = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles"))
+    val withSig = withShingles.withColumn("sig", minhashSignature(col("shingles"), k))
+    val bandsDf = minhashBands(withSig.select("id", "sig"), "id", "sig", bands, rowsPerBand)
+    val candidates = bandsDf.as("l").join(bandsDf.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    // exact verification on the candidate set only
+    val sh = withShingles
+    candidates
+      .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs of a (small) candidate
+    * set — the brute-force verifier used in tests and on bucketed data. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    sh.as("l").join(sh.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: for each of 64 bit positions, sum +1/-1
+    * across token hashes, take the sign bit. Pure column expressions (bit
+    * twiddling over xxhash64), no UDF. */
+  def simhash64(textCol: Column): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      // count of tokens with bit i set, minus count with bit clear
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup buckets: fingerprint split into `bands` sub-keys; docs
+    * sharing any sub-key are candidates (Hamming-distance tolerant). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * width).bitwiseAND((1L << width) - 1).as("band_key"))
+    }
+    val exploded = withFp.select(col("id"), col("fp"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("fp"), col("bh.band"), col("bh.band_key"))
+    exploded.as("l").join(exploded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+      .distinct()
+  }
+}

@@ -33,7 +33,30 @@ final case class DocRow(
     placement: String,
     body: String,
     last_tags: Seq[String],
-    redundant_changes: Long)
+    redundant_changes: Long) {
+
+  import graft.json._
+
+  /** Document as served: body fields + `~` intrinsics in canonical order. */
+  def contentJson: String = {
+    val base: Map[String, JValue] = JsonCodec.parseOrUndefined(body) match {
+      case JObj(fields) => fields
+      case _            => Map.empty
+    }
+    import graft.condition.Intrinsic
+    val all = base ++ Seq(
+      Intrinsic.Id -> JString(id),
+      Intrinsic.Table -> JString(table),
+      Intrinsic.Version -> JLong(version),
+      Intrinsic.Signature -> JString(signature),
+      Intrinsic.Deleted -> JBool(deleted),
+      Intrinsic.Placement -> JString(placement)) ++
+      (if (first_update_ms != 0) Seq(Intrinsic.FirstUpdateAt -> JString(Iso8601.format(first_update_ms))) else Nil) ++
+      (if (last_update_ms != 0) Seq(Intrinsic.LastUpdateAt -> JString(Iso8601.format(last_update_ms))) else Nil) ++
+      (if (last_mutate_ms != 0) Seq(Intrinsic.LastMutateAt -> JString(Iso8601.format(last_mutate_ms))) else Nil)
+    JsonCodec.render(JObj(all))
+  }
+}
 
 /**
  * Batch resolve: Dataset[ChangeRow] -> Dataset[DocRow].

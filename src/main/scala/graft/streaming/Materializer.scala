@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.delta.DslParser
+import graft.json.{Hashes, JsonCodec, TimeUuid}
+import graft.resolve.{ChangeRow, DocRow}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming materializer (SURVEY §2.9, megabus parity): continuously folds a
+ * change stream into the current resolved document per coordinate, emitting
+ * a changelog row per mutating micro-batch — deletes emitted as tombstones
+ * (deleted=true), redundant-only batches suppressed
+ * (MegabusRefResolver.java:157-221 / DefaultResolver.java:73-90 semantics).
+ *
+ * State per coordinate is the O(1) fold state (content + intrinsics), kept
+ * in the state store — the streaming analog of compaction checkpoints: the
+ * delta history is never re-read. At 100 TB the state store must be RocksDB
+ * (spark.sql.streaming.stateStore.providerClass); semantics are identical.
+ */
+object Materializer {
+
+  /** Serializable fold state per coordinate. */
+  final case class FoldState(
+      body: String,         // canonical JSON, null = UNDEFINED (deleted)
+      version: Long,
+      sigHex: String,
+      firstMs: Long,
+      lastMs: Long,
+      mutateMs: Long,
+      lastTags: Seq[String],
+      redundant: Long)
+
+  val initialState: FoldState = FoldState(null, 0L, Hashes.toHex(Hashes.SignatureZero),
+    0L, 0L, 0L, Seq.empty, 0L)
+
+  /** Apply one batch of changes (already sorted) to a fold state. Returns
+    * (new state, whether any change in the batch mutated content or tags). */
+  def applyBatch(table: String, key: String, state: FoldState,
+                 changes: Seq[ChangeRow]): (FoldState, Boolean) = {
+    var body = JsonCodec.parseOrUndefined(state.body)
+    var sig = state.sigHex
+    var version = state.version
+    var firstMs = state.firstMs
+    var lastMs = state.lastMs
+    var mutateMs = state.mutateMs
+    var lastTags = state.lastTags.toSet
+    var redundant = state.redundant
+    var anyMutation = false
+
+    changes.foreach { c =>
+      val cid = TimeUuid(c.ms, c.seq, c.node)
+      val delta = DslParser.parseDelta(c.delta)
+      val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
+      val intr = graft.condition.IntrinsicsView(key, table, sig,
+        body eq graft.json.JUndefined, null, null, null, null)
+      val updated = graft.delta.DeltaEvaluator.eval(delta, body, intr)
+      val contentChanged = updated != body
+      if (!contentChanged && lastTags == tags) redundant += 1
+      else anyMutation = true
+      body = updated
+      lastTags = tags
+      version += 1
+      sig = Hashes.toHex(Hashes.chainSignature(hexToBytes(sig), cid.bytes))
+      if (firstMs == 0L) firstMs = c.ms
+      lastMs = c.ms
+      if (contentChanged || mutateMs == 0L) mutateMs = c.ms
+    }
+    val rendered = if (body eq graft.json.JUndefined) null else JsonCodec.render(body)
+    (FoldState(rendered, version, sig, firstMs, lastMs, mutateMs,
+      lastTags.toSeq.sorted, redundant), anyMutation)
+  }
+
+  private def hexToBytes(hex: String): Array[Byte] = {
+    val out = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  def stateToDoc(table: String, key: String, s: FoldState, placement: String): DocRow =
+    DocRow(table, key, s.version, s.sigHex, s.body == null,
+      s.firstMs, s.lastMs, s.mutateMs, placement, s.body, s.lastTags, s.redundant)
+
+  /**
+   * The streaming query fragment: changes stream -> changelog of resolved
+   * docs. Works with Append output mode; one output row per coordinate per
+   * mutating micro-batch (tombstones carry deleted=true, megabus's
+   * RefType.DELETED analog).
+   */
+  def materialize(changes: Dataset[ChangeRow],
+                  placement: String = "default"): Dataset[DocRow] = {
+    implicit val stateEnc = Encoders.product[FoldState]
+    implicit val docEnc = Encoders.product[DocRow]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    changes
+      .groupByKey(c => (c.table, c.key))
+      .flatMapGroupsWithState[FoldState, DocRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((table, key), rows, state: GroupState[FoldState]) =>
+          val sorted = rows.toSeq.sortBy(c => (c.ms, c.seq, c.node))
+          val prev = state.getOption.getOrElse(initialState)
+          val (next, mutated) = applyBatch(table, key, prev, sorted)
+          state.update(next)
+          // suppress redundant-only batches from the changelog
+          if (mutated) Iterator.single(stateToDoc(table, key, next, placement))
+          else Iterator.empty
+      }
+  }
+}

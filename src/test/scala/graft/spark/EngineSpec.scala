@@ -1,0 +1,199 @@
+package graft.spark
+
+import graft.condition.Conditions
+import graft.engine._
+import graft.pipeline.{Dedup, Similarity}
+import graft.resolve.ResolveEngine
+import graft.streaming.{Databus, Subscription}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.DataFrame
+
+  private def changesDf(rows: Seq[(String, String, Long, Long, String, String, Seq[String])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("table", "key", "ms", "seq", "node", "delta", "tags")
+  }
+
+  test("batch resolve folds deltas in changeId order regardless of input order") {
+    // deliberately out of order input
+    val changes = changesDf(Seq(
+      ("t", "k1", 3000L, 0L, "n", "~", Seq.empty),
+      ("t", "k1", 1000L, 0L, "n", """{"name":"Bob","rating":3}""", Seq.empty),
+      ("t", "k1", 4000L, 0L, "n", """{..,"state":"APPROVED"}""", Seq.empty),
+      ("t", "k1", 2000L, 0L, "n", """{..,"rating":4}""", Seq.empty),
+      ("t", "k2", 1000L, 0L, "n", """{"x":1}""", Seq("a"))))
+    val docs = ResolveEngine.resolve(changes).collect().sortBy(_.id)
+    assert(docs.length === 2)
+    val k1 = docs(0)
+    assert(k1.version === 4 && !k1.deleted)
+    assert(k1.body === """{"state":"APPROVED"}""")
+    assert(k1.first_update_ms === 1000L && k1.last_update_ms === 4000L)
+    val k2 = docs(1)
+    assert(k2.version === 1 && k2.body === """{"x":1}""" && k2.last_tags === Seq("a"))
+  }
+
+  test("resolve marks deleted docs and excludes them when asked") {
+    val changes = changesDf(Seq(
+      ("t", "k1", 1000L, 0L, "n", """{"x":1}""", Seq.empty),
+      ("t", "k1", 2000L, 0L, "n", "~", Seq.empty),
+      ("t", "k2", 1000L, 0L, "n", """{"x":2}""", Seq.empty)))
+    assert(ResolveEngine.resolve(changes).collect().count(_.deleted) === 1)
+    assert(ResolveEngine.resolve(changes, includeDeleted = false).collect().map(_.id).toSeq === Seq("k2"))
+  }
+
+  test("compiled conditions match the parity evaluator on typed rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aaa", 3.5, Seq("x", "y")),
+      (2L, "bbb", 25.0, Seq("y")),
+      (3L, "review", 100.0, Seq.empty[String]),
+      (4L, "zzz", -1.0, Seq("x", "z"))).toDF("id", "name", "score", "tags")
+
+    val conds = Seq(
+      """{..,"id":in(1,3),"name":like("*a*")}""",
+      """{..,"score":ge(25)}""",
+      """{..,"score":gt(3.4),"name":lt("c")}""",
+      """{..,"tags":contains("x")}""",
+      """{..,"tags":containsAny("z","q")}""",
+      """{..,"tags":containsOnly("y")}""",
+      """or({..,"name":"review"},not({..,"id":le(2)}))""",
+      """{..,"id":3}""",
+      """{..,"id":3.0}""",       // type-strict: never matches a long column
+      """{..,"missing":~}""",    // missing column is UNDEFINED
+      """{..,"missing":+}""")
+
+    import graft.json._
+    for (condText <- conds) {
+      val cond = Conditions.fromString(condText)
+      val compiled = df.where(ConditionCompiler.compileRow(cond, df))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = df.collect().filter { r =>
+        val json = JObj(Map(
+          "id" -> JLong(r.getLong(0)),
+          "name" -> JString(r.getString(1)),
+          "score" -> JDouble(r.getDouble(2)),
+          "tags" -> JArr(r.getSeq[String](3).map(JString(_)).toVector)))
+        graft.condition.ConditionEvaluator.eval(cond, json)
+      }.map(_.getLong(0)).toSet
+      assert(compiled === expected, s"condition: $condText")
+    }
+  }
+
+  test("emoPartition column matches the scala hash") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("review", "abc"), ("review", "def"), ("t2", "k")).toDF("table", "id")
+    val got = df.select(col("id"), expressions.emoPartition(col("table"), col("id"), 8))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("abc") === graft.json.Hashes.partitionOf("review", "abc", 8))
+    assert(got("def") === graft.json.Hashes.partitionOf("review", "def", 8))
+    assert(got("k") === graft.json.Hashes.partitionOf("t2", "k", 8))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDuplicates(df, "doc_id", "text",
+      shingleN = 2, k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs have hamming 0, unrelated docs don't collide") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated words appear here now")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 8)
+  }
+
+  test("LSH similarity search recalls most brute-force top-k") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // wide buckets (4-bit bands) because the synthetic embeddings are near-
+    // uniform random: collision probability per band must stay high
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      planes = 4, bands = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("fanout: native-compiled predicates agree with the parity evaluator") {
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val subs = Seq(
+      Subscription("a", """{..,"~tags":contains("purchase")}"""),
+      Subscription("b", """intrinsic("~id":"3")"""),
+      Subscription("c", """and({..,"~tags":containsAny("error","view")},intrinsic("~table":like("ev*")))"""))
+    val out = Databus.fanout(changes, subs)
+      .groupBy("subscription").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent truth via direct filters
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(out("a") === ev.where(col("event_type") === "purchase").count())
+    assert(out("b") === ev.where(col("user_id") === 3).count())
+    assert(out("c") === ev.where(col("event_type").isin("error", "view")).count())
+  }
+
+  test("stash export/read round-trips resolved docs with intrinsics") {
+    val docs = ResolveEngine.resolve(EventLog.changes(spark, "/root/testdata/sf0.001"))
+    val root = java.nio.file.Files.createTempDirectory("stash_test").toString
+    val out = Stash.export(docs, root, "2026-01-01")
+    assert(Stash.latest(spark, root) === out)
+    assert(Stash.listTables(spark, out) === Seq("events"))
+    val back = Stash.read(spark, out, Some("events"))
+    assert(back.count() === docs.count())
+    val row = back.where(col("~id") === "3").select("~version", "~table").collect()(0)
+    assert(row.getLong(0) > 0 && row.getString(1) === "events")
+  }
+
+  test("session scan pagination is resumable and ordered by row key") {
+    val session = new EmoSession(spark, EventLog.changes(spark, "/root/testdata/sf0.001"))
+    val page1 = session.scan("events", limit = 5).select("row_key").collect().map(_.getString(0))
+    assert(page1.length === 5 && page1.sorted.toSeq === page1.toSeq)
+    val page2 = session.scan("events", fromRowKeyExclusive = Some(page1.last), limit = 5)
+      .select("row_key").collect().map(_.getString(0))
+    assert(page2.length === 5)
+    assert(page2.head > page1.last)
+    assert((page1 ++ page2).distinct.length === 10)
+  }
+
+  test("timeline bounds and reversal") {
+    val session = new EmoSession(spark, EventLog.changes(spark, "/root/testdata/sf0.001"))
+    val fwd = session.timeline("events", "3").select("seq").collect().map(_.getLong(0))
+    val rev = session.timeline("events", "3", reversed = true).select("seq").collect().map(_.getLong(0))
+    assert(fwd.toSeq === rev.reverse.toSeq)
+    assert(fwd.sorted.toSeq === fwd.toSeq)
+    val bounded = session.timeline("events", "3",
+      startMs = Some(fwd.length.toLong), limit = 3).collect()
+    assert(bounded.length <= 3)
+  }
+}
