@@ -86,6 +86,34 @@ object SparkEntry {
         .orderBy("key")
     },
 
+    // compaction is semantics-preserving: the compacted log resolves to the
+    // same documents, so it shares resolve_fold's oracle
+    "resolve_compacted" -> { (s, dir) =>
+      val compacted = graft.resolve.Compactor.compact(
+        EventLog.changes(s, dir), cutoffMs = 1705000000000L)
+      ResolveEngine.resolve(compacted).toDF().select(
+          col("id").as("key"),
+          col("version"),
+          jget("body", "last_type").as("last_type"),
+          jget("body", "last_value").cast("double").as("last_value"),
+          jget("body", "k").cast("long").as("last_k"))
+        .orderBy("key")
+    },
+
+    "queue_poll" -> { (s, dir) =>
+      val q = Tables.events(s, dir).select(col("event_id").as("msg_id"),
+        col("user_id"), col("event_type"))
+      graft.streaming.Queues.poll(q, afterMsgId = 100L, limit = 50)
+        .select("msg_id")
+    },
+
+    "queue_dedup" -> { (s, dir) =>
+      val q = Tables.events(s, dir).select(col("event_id").as("msg_id"),
+        concat_ws("/", col("user_id"), col("event_type")).as("dedup_key"))
+      graft.streaming.Queues.dedup(q, "dedup_key")
+        .select("msg_id").orderBy("msg_id")
+    },
+
     "databus_consolidation" -> { (s, dir) =>
       Databus.consolidate(
           EventLog.changes(s, dir).withColumn("etype", element_at(col("tags"), 1)),
@@ -284,8 +312,10 @@ object SparkEntry {
 
     // rows-only: MinHash/LSH has no SQL equivalent; verified in ScalaTest
     "dedup_minhash" -> { (s, dir) =>
+      // 4-row bands: band-collision probability ~ jaccard^4, so the shared
+      // small vocabulary of the synthetic docs doesn't explode candidates
       Dedup.minhashNearDuplicates(Tables.read(s, dir, "documents"),
-        "doc_id", "text", shingleN = 2, k = 32, bands = 16, threshold = 0.2)
+        "doc_id", "text", shingleN = 2, k = 32, bands = 8, threshold = 0.3)
         .select("id1", "id2").orderBy("id1", "id2")
     },
 
@@ -398,6 +428,22 @@ object SparkEntry {
         |             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
         |      FROM events)
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "resolve_compacted" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS version,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       arg_max(value, event_id) AS last_value,
+        |       CAST(arg_max(CAST(props->>'k' AS BIGINT), event_id) AS BIGINT) AS last_k
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "queue_poll" ->
+      """SELECT event_id AS msg_id FROM events
+        |WHERE event_id > 100 ORDER BY msg_id LIMIT 50""".stripMargin,
+
+    "queue_dedup" ->
+      """SELECT min(event_id) AS msg_id FROM events
+        |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
 
     "databus_consolidation" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,

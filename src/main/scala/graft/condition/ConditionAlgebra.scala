@@ -1,0 +1,252 @@
+package graft.condition
+
+import graft.json._
+
+/**
+ * Static condition algebra (no data): implication, disjointness, inversion —
+ * the engine's equivalents of the reference's SubsetEvaluator (506 LoC),
+ * DistinctEvaluator (489), InverseEvaluator (216)
+ * (sor-api/.../condition/eval/). Used for permission-style subsumption,
+ * subscription-union pruning and conjunct elimination before Catalyst ever
+ * sees the plan.
+ *
+ * All three analyses are CONSERVATIVE: `isSubset`/`isDisjoint`/`isInverse`
+ * returning false means "cannot prove", never "definitely not" — callers may
+ * only use positive answers to transform plans, so unproven cases are safe.
+ */
+object ConditionAlgebra {
+
+  /** l implies r: every value matching l also matches r. */
+  def isSubset(l: Condition, r: Condition): Boolean = (l, r) match {
+    case (_, ConstantCondition(true))  => true
+    case (ConstantCondition(false), _) => true
+    case (ConstantCondition(true), rr) => matchesEverything(rr)
+    case (_, ConstantCondition(false)) => never(l)
+
+    // decompose l first: a union is a subset iff every branch is
+    case (OrCondition(ls), _) => ls.forall(isSubset(_, r))
+    // a conjunction is a subset if any single conjunct already is
+    case (AndCondition(ls), _) if ls.exists(isSubset(_, r)) => true
+
+    // decompose r: subset of a conjunction needs all conjuncts
+    case (_, AndCondition(rs)) => rs.forall(isSubset(l, _))
+    // subset of a union if subset of any branch
+    case (_, OrCondition(rs)) if rs.exists(isSubset(l, _)) => true
+    // subset of a negation iff provably disjoint from the negated condition
+    case (_, NotCondition(b)) => isDisjoint(l, b)
+
+    // exact rule: a literal value implies r iff r accepts it (data-free eval;
+    // only valid when r needs no intrinsics)
+    case (EqualCondition(v), rr) if !referencesIntrinsics(rr) =>
+      evalSafe(rr, v).getOrElse(false)
+    case (InCondition(vs), rr) if !referencesIntrinsics(rr) =>
+      vs.forall(v => evalSafe(rr, v).getOrElse(false))
+
+    case (IsCondition(a), IsCondition(b)) =>
+      a == b || (b == State.DEFINED && a != State.UNDEFINED)
+
+    case (ComparisonCondition(_, _), IsCondition(State.DEFINED)) => true
+    case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
+      comparisonSubset(lc, rc)
+
+    case (LikeCondition(_), IsCondition(State.STRING | State.DEFINED)) => true
+    case (lc @ LikeCondition(_), rc @ LikeCondition(_)) => likeSubset(lc, rc)
+
+    case (MapCondition(le), MapCondition(re)) =>
+      // {..} conditions: l constrains a superset of keys at least as tightly.
+      // For keys absent in l, l allows anything, so r's entry must accept
+      // every possible value (only alwaysTrue does, conservatively).
+      re.forall { case (k, rc) =>
+        le.get(k) match {
+          case Some(lc) => isSubset(lc, rc)
+          case None     => matchesEverything(rc)
+        }
+      }
+
+    case (IntrinsicCondition(ln, lc), IntrinsicCondition(rn, rc)) =>
+      ln == rn && isSubset(lc, rc)
+
+    case (PartitionCondition(ln, lc), PartitionCondition(rn, rc)) =>
+      ln == rn && isSubset(lc, rc)
+
+    case _ => l == r // reflexivity
+  }
+
+  /** l and r cannot both hold for any value. */
+  def isDisjoint(l: Condition, r: Condition): Boolean = (l, r) match {
+    case (ConstantCondition(false), _) | (_, ConstantCondition(false)) => true
+    case (ConstantCondition(true), rr) => never(rr)
+    case (ll, ConstantCondition(true)) => never(ll)
+
+    case (OrCondition(ls), _) => ls.forall(isDisjoint(_, r))
+    case (_, OrCondition(rs)) => rs.forall(isDisjoint(l, _))
+    case (AndCondition(ls), _) if ls.exists(isDisjoint(_, r)) => true
+    case (_, AndCondition(rs)) if rs.exists(isDisjoint(l, _)) => true
+
+    case (EqualCondition(v), rr) if !referencesIntrinsics(rr) =>
+      evalSafe(rr, v).exists(b => !b)
+    case (rr, EqualCondition(v)) if !referencesIntrinsics(rr) =>
+      evalSafe(rr, v).exists(b => !b)
+    case (InCondition(vs), rr) if !referencesIntrinsics(rr) =>
+      vs.forall(v => evalSafe(rr, v).exists(b => !b))
+    case (rr, InCondition(vs)) if !referencesIntrinsics(rr) =>
+      vs.forall(v => evalSafe(rr, v).exists(b => !b))
+
+    case (IsCondition(a), IsCondition(b)) =>
+      if ((a == State.UNDEFINED && b == State.DEFINED) ||
+          (a == State.DEFINED && b == State.UNDEFINED)) true
+      else a != b && a != State.DEFINED && b != State.DEFINED
+
+    case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
+      comparisonDisjoint(lc, rc)
+
+    case (NotCondition(a), b) => isSubset(b, a)
+    case (a, NotCondition(b)) => isSubset(a, b)
+
+    case (MapCondition(le), MapCondition(re)) =>
+      // disjoint if some shared key's constraints are disjoint
+      le.exists { case (k, lc) => re.get(k).exists(rc => isDisjoint(lc, rc)) }
+
+    case (IntrinsicCondition(ln, lc), IntrinsicCondition(rn, rc)) =>
+      ln == rn && isDisjoint(lc, rc)
+
+    case _ => false
+  }
+
+  /** r matches exactly the values l does not (exact complement). */
+  def isInverse(l: Condition, r: Condition): Boolean = (l, r) match {
+    case (ConstantCondition(a), ConstantCondition(b)) => a != b
+    case (IsCondition(State.UNDEFINED), IsCondition(State.DEFINED)) => true
+    case (IsCondition(State.DEFINED), IsCondition(State.UNDEFINED)) => true
+    case (NotCondition(a), b) => a == b
+    case (a, NotCondition(b)) => a == b
+    case (OrCondition(ls), AndCondition(rs)) => deMorgan(ls, rs)
+    case (AndCondition(ls), OrCondition(rs)) => deMorgan(ls, rs)
+    case _ => false
+  }
+
+  private def deMorgan(ls: Seq[Condition], rs: Seq[Condition]): Boolean =
+    ls.size == rs.size && ls.zip(rs).forall { case (a, b) => isInverse(a, b) }
+
+  // -------------------------------------------------------------- simplify
+
+  /** Algebraic simplification: drop conjuncts implied by others, drop union
+    * branches subsumed by others, collapse provable constants. */
+  def simplify(c: Condition): Condition = c match {
+    case AndCondition(cs) =>
+      val simplified = cs.map(simplify)
+      if (simplified.combinations(2).exists { case Seq(a, b) => isDisjoint(a, b) })
+        Conditions.alwaysFalse
+      else {
+        // keep a conjunct only if no OTHER kept conjunct implies it
+        val kept = simplified.zipWithIndex.filterNot { case (ci, i) =>
+          simplified.zipWithIndex.exists { case (cj, j) =>
+            j != i && isSubset(cj, ci) && !(isSubset(ci, cj) && j > i)
+          }
+        }.map(_._1)
+        Conditions.and(kept)
+      }
+    case OrCondition(cs) =>
+      val simplified = cs.map(simplify)
+      // keep a branch only if no OTHER kept branch subsumes it
+      val kept = simplified.zipWithIndex.filterNot { case (ci, i) =>
+        simplified.zipWithIndex.exists { case (cj, j) =>
+          j != i && isSubset(ci, cj) && !(isSubset(cj, ci) && j > i)
+        }
+      }.map(_._1)
+      Conditions.or(kept)
+    case NotCondition(inner) => Conditions.not(simplify(inner))
+    case MapCondition(entries) =>
+      MapCondition(entries.map { case (k, v) => k -> simplify(v) })
+    case IntrinsicCondition(n, inner) => IntrinsicCondition(n, simplify(inner))
+    case PartitionCondition(n, inner) => PartitionCondition(n, simplify(inner))
+    case other => other
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  /** True when the condition provably accepts every value incl. UNDEFINED. */
+  private def matchesEverything(c: Condition): Boolean = c match {
+    case ConstantCondition(true) => true
+    case AndCondition(cs)        => cs.forall(matchesEverything)
+    case OrCondition(cs)         => cs.exists(matchesEverything)
+    case _                       => false
+  }
+
+  /** True when the condition provably never matches. */
+  private def never(c: Condition): Boolean = c match {
+    case ConstantCondition(false) => true
+    case OrCondition(cs)          => cs.forall(never)
+    case AndCondition(cs)         => cs.exists(never)
+    case _                        => false
+  }
+
+  def referencesIntrinsics(c: Condition): Boolean = c match {
+    case _: IntrinsicCondition | _: PartitionCondition => true
+    case AndCondition(cs) => cs.exists(referencesIntrinsics)
+    case OrCondition(cs)  => cs.exists(referencesIntrinsics)
+    case NotCondition(i)  => referencesIntrinsics(i)
+    case MapCondition(es) => es.values.exists(referencesIntrinsics)
+    case _ => false
+  }
+
+  private def evalSafe(c: Condition, v: JValue): Option[Boolean] =
+    try Some(ConditionEvaluator.eval(c, v)) catch { case _: Exception => None }
+
+  /** Range inclusion for same-type comparisons: l's range within r's. */
+  private def comparisonSubset(l: ComparisonCondition, r: ComparisonCondition): Boolean = {
+    import Comparison._
+    (comparableSameKind(l.value, r.value), l.op, r.op) match {
+      case (false, _, _) => false
+      case (_, GT, GT) => cmp(l.value, r.value) >= 0 // x>5 implies x>3
+      case (_, GT, GE) => cmp(l.value, r.value) >= 0 // x>5 implies x>=5
+      case (_, GE, GE) => cmp(l.value, r.value) >= 0
+      case (_, GE, GT) => cmp(l.value, r.value) > 0  // x>=6 implies x>5
+      case (_, LT, LT) => cmp(l.value, r.value) <= 0
+      case (_, LT, LE) => cmp(l.value, r.value) <= 0
+      case (_, LE, LE) => cmp(l.value, r.value) <= 0
+      case (_, LE, LT) => cmp(l.value, r.value) < 0
+      case _ => false
+    }
+  }
+
+  private def comparisonDisjoint(l: ComparisonCondition, r: ComparisonCondition): Boolean = {
+    import Comparison._
+    if (!comparableSameKind(l.value, r.value)) return false
+    def upper(c: ComparisonCondition) = c.op == LT || c.op == LE
+    def lower(c: ComparisonCondition) = c.op == GT || c.op == GE
+    // x < a disjoint x > b when a <= b (with equality edge on LE/GE)
+    if (upper(l) && lower(r)) {
+      val c0 = cmp(l.value, r.value)
+      c0 < 0 || (c0 == 0 && (l.op == LT || r.op == GT))
+    } else if (lower(l) && upper(r)) {
+      val c0 = cmp(r.value, l.value)
+      c0 < 0 || (c0 == 0 && (r.op == LT || l.op == GT))
+    } else false
+  }
+
+  private def comparableSameKind(a: JValue, b: JValue): Boolean =
+    (JValue.isNumber(a) && JValue.isNumber(b)) ||
+      (a.isInstanceOf[JString] && b.isInstanceOf[JString])
+
+  private def cmp(a: JValue, b: JValue): Int = JValue.CrossTypeOrdering.compare(a, b)
+
+  /** Like-pattern implication: identical patterns, or r's literal segments
+    * frame l's (prefix/suffix containment for the common cases). */
+  private def likeSubset(l: LikeCondition, r: LikeCondition): Boolean = {
+    if (l.pattern == r.pattern) return true
+    val (lLead, lTrail, lSegs) = LikeCondition.compile(l.pattern)
+    val (rLead, rTrail, rSegs) = LikeCondition.compile(r.pattern)
+    // r = "*seg*" (single floating segment): l implies r if some literal
+    // segment of l contains r's segment and that segment always appears
+    if (rLead && rTrail && rSegs.size == 1)
+      return lSegs.exists(_.contains(rSegs.head))
+    // r = "prefix*": l implies if l is anchored with a prefix extending r's
+    if (!rLead && rTrail && rSegs.size == 1)
+      return !lLead && lSegs.nonEmpty && lSegs.head.startsWith(rSegs.head)
+    // r = "*suffix"
+    if (rLead && !rTrail && rSegs.size == 1)
+      return !lTrail && lSegs.nonEmpty && lSegs.last.endsWith(rSegs.head)
+    false
+  }
+}

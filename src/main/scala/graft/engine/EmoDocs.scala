@@ -1,9 +1,10 @@
 package graft.engine
 
-import graft.condition.{Condition, ConditionEvaluator, Conditions, IntrinsicsView}
+import graft.condition._
 import graft.json.JsonCodec
 import graft.resolve.{DocRow, Iso8601}
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Document-level operations over resolved docs. */
 object EmoDocs {
@@ -15,13 +16,63 @@ object EmoDocs {
     lastMutateAt = if (d.last_mutate_ms == 0) null else Iso8601.format(d.last_mutate_ms),
     placement = d.placement)
 
-  /** Filter resolved docs with a condition DSL expression (exact parity
-    * evaluator; the condition AST is parsed once and shipped in the task
-    * closure). */
-  def where(docs: Dataset[DocRow], conditionText: String): Dataset[DocRow] = {
-    val cond: Condition = Conditions.fromString(conditionText)
-    docs.filter { d =>
-      ConditionEvaluator.eval(cond, JsonCodec.parseOrUndefined(d.body), intrinsicsOf(d))
+  private def isoCol(msCol: Column): Column =
+    when(msCol === 0L, lit(null).cast("string"))
+      .otherwise(date_format(timestamp_millis(msCol), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+
+  /** Intrinsic pseudo-columns of a docs frame (ISO-8601 date strings). */
+  def intrinsicColumns(df: DataFrame): Map[String, Column] = Map(
+    Intrinsic.Id -> df("id"),
+    Intrinsic.Table -> df("table"),
+    Intrinsic.Signature -> df("signature"),
+    Intrinsic.Deleted -> df("deleted"),
+    Intrinsic.FirstUpdateAt -> isoCol(df("first_update_ms")),
+    Intrinsic.LastUpdateAt -> isoCol(df("last_update_ms")),
+    Intrinsic.LastMutateAt -> isoCol(df("last_mutate_ms")),
+    Intrinsic.Placement -> df("placement"))
+
+  /** True when the condition only touches intrinsics / partitions (no
+    * document-body fields) — compilable to native Catalyst predicates. */
+  private def intrinsicOnly(c: Condition): Boolean = c match {
+    case _: IntrinsicCondition | _: PartitionCondition | _: ConstantCondition => true
+    case AndCondition(cs) => cs.forall(intrinsicOnly)
+    case OrCondition(cs)  => cs.forall(intrinsicOnly)
+    case NotCondition(i)  => intrinsicOnly(i)
+    case _ => false
+  }
+
+  /** The filter predicate for a condition over a docs DataFrame: top-level
+    * conjuncts touching only intrinsics compile to native Catalyst columns
+    * (pushdown + codegen); the rest evaluates via the exact-parity
+    * expression on the JSON body. */
+  def predicate(df: DataFrame, conditionText: String): Column = {
+    val cond = ConditionAlgebra.simplify(Conditions.fromString(conditionText))
+    val conjuncts = cond match {
+      case AndCondition(cs) => cs
+      case c                => Seq(c)
+    }
+    val (native, parity) = conjuncts.partition(intrinsicOnly)
+    val intr = intrinsicColumns(df)
+    val nativeCol = native
+      .map(c => ConditionCompiler.compileRow(c, df, intr))
+      .foldLeft(lit(true))(_ && _)
+    if (parity.isEmpty) nativeCol
+    else {
+      val parityText = Conditions.and(parity).toString
+      nativeCol && expressions.emoCondEvalFull(parityText,
+        df("body"), df("id"), df("table"), df("signature"), df("deleted"),
+        isoCol(df("first_update_ms")), isoCol(df("last_update_ms")),
+        isoCol(df("last_mutate_ms")), df("placement"))
     }
   }
+
+  /** Filter resolved docs with a condition DSL expression. */
+  def where(docs: Dataset[DocRow], conditionText: String): Dataset[DocRow] = {
+    import docs.sparkSession.implicits._
+    val df = docs.toDF()
+    df.where(predicate(df, conditionText)).as[DocRow]
+  }
+
+  def whereDf(docs: DataFrame, conditionText: String): DataFrame =
+    docs.where(predicate(docs, conditionText))
 }

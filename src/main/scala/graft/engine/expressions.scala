@@ -57,9 +57,10 @@ case class EmoHash32(children: Seq[Expression])
 }
 
 /**
- * Parity evaluation of a condition against (bodyJson [, id, table]).
- * children: bodyJson (string, null => UNDEFINED) and optionally id + table
- * (strings) when the condition references `intrinsic(...)`/`partition(...)`.
+ * Parity evaluation of a condition against (bodyJson [, intrinsics...]).
+ * children: bodyJson (string, null => UNDEFINED), then optionally either
+ * (id, table) or the full 8 intrinsics (id, table, signature, deleted,
+ * firstIso, lastIso, mutateIso, placement).
  */
 case class EmoCondEval(conditionText: String, children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -69,17 +70,23 @@ case class EmoCondEval(conditionText: String, children: Seq[Expression])
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
 
+  private def str(input: InternalRow, i: Int): String = {
+    val v = children(i).eval(input)
+    if (v == null) null else v.toString
+  }
+
   override def eval(input: InternalRow): Any = {
     val body = children.head.eval(input)
     val json = if (body == null) graft.json.JUndefined
       else JsonCodec.parse(body.asInstanceOf[UTF8String].toString)
     val intrinsics =
-      if (children.length >= 3) {
-        val id = children(1).eval(input)
-        val table = children(2).eval(input)
-        IntrinsicsView(
-          if (id == null) null else id.toString,
-          if (table == null) null else table.toString,
+      if (children.length >= 9) {
+        val deleted = children(4).eval(input)
+        IntrinsicsView(str(input, 1), str(input, 2), str(input, 3),
+          deleted != null && deleted.asInstanceOf[Boolean],
+          str(input, 5), str(input, 6), str(input, 7), str(input, 8))
+      } else if (children.length >= 3) {
+        IntrinsicsView(str(input, 1), str(input, 2),
           null, deleted = false, null, null, null, null)
       } else null
     ConditionEvaluator.eval(cond, json, intrinsics)
@@ -125,4 +132,11 @@ object expressions {
 
   def emoCondEval(conditionText: String, body: Column, id: Column, table: Column): Column =
     toCol(EmoCondEval(conditionText, Seq(toExpr(body), toExpr(id), toExpr(table))))
+
+  /** Full-intrinsics variant (doc frames). */
+  def emoCondEvalFull(conditionText: String, body: Column, id: Column, table: Column,
+                      signature: Column, deleted: Column, firstIso: Column,
+                      lastIso: Column, mutateIso: Column, placement: Column): Column =
+    toCol(EmoCondEval(conditionText, Seq(body, id, table, signature, deleted,
+      firstIso, lastIso, mutateIso, placement).map(toExpr)))
 }

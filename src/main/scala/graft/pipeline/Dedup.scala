@@ -73,15 +73,17 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (id1 < id2) via MinHash LSH over word
-    * n-gram shingles, verified with exact Jaccard similarity >= threshold. */
+    * n-gram shingles, verified with exact Jaccard similarity >= threshold.
+    * Signatures come from the single-pass [[sketches.minhash]] expression
+    * (one scan, no shingle arrays materialized); full shingle sets are only
+    * computed for the (small) candidate set during verification. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val withShingles = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("shingles"))
-    val withSig = withShingles.withColumn("sig", minhashSignature(col("shingles"), k))
-    val bandsDf = minhashBands(withSig.select("id", "sig"), "id", "sig", bands, rowsPerBand)
+    val withSig = df.select(col(idCol).as("id"),
+      sketches.minhash(col(textCol), shingleN, k).as("sig"))
+    val bandsDf = minhashBands(withSig, "id", "sig", bands, rowsPerBand)
     val candidates = bandsDf.as("l").join(bandsDf.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -89,7 +91,7 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
     // exact verification on the candidate set only
-    val sh = withShingles
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
     candidates
       .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
@@ -112,9 +114,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: for each of 64 bit positions, sum +1/-1
-    * across token hashes, take the sign bit. Pure column expressions (bit
-    * twiddling over xxhash64), no UDF. */
-  def simhash64(textCol: Column): Column = {
+    * across token hashes, take the sign bit. Single-pass expression
+    * ([[SimHash64Expr]]); [[simhash64Builtin]] keeps the equivalent
+    * builtin-only formulation used to cross-check it. */
+  def simhash64(textCol: Column): Column = sketches.simhash64(textCol)
+
+  /** Builtin-only SimHash (64 aggregate passes) — reference formulation. */
+  def simhash64Builtin(textCol: Column): Column = {
     val tokens = split(lower(trim(textCol)), "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
     val bits = (0 until 64).map { i =>

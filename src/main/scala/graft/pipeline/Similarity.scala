@@ -68,16 +68,16 @@ object Similarity {
   }
 
   /** ANN top-k via LSH buckets with `bands` independent sketches: compare
-    * only within matching buckets, union candidates, exact-rank them. */
+    * only within matching buckets, union candidates, exact-rank them.
+    * Bucket keys come from the single-pass [[sketches.hyperplaneSketch]]
+    * expression (same keys as the builtin [[lshBucketBand]] formulation). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12, bands: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val base = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"), lshBucketBand(col(vecAs), planes, b).as("bucket"))
-      }
-      base.select(col(idAs), col(vecAs), explode(array(bandCols: _*)).as("bb"))
-        .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          posexplode(sketches.hyperplaneSketch(col(vecCol), planes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
     }
     val c = bucketed(corpus, "neighbor_id", "cv")
     val q = bucketed(queries, "query_id", "qv")
@@ -92,8 +92,9 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** One band's bucket key: planes [band*planes, (band+1)*planes). */
-  private def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {
+  /** One band's bucket key via builtins (cross-check formulation):
+    * planes [band*planes, (band+1)*planes). */
+  def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {
     val dims = size(vecCol)
     val bits = (0 until planes).map { p =>
       val plane = band * planes + p

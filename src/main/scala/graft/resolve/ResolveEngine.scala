@@ -112,10 +112,23 @@ object ResolveEngine {
       def next(): DocRow = {
         val first = it.head
         val resolver = new Resolver(first.table, first.key, placement)
+        var firstRow = true
         while (it.hasNext && it.head.table == first.table && it.head.key == first.key) {
           val c = it.next()
-          resolver.update(TimeUuid(c.ms, c.seq, c.node), parseDelta(c.delta),
-            if (c.tags == null) Set.empty else c.tags.toSet)
+          val cid = TimeUuid(c.ms, c.seq, c.node)
+          val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
+          if (firstRow && c.node != null && c.node.startsWith("compaction:")) {
+            // checkpoint row written by Compactor.compact: node carries
+            // "compaction:<count>:<firstUpdateMs>:<lastMutateMs>"
+            val parts = c.node.split(':')
+            val content = graft.json.JsonCodec.parseOrUndefined(
+              if (c.delta == "~") null else c.delta)
+            resolver.restoreCompaction(content, parts(1).toLong, cid,
+              parts(2).toLong, parts(3).toLong, tags)
+          } else {
+            resolver.update(cid, parseDelta(c.delta), tags)
+          }
+          firstRow = false
         }
         toRow(resolver.result())
       }

@@ -37,6 +37,23 @@ final class Resolver(val table: String, val id: String, val placement: String) {
     IntrinsicsView(id, table, Hashes.toHex(signature), isDeleted,
       iso(firstUpdate), iso(lastUpdate), iso(lastMutate), placement)
 
+  /** Restore state from a compaction checkpoint (the analog of
+    * DefaultResolver's Compaction constructor, DefaultResolver.java:45-64):
+    * content, version count, timestamps and tags resume from the checkpoint;
+    * the signature restarts from the marker (the reference likewise stores
+    * the cutoff signature in the compaction record rather than recomputing). */
+  def restoreCompaction(checkpointContent: JValue, count: Long, markerId: TimeUuid,
+                        firstUpdateMs: Long, lastMutateMs: Long,
+                        tags: Set[String]): Unit = {
+    content = checkpointContent
+    version = count
+    signature = Hashes.chainSignature(Hashes.SignatureZero, markerId.bytes)
+    firstUpdate = TimeUuid(firstUpdateMs, 0, "")
+    lastUpdate = markerId
+    lastMutate = TimeUuid(lastMutateMs, 0, "")
+    lastTags = tags
+  }
+
   /** Apply one change; returns true when the change was redundant. */
   def update(changeId: TimeUuid, delta: Delta, tags: Set[String]): Boolean = {
     val updated = DeltaEvaluator.eval(delta, content, intrinsicsView)

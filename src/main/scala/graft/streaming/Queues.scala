@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Queue semantics (SURVEY §2.1, §2.6): at-least-once opaque-message queues
+ * with claim-based polling, and the sorted deduplicating queue
+ * (BaseQueueService.java:13-57, PersistentSortedQueue.java).
+ *
+ * At scale the durable form is a Kafka topic (poll = micro-batch, ack =
+ * checkpoint commit, claim TTL = trigger interval); these batch operators
+ * express the same semantics relationally for bounded queues and power the
+ * oracle checks: a queue is a DataFrame with (queue, msg_id: changeId-
+ * ordered, payload), claims are a high-watermark column.
+ */
+object Queues {
+
+  /** Poll: the next `limit` unclaimed messages in queue order. The returned
+    * claim watermark (max msg_id) acks the batch when passed back. */
+  def poll(queue: DataFrame, afterMsgId: Long, limit: Int): DataFrame =
+    queue.where(col("msg_id") > afterMsgId)
+      .orderBy("msg_id")
+      .limit(limit)
+
+  /** Deduplicating queue: one message per dedup key, keeping the FIRST
+    * (lowest msg_id) — PersistentSortedQueue keeps global key order. */
+  def dedup(queue: DataFrame, keyCol: String): DataFrame =
+    queue.groupBy(col(keyCol))
+      .agg(min(col("msg_id")).as("msg_id"))
+      .join(queue, Seq("msg_id", keyCol), "left_semi")
+
+  /** Sorted-queue view: messages in dedup-key order (segment-split scan
+    * order of the persistent sorted queue). */
+  def sortedView(queue: DataFrame, keyCol: String): DataFrame =
+    dedup(queue, keyCol).orderBy(keyCol)
+
+  /** Size estimate, exact up to `limit` (Databus.java:45-57 semantics). */
+  def sizeEstimate(queue: DataFrame, limit: Long): (Long, Boolean) = {
+    val n = queue.limit((limit + 1).toInt).count()
+    if (n > limit) (limit, false) else (n, true)
+  }
+}

@@ -147,6 +147,28 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("single-pass sketch expressions match their builtin formulations") {
+    import graft.pipeline.sketches
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    // simhash: expression vs 64-aggregate builtin
+    val sh = docs.select(
+      sketches.simhash64(col("text")).as("fast"),
+      Dedup.simhash64Builtin(col("text")).as("slow")).collect()
+    sh.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // minhash: expression vs shingle+transform builtin
+    val mh = docs.select(
+      sketches.minhash(col("text"), 2, 16).as("fast"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 2), 16).as("slow")).collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // hyperplane sketch: expression vs per-band builtin
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    val hp = emb.select(
+      sketches.hyperplaneSketch(col("embedding"), 4, 3).as("fast"),
+      array((0 until 3).map(b => Similarity.lshBucketBand(col("embedding"), 4, b)): _*).as("slow"))
+      .collect()
+    hp.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("fanout: native-compiled predicates agree with the parity evaluator") {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     val subs = Seq(
@@ -161,6 +183,44 @@ class EngineSpec extends AnyFunSuite {
     assert(out("a") === ev.where(col("event_type") === "purchase").count())
     assert(out("b") === ev.where(col("user_id") === 3).count())
     assert(out("c") === ev.where(col("event_type").isin("error", "view")).count())
+  }
+
+  test("compaction invariant: resolve(compact(log, cutoff)) == resolve(log)") {
+    import graft.resolve.Compactor
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val cutoff = 1705000000000L // mid-range of the event timestamps
+    val before = ResolveEngine.resolve(changes).collect()
+      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms))
+      .toMap
+    val compacted = Compactor.compact(changes, cutoff)
+    // the compacted log is strictly smaller but resolves identically
+    assert(compacted.count() < changes.count())
+    val after = ResolveEngine.resolve(compacted).collect()
+      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms))
+      .toMap
+    assert(after === before)
+    // delete-heavy log: tombstones survive compaction
+    val delChanges = EventLog.deleteOnErrorChanges(spark, "/root/testdata/sf0.001")
+    val b2 = ResolveEngine.resolve(delChanges).collect().map(d => d.id -> (d.body, d.version, d.deleted)).toMap
+    val a2 = ResolveEngine.resolve(Compactor.compact(delChanges, cutoff)).collect()
+      .map(d => d.id -> (d.body, d.version, d.deleted)).toMap
+    assert(a2 === b2)
+  }
+
+  test("queue poll/claim and dedup queue") {
+    import graft.streaming.Queues
+    val s = spark
+    import s.implicits._
+    val q = Seq((1L, "a", "m1"), (2L, "b", "m2"), (3L, "a", "m3"), (4L, "c", "m4"), (5L, "b", "m5"))
+      .toDF("msg_id", "dedup_key", "payload")
+    val batch1 = Queues.poll(q, 0L, 2).collect().map(_.getLong(0))
+    assert(batch1.toSeq === Seq(1L, 2L))
+    val batch2 = Queues.poll(q, batch1.max, 2).collect().map(_.getLong(0))
+    assert(batch2.toSeq === Seq(3L, 4L)) // claim watermark acks batch 1
+    val deduped = Queues.dedup(q, "dedup_key").collect().map(_.getLong(0)).sorted
+    assert(deduped.toSeq === Seq(1L, 2L, 4L)) // first message per key
+    assert(Queues.sizeEstimate(q, 3) === ((3L, false)))
+    assert(Queues.sizeEstimate(q, 10) === ((5L, true)))
   }
 
   test("stash export/read round-trips resolved docs with intrinsics") {
