@@ -38,7 +38,7 @@ object ConditionCompiler {
         }.foldLeft(lit(true))(_ && _)
       case AndCondition(cs) => cs.map(compileRow(_, df, intrinsics)).foldLeft(lit(true))(_ && _)
       case OrCondition(cs)  => cs.map(compileRow(_, df, intrinsics)).foldLeft(lit(false))(_ || _)
-      case NotCondition(c)  => !compileRow(c, df, intrinsics)
+      case NotCondition(c)  => !coalesce(compileRow(c, df, intrinsics), lit(false))
       case ConstantCondition(b) => lit(b)
       case IntrinsicCondition(name, sub) => compileIntrinsic(name, sub, intrinsics)
       case PartitionCondition(n, sub) =>
@@ -74,19 +74,26 @@ object ConditionCompiler {
       }
 
     case ComparisonCondition(op, v) =>
+      // null comparison results are equivalent to false at WHERE position;
+      // the NOT case re-establishes null-is-false explicitly, so raw
+      // predicates stay pushdown-eligible
       val cmp: Option[Column] = (dt, v) match {
         case (t, JLong(n)) if isNumeric(t)   => Some(applyCmp(op, col, lit(n)))
         case (t, JDouble(n)) if isNumeric(t) => Some(applyCmp(op, col, lit(n)))
         case (StringType, JString(s))        => Some(applyCmp(op, col, lit(s)))
         case _                               => None // mixed types never match
       }
-      cmp.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      cmp.getOrElse(lit(false))
 
     case lc @ LikeCondition(pattern) =>
       if (dt != StringType) lit(false)
-      else coalesce(col.like(globToSqlLike(pattern)), lit(false))
+      else col.like(globToSqlLike(pattern))
 
-    case NotCondition(c) => !compileField(c, col, dt, intrinsics)
+    case NotCondition(c) =>
+      // reference semantics: inner null (e.g. like() on a null field) is
+      // FALSE, so its negation must be TRUE — coalesce exactly here, where
+      // Spark's three-valued NOT would otherwise drop the row
+      !coalesce(compileField(c, col, dt, intrinsics), lit(false))
 
     case AndCondition(cs) =>
       cs.map(compileField(_, col, dt, intrinsics)).foldLeft(lit(true))(_ && _)
@@ -117,14 +124,14 @@ object ConditionCompiler {
           containment match {
             case ANY =>
               if (typed.isEmpty) lit(false)
-              else coalesce(arrays_overlap(col, litsArr), lit(false))
+              else arrays_overlap(col, litsArr)
             case ALL =>
               if (typed.size < condValues.size) lit(false) // untyped value can't be contained
-              else coalesce(size(array_except(litsArr, col)) === 0, lit(false))
+              else size(array_except(litsArr, col)) === 0
             case ONLY =>
               if (typed.size < condValues.size) lit(false)
-              else coalesce(size(array_except(litsArr, col)) === 0 &&
-                size(array_distinct(col)) === typed.size, lit(false))
+              else size(array_except(litsArr, col)) === 0 &&
+                size(array_distinct(col)) === typed.size
           }
         case _ => lit(false) // value is not a list
       }
@@ -176,7 +183,7 @@ object ConditionCompiler {
     case JUndefined => lit(false)
   }
 
-  private def colEq(col: Column, v: Column): Column = coalesce(col === v, lit(false))
+  private def colEq(col: Column, v: Column): Column = col === v
 
   private def boolOf(b: Boolean, col: Column): Column =
     if (b) col.isNotNull else lit(false)

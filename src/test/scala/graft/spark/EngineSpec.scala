@@ -60,7 +60,8 @@ class EngineSpec extends AnyFunSuite {
       (1L, "aaa", 3.5, Seq("x", "y")),
       (2L, "bbb", 25.0, Seq("y")),
       (3L, "review", 100.0, Seq.empty[String]),
-      (4L, "zzz", -1.0, Seq("x", "z"))).toDF("id", "name", "score", "tags")
+      (4L, "zzz", -1.0, Seq("x", "z")),
+      (5L, null, 7.0, Seq("x"))).toDF("id", "name", "score", "tags")
 
     val conds = Seq(
       """{..,"id":in(1,3),"name":like("*a*")}""",
@@ -73,7 +74,10 @@ class EngineSpec extends AnyFunSuite {
       """{..,"id":3}""",
       """{..,"id":3.0}""",       // type-strict: never matches a long column
       """{..,"missing":~}""",    // missing column is UNDEFINED
-      """{..,"missing":+}""")
+      """{..,"missing":+}""",
+      """{..,"name":is(null)}""",
+      """not({..,"name":like("a*")})""", // null name: like=false, not=true
+      """{..,"name":not(like("a*"))}""")
 
     import graft.json._
     for (condText <- conds) {
@@ -83,7 +87,7 @@ class EngineSpec extends AnyFunSuite {
       val expected = df.collect().filter { r =>
         val json = JObj(Map(
           "id" -> JLong(r.getLong(0)),
-          "name" -> JString(r.getString(1)),
+          "name" -> (if (r.isNullAt(1)) JNull else JString(r.getString(1))),
           "score" -> JDouble(r.getDouble(2)),
           "tags" -> JArr(r.getSeq[String](3).map(JString(_)).toVector)))
         graft.condition.ConditionEvaluator.eval(cond, json)
