@@ -1,0 +1,67 @@
+package graft.engine
+
+import graft.condition.{Conditions, ConditionAlgebra, ConstantCondition}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Catalyst optimizer rule: algebraically simplify embedded condition-DSL
+ * predicates ([[EmoCondEval]]) before execution — constant conditions fold
+ * to literals (letting Catalyst prune whole plan subtrees), and redundant
+ * conjuncts/subsumed union branches are dropped via [[ConditionAlgebra]].
+ * The DSL-level analog of Catalyst's BooleanSimplification, applied to the
+ * opaque parity-evaluated expressions Catalyst cannot see into.
+ */
+object SimplifyEmoConditions extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case e @ EmoCondEval(text, children) =>
+      val simplified = ConditionAlgebra.simplify(Conditions.fromString(text))
+      simplified match {
+        case ConstantCondition(b) => Literal(b)
+        case other =>
+          val newText = other.toString
+          if (newText == text) e else EmoCondEval(newText, children)
+      }
+  }
+}
+
+/**
+ * Session extensions: inject the condition-simplification rule and register
+ * the engine's SQL functions. Enable with
+ * `.config("spark.sql.extensions", "graft.engine.GraftExtensions")` or
+ * `.withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SimplifyEmoConditions)
+  }
+}
+
+/** SQL-facing registration of the engine's functions, so the DSL surface is
+  * reachable from `spark.sql(...)`:
+  *
+  *   SELECT ... WHERE emo_cond(body, '{..,"rating":ge(4)}')
+  *   SELECT emo_partition(tbl, id, 8), emo_row_key(tbl, id) ...
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // emo_cond(body [, id, table], 'condition-dsl-text')
+    reg.createOrReplaceTempFunction("emo_cond",
+      exprs => {
+        require(exprs.last.foldable, "emo_cond: the condition text must be a literal")
+        EmoCondEval(exprs.last.eval(null).toString, exprs.init)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("emo_hash32",
+      exprs => EmoHash32(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_simhash64",
+      exprs => graft.pipeline.SimHash64Expr(exprs.head), "scala_udf")
+  }
+
+  /** Column-API variant of `emo_cond` with the condition as a Scala string. */
+  def emoCond(conditionText: String, body: Column): Column =
+    expressions.emoCondEval(conditionText, body)
+}

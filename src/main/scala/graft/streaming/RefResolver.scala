@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.resolve.ResolveEngine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Megabus-style ref resolution (SURVEY §2.5, §2.9): a stream of update refs
+ * (table, key, changeId) is resolved against the store. A ref whose write
+ * is not yet readable (no change row at or after the ref's changeId)
+ * classifies as PENDING and routes to the retry side-channel instead of
+ * failing the pipeline; deletes surface as tombstones
+ * (MegabusRefResolver.java:157-221, MissingRefDelayProcessor).
+ *
+ * Batch form below; the streaming form applies the same function per
+ * micro-batch via foreachBatch with the retry output unioned back into the
+ * source after a delay.
+ */
+object RefResolver {
+
+  /** Classify + resolve one batch of refs against the change log.
+    * Returns a DataFrame with a `status` column:
+    *  - "resolved": doc payload columns populated from the fold
+    *  - "pending":  the store has no change at/after the ref (retry later)
+    */
+  def resolveRefs(refs: DataFrame, changes: DataFrame): DataFrame = {
+    // latest visible changeId per coordinate (one cheap aggregate, no fold)
+    val visible = changes.groupBy(col("table"), col("key"))
+      .agg(max(struct(col("ms"), col("seq"), col("node"))).as("max_change"))
+
+    val classified = refs.join(visible, Seq("table", "key"), "left")
+      .withColumn("status",
+        when(col("max_change").isNull ||
+             struct(col("ms"), col("seq"), col("node")) > col("max_change"), "pending")
+          .otherwise("resolved"))
+
+    val resolvedKeys = classified.where(col("status") === "resolved")
+      .select("table", "key").distinct()
+
+    // fold only the coordinates that actually resolved (semi-join pushdown)
+    val docs = ResolveEngine.resolve(
+        changes.join(resolvedKeys, Seq("table", "key"), "left_semi"))
+      .toDF()
+      .select(col("table"), col("id").as("key"), col("version"),
+        col("deleted"), col("body"))
+
+    classified
+      .join(docs, Seq("table", "key"), "left")
+      .select(col("table"), col("key"), col("ms"), col("seq"), col("node"),
+        col("status"), col("version"), col("deleted"), col("body"))
+  }
+
+  /** The retry side-channel: pending refs to re-inject after a delay. */
+  def retryChannel(classified: DataFrame): DataFrame =
+    classified.where(col("status") === "pending")
+      .select("table", "key", "ms", "seq", "node")
+}

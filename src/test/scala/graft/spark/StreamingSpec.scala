@@ -105,6 +105,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ref resolution classifies pending refs into the retry channel") {
+    import graft.streaming.RefResolver
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      change("k1", 1000, """{"x":1}"""),
+      change("k1", 2000, """{..,"y":2}"""),
+      change("k2", 1000, "~")).toDF()
+    val refs = Seq(
+      ("t", "k1", 2000L, 0L, "n"),   // resolved
+      ("t", "k2", 1000L, 0L, "n"),   // resolved tombstone
+      ("t", "k1", 9000L, 0L, "n"),   // ref ahead of visible write => pending
+      ("t", "k9", 1000L, 0L, "n"))   // unknown coordinate => pending
+      .toDF("table", "key", "ms", "seq", "node")
+    val out = RefResolver.resolveRefs(refs, changes)
+    val statuses = out.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("ms")) -> r.getAs[String]("status")).toMap
+    assert(statuses(("k1", 2000L)) === "resolved")
+    assert(statuses(("k2", 1000L)) === "resolved")
+    assert(statuses(("k1", 9000L)) === "pending")
+    assert(statuses(("k9", 1000L)) === "pending")
+    val resolved = out.where($"status" === "resolved" && $"key" === "k1").collect()(0)
+    assert(resolved.getAs[String]("body") === """{"x":1,"y":2}""")
+    val tomb = out.where($"status" === "resolved" && $"key" === "k2").collect()(0)
+    assert(tomb.getAs[Boolean]("deleted"))
+    assert(RefResolver.retryChannel(out).count() === 2)
+  }
+
+  test("extensions: optimizer rule folds constant conditions; SQL functions registered") {
+    import graft.engine.{GraftExtensions, GraftFunctions, SimplifyEmoConditions}
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(("""{"a":1}"""), ("""{"a":2}""")).toDF("body")
+    df.createOrReplaceTempView("docs_v")
+    // SQL surface: condition DSL callable from spark.sql
+    val n = spark.sql("""SELECT count(*) FROM docs_v WHERE emo_cond(body, '{..,"a":ge(2)}')""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n === 1)
+    // the rule folds or(alwaysTrue(), ...) to literal true
+    val plan = df.where(graft.engine.expressions.emoCondEval(
+      """or(alwaysTrue(),{..,"a":1})""", $"body")).queryExecution.analyzed
+    val folded = SimplifyEmoConditions(plan)
+    assert(!folded.toString.toLowerCase.contains("emocondeval"))
+    // and drops subsumed union branches inside surviving conditions
+    val plan2 = df.where(graft.engine.expressions.emoCondEval(
+      """or({..,"a":1},{..,"a":in(1,2)})""", $"body")).queryExecution.analyzed
+    val simplified2 = SimplifyEmoConditions(plan2)
+    assert(simplified2.toString.contains("""in(1,2)"""))
+    assert(!simplified2.toString.contains("or("))
+    // extension class wires the rule without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // hash parity through SQL
+    val h = spark.sql("SELECT emo_hash32('abc')").collect()(0).getInt(0)
+    assert(h === graft.json.Hashes.murmur3_32("abc"))
+  }
+
   test("consolidation collapses a batch to one event per coordinate") {
     val s = spark
     import s.implicits._
