@@ -99,6 +99,18 @@ object Deltas {
     }
 
   def fromString(text: String): Delta = DslParser.parseDelta(text)
+
+  /** Parse a newline/whitespace-separated stream of delta expressions
+    * (DeltaParser.parseStream / DeltaStreamSplitter analog): splits at
+    * top-level boundaries, respecting strings and nesting. */
+  def parseStream(text: String): Iterator[Delta] = {
+    val out = Vector.newBuilder[Delta]
+    val t = new graft.json.Tokener(text)
+    while (t.lookAhead() != 0) {
+      out += new DslParser(t).parseDelta()
+    }
+    out.result().iterator
+  }
 }
 
 /** Applies deltas. Parity: sor-api/.../delta/eval/DeltaEvaluator.java. */

@@ -59,6 +59,10 @@ object GraftFunctions {
       exprs => EmoHash32(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("emo_simhash64",
       exprs => graft.pipeline.SimHash64Expr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_json_type",
+      exprs => EmoJsonType(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_json_get",
+      exprs => EmoJsonGet(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-API variant of `emo_cond` with the condition as a Scala string. */

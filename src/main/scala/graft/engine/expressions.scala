@@ -96,6 +96,81 @@ case class EmoCondEval(conditionText: String, children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/**
+ * UNDEFINED-preserving field access on a JSON body (SURVEY §4.3 JsonGet /
+ * JsonTypeOf): walks a dot-separated path through the JSON value and returns
+ * the engine's type name at that position — "undefined" (key absent) is
+ * distinct from "null" (key present, null value), the trichotomy built-in
+ * JSON accessors cannot express.
+ */
+case class EmoJsonType(body: Expression, path: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(body, path)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    import graft.json._
+    val b = body.eval(input)
+    val p = path.eval(input)
+    val root: JValue = if (b == null) JUndefined
+      else JsonCodec.parse(b.asInstanceOf[UTF8String].toString)
+    var v = root
+    if (p != null) {
+      p.toString.split('.').filter(_.nonEmpty).foreach { key =>
+        v = v match {
+          case o: JObj => o.get(key)
+          case _       => JUndefined
+        }
+      }
+    }
+    UTF8String.fromString(v match {
+      case JUndefined   => "undefined"
+      case JNull        => "null"
+      case _: JBool     => "bool"
+      case _: JLong     => "num"
+      case _: JDouble   => "num"
+      case _: JString   => "string"
+      case _: JArr      => "array"
+      case _: JObj      => "object"
+    })
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(body = c(0), path = c(1))
+}
+
+/** Field access returning the value at a dot-path as canonical JSON text
+  * (null when undefined — pair with [[EmoJsonType]] to distinguish). */
+case class EmoJsonGet(body: Expression, path: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(body, path)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    import graft.json._
+    val b = body.eval(input)
+    val p = path.eval(input)
+    if (b == null) return null
+    var v: JValue = JsonCodec.parse(b.asInstanceOf[UTF8String].toString)
+    if (p != null) {
+      p.toString.split('.').filter(_.nonEmpty).foreach { key =>
+        v = v match {
+          case o: JObj => o.get(key)
+          case _       => JUndefined
+        }
+      }
+    }
+    if (v eq JUndefined) null else UTF8String.fromString(JsonCodec.render(v))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(body = c(0), path = c(1))
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -132,6 +207,15 @@ object expressions {
 
   def emoCondEval(conditionText: String, body: Column, id: Column, table: Column): Column =
     toCol(EmoCondEval(conditionText, Seq(toExpr(body), toExpr(id), toExpr(table))))
+
+  /** Engine type name at a dot-path: "undefined" when the key is absent,
+    * "null" when present-and-null — the trichotomy get_json_object loses. */
+  def emoJsonType(body: Column, path: String): Column =
+    toCol(EmoJsonType(toExpr(body), toExpr(org.apache.spark.sql.functions.lit(path))))
+
+  /** Canonical-JSON value at a dot-path (null if undefined). */
+  def emoJsonGet(body: Column, path: String): Column =
+    toCol(EmoJsonGet(toExpr(body), toExpr(org.apache.spark.sql.functions.lit(path))))
 
   /** Full-intrinsics variant (doc frames). */
   def emoCondEvalFull(conditionText: String, body: Column, id: Column, table: Column,

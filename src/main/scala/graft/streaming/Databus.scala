@@ -98,6 +98,20 @@ object Databus {
     })
   }
 
+  /** Replay (Databus.java:94-112): re-deliver events from a timestamp
+    * horizon through the same fanout — the batch analog of restarting a
+    * stream from `startingOffsetsByTimestamp`. */
+  def replay(events: DataFrame, subs: Seq[Subscription], sinceMs: Long,
+             attrsCol: Option[String] = None): DataFrame =
+    fanout(events.where(col("ms") >= sinceMs), subs, attrsCol)
+
+  /** Canary (databus/.../core/Canary.java): a built-in alwaysTrue
+    * subscription exercising the full fanout path; its event count is the
+    * liveness metric. */
+  def canary(events: DataFrame): DataFrame =
+    fanout(events, Seq(Subscription("__canary", "alwaysTrue()")))
+      .groupBy("subscription").agg(count(lit(1)).as("events_seen"))
+
   /**
    * Consolidate events per coordinate within a batch: keep the max-changeId
    * (winning) payload column values, union + sort tags, count collapsed

@@ -250,6 +250,58 @@ class EngineSpec extends AnyFunSuite {
     assert((page1 ++ page2).distinct.length === 10)
   }
 
+  test("json accessors preserve undefined-vs-null; blob ranged reads") {
+    val s = spark
+    import s.implicits._
+    import graft.engine.expressions._
+    val df = Seq("""{"a":null,"b":{"c":5},"d":[1,2]}""").toDF("body")
+    val row = df.select(
+      emoJsonType($"body", "a"), emoJsonType($"body", "missing"),
+      emoJsonType($"body", "b.c"), emoJsonType($"body", "b.x"),
+      emoJsonType($"body", "d"), emoJsonGet($"body", "b"),
+      emoJsonGet($"body", "missing")).collect()(0)
+    assert(row.getString(0) === "null")
+    assert(row.getString(1) === "undefined")
+    assert(row.getString(2) === "num")
+    assert(row.getString(3) === "undefined")
+    assert(row.getString(4) === "array")
+    assert(row.getString(5) === """{"c":5}""")
+    assert(row.isNullAt(6))
+
+    // blobs: metadata scan + ranged get over real files
+    import graft.engine.Blobs
+    val dir = java.nio.file.Files.createTempDirectory("blobs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b1.bin"),
+      "hello world blob one".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b2.bin"),
+      "second blob".getBytes)
+    val meta = Blobs.scanMetadata(spark, dir).collect()
+    assert(meta.length === 2 && meta.map(_.getAs[Long]("length")).sum === 31)
+    val ranged = Blobs.ranged(Blobs.read(spark, dir, "b1.bin"), 6, 5).collect()(0)
+    assert(new String(ranged.getAs[Array[Byte]]("range")) === "world")
+  }
+
+  test("replay and canary") {
+    import graft.streaming.{Databus, Subscription}
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val total = changes.count()
+    val canary = Databus.canary(changes).collect()(0)
+    assert(canary.getAs[Long]("events_seen") === total)
+    val horizon = 1705000000000L
+    val replayed = Databus.replay(changes,
+      Seq(Subscription("all", "alwaysTrue()")), sinceMs = horizon)
+    assert(replayed.count() === changes.where(col("ms") >= horizon).count())
+    assert(replayed.count() < total)
+  }
+
+  test("delta stream parsing") {
+    import graft.delta.Deltas
+    val deltas = Deltas.parseStream("""{..,"a":1} ~ .. {"b":2} if + then ~ end""").toSeq
+    assert(deltas.size === 5)
+    assert(deltas(1) === graft.delta.DeleteDelta)
+    assert(deltas(2) === graft.delta.NoopDelta)
+  }
+
   test("timeline bounds and reversal") {
     val session = new EmoSession(spark, EventLog.changes(spark, "/root/testdata/sf0.001"))
     val fwd = session.timeline("events", "3").select("seq").collect().map(_.getLong(0))
