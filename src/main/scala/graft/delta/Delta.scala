@@ -13,6 +13,17 @@ import graft.json._
 sealed trait Delta extends Serializable {
   override def toString: String = DeltaPrinter.print(this)
 
+  /** True when evaluating this delta can read intrinsic values (conditional
+    * deltas with intrinsic()/partition() tests). The resolve fold skips
+    * building the per-change intrinsics view for the common false case. */
+  lazy val needsIntrinsics: Boolean = this match {
+    case ConditionalDelta(test, t, e) =>
+      graft.condition.ConditionAlgebra.referencesIntrinsics(test) ||
+        t.needsIntrinsics || e.needsIntrinsics
+    case MapDelta(entries, _, _) => entries.values.exists(_.needsIntrinsics)
+    case _ => false
+  }
+
   /** Constant deltas produce the same output for every input
     * (MapDeltaImpl.computeConstant / SetDeltaImpl.isConstant). */
   def isConstant: Boolean = this match {

@@ -104,4 +104,17 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
     val df = docsDf.where(col("table") === table)
     limit.map(n => df.limit(n).count()).getOrElse(df.count())
   }
+
+  /** Purge/drop control events (SURVEY §2.9 table control): one delete delta
+    * per live key of the table at `atMs`, tombstoning every document
+    * downstream (the RefType.DELETED batch analog). Union the result onto
+    * the change log / control stream. */
+  def purgeEvents(table: String, atMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => l}
+    changes.where(col("table") === table)
+      .select(col("table"), col("key")).distinct()
+      .select(col("table"), col("key"), l(atMs).as("ms"), l(0L).as("seq"),
+        l("purge").as("node"), l("~").as("delta"),
+        array(l("purge")).as("tags"))
+  }
 }

@@ -98,12 +98,20 @@ object Hashes {
 
   val SignatureZero: Array[Byte] = new Array[Byte](16)
 
-  def md5(bytes: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(bytes)
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val md = localMd5.get()
+    md.reset()
+    md.digest(bytes)
+  }
 
   /** sig' = md5(prevSig ++ changeIdBytes). */
   def chainSignature(prev: Array[Byte], changeIdBytes: Array[Byte]): Array[Byte] = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
+    md.reset()
     md.update(prev)
     md.update(changeIdBytes)
     md.digest()

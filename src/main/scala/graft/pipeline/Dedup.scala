@@ -79,11 +79,25 @@ object Dedup {
     * computed for the (small) candidate set during verification. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                            threshold: Double = 0.5): DataFrame = {
+                            threshold: Double = 0.5,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"),
       sketches.minhash(col(textCol), shingleN, k).as("sig"))
-    val bandsDf = minhashBands(withSig, "id", "sig", bands, rowsPerBand)
+    // the band table feeds three consumers (bucket sizing + both join
+    // sides); persist it instead of recomputing signatures per consumer —
+    // at corpus scale this is the table you'd checkpoint to storage
+    val allBands = minhashBands(withSig, "id", "sig", bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap degenerate buckets: a bucket with B members contributes B^2/2
+    // pairs — at corpus scale one template-spam bucket would dominate the
+    // join. Oversized buckets are near-identical content; route them to
+    // exact dedup instead of pairwise verification.
+    val bucketSizes = allBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+    val bandsDf = allBands.join(
+      bucketSizes.where(col("bucket_n") <= maxBucketSize).select("band", "band_hash"),
+      Seq("band", "band_hash"), "left_semi")
     val candidates = bandsDf.as("l").join(bandsDf.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&

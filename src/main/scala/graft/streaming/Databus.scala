@@ -98,6 +98,24 @@ object Databus {
     })
   }
 
+  /** Streaming lag/liveness monitor (FanoutLagMonitor analog): a query
+    * listener accumulating per-batch input rows and processing rates;
+    * attach with `spark.streams.addListener(monitor)`. */
+  final class LagMonitor extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile var batches: Long = 0L
+    @volatile var totalInputRows: Long = 0L
+    @volatile var lastBatchMs: Double = 0.0
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      batches += 1
+      totalInputRows += e.progress.numInputRows
+      lastBatchMs = Option(e.progress.durationMs.get("triggerExecution"))
+        .map(_.doubleValue).getOrElse(0.0)
+    }
+  }
+
   /** Replay (Databus.java:94-112): re-deliver events from a timestamp
     * horizon through the same fanout — the batch analog of restarting a
     * stream from `startingOffsetsByTimestamp`. */

@@ -162,6 +162,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(h === graft.json.Hashes.murmur3_32("abc"))
   }
 
+  test("table purge control events tombstone every document; lag monitor sees progress") {
+    import graft.engine.{EmoSession, EventLog}
+    import graft.resolve.{ChangeRow => CR, ResolveEngine}
+    val s = spark
+    import s.implicits._
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val session = new EmoSession(spark, changes)
+    val purge = session.purgeEvents("events", atMs = 9999999999999L)
+    val purged = ResolveEngine.resolve(changes.unionByName(purge))
+    assert(purged.collect().forall(_.deleted)) // every doc tombstoned
+
+    // lag monitor on a live streaming query
+    val monitor = new Databus.LagMonitor
+    spark.streams.addListener(monitor)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CR]
+    val q = input.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("lag_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_lag").toString)
+      .start()
+    try {
+      input.addData(change("k1", 1000, "{}"), change("k2", 1000, "{}"))
+      q.processAllAvailable()
+      // progress events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (monitor.totalInputRows < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(monitor.batches >= 1 && monitor.totalInputRows >= 2)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
+
   test("consolidation collapses a batch to one event per coordinate") {
     val s = spark
     import s.implicits._
