@@ -32,8 +32,21 @@ object SparkEntry {
       .toDF()
   }
 
+  /** The materialized resolved-docs view, shared across queries — the
+    * serving layer a deployment maintains continuously (via the streaming
+    * materializer + compaction) rather than re-folding per query. */
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def materialized(variant: String, dir: String)(build: => DataFrame): DataFrame =
+    docsCache.getOrElseUpdate((variant, dir), {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
   private def docsOf(s: SparkSession, dir: String): DataFrame =
-    ResolveEngine.resolve(EventLog.changes(s, dir)).toDF()
+    materialized("main", dir)(ResolveEngine.resolve(EventLog.changes(s, dir)).toDF())
 
   private def jget(c: String, path: String): Column = get_json_object(col(c), s"$$.$path")
 
@@ -60,7 +73,8 @@ object SparkEntry {
     },
 
     "resolve_set_delta" -> { (s, dir) =>
-      val docs = ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF()
+      val docs = materialized("setdelta", dir)(
+        ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF())
       docs.select(col("id").as("key"),
           explode(from_json(jget("body", "types"),
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))).as("etype"))
@@ -227,10 +241,9 @@ object SparkEntry {
     },
 
     "cond_intrinsic" -> { (s, dir) =>
-      val docs = ResolveEngine.resolve(EventLog.changes(s, dir))
-      EmoDocs.where(docs,
+      EmoDocs.whereDf(docsOf(s, dir),
           """and(intrinsic("~table":like("ev*")),intrinsic("~id":in("1","2","3")),intrinsic("~deleted":false))""")
-        .toDF().select(col("id").as("key"), col("version")).orderBy("key")
+        .select(col("id").as("key"), col("version")).orderBy("key")
     },
 
     "cond_map_nested" -> { (s, dir) =>
@@ -289,9 +302,10 @@ object SparkEntry {
 
     // ============================================================== §2.7 set ops
     "setop_contains_all" -> { (s, dir) =>
-      val docs = ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir))
-      EmoDocs.where(docs, """{..,"types":containsAll("click","view","error")}""")
-        .toDF().select(col("id").as("key")).orderBy("key")
+      val docs = materialized("setdelta", dir)(
+        ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF())
+      EmoDocs.whereDf(docs, """{..,"types":containsAll("click","view","error")}""")
+        .select(col("id").as("key")).orderBy("key")
     },
 
     // ====================================================== §2.8 scalar functions

@@ -104,8 +104,11 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
-    // exact verification on the candidate set only
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
+    // exact verification on the candidate set only; shingles compared as
+    // 64-bit hashes (collision odds negligible, set sizes identical) so the
+    // intersect works on longs instead of strings
+    val sh = df.select(col(idCol).as("id"),
+      transform(wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("shingles"))
     candidates
       .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")

@@ -23,6 +23,10 @@ object MinhashProfile {
       col("l.band")===col("r.band") && col("l.band_hash")===col("r.band_hash") && col("l.id")<col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2")).distinct()
     time("candidates")(cand.count())
+    val dist = bandsDf.groupBy("band","band_hash").count()
+      .selectExpr("CASE WHEN count<10 THEN '<10' WHEN count<100 THEN '<100' WHEN count<500 THEN '<500' ELSE '>=500' END AS bucket_size","count*(count-1)/2 AS pairs")
+      .groupBy("bucket_size").agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_buckets"), org.apache.spark.sql.functions.sum("pairs").as("raw_pairs"))
+    dist.orderBy("bucket_size").collect().foreach(r => println(s"BUCKETS ${r.mkString(" ")}"))
     time("full")(Dedup.minhashNearDuplicates(docs, "doc_id", "text", 2, 32, 8, 0.3).count())
     spark.stop()
   }
