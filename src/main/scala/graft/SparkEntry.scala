@@ -395,6 +395,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // the composed curation pipeline: exact-dedup -> quality gate -> langid
+    // filter -> embedding join; the end-to-end shape of a training-data
+    // curation job (each stage is shuffle-partitioned; the join broadcasts
+    // nothing here — both sides are corpus-sized and co-keyed)
+    "pipeline_curation" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val deduped = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val filtered = deduped
+        .where(TextAnalysis.qualityOk(col("text"), minTokens = 20))
+        .where(TextAnalysis.langId(col("text")) === "en")
+      val emb = Tables.read(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      filtered.join(emb, Seq("doc_id"))
+        .select(col("doc_id"), col("label"))
+        .orderBy("doc_id")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -644,5 +661,30 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "pipeline_curation" ->
+      """WITH dd AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |toks AS (
+        |  SELECT d.doc_id, string_split_regex(trim(lower(d.text)), '\s+') AS t, d.text
+        |  FROM documents d JOIN dd USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, t, text,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM toks),
+        |q AS (
+        |  SELECT doc_id FROM scored
+        |  WHERE len(t) >= 20
+        |    AND (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / greatest(len(t),1)) <= 12.0
+        |    AND (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text),1)) <= 0.2
+        |    -- langId picks the first strict max in (de,en,es,fr,zh) order:
+        |    -- 'en' wins iff it beats de strictly and the rest non-strictly
+        |    AND s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh)
+        |SELECT q.doc_id, e.label FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+        |ORDER BY q.doc_id""".stripMargin)
 }

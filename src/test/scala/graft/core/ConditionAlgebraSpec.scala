@@ -177,6 +177,28 @@ class ConditionAlgebraSpec extends AnyFunSuite {
     }
   }
 
+  test("parse-print round trip is identity on random delta compositions") {
+    import graft.delta._
+    val leafDeltas = Seq("~", "..", "3", "\"s\"", """{"a":1}""", """{..,"x":~}""",
+      """(..,"a",~"b")?""", """{..,"k":if gt(2) then 5 else ~ end}""",
+      """{..,"t":(..,"x")}""", """[1,2,3]""", "null", "true")
+    val deltaGen: Gen[Delta] = for {
+      a <- Gen.oneOf(leafDeltas); b <- Gen.oneOf(leafDeltas)
+      key <- Gen.oneOf("p", "q", "~r")
+      op <- Gen.oneOf(0, 1, 2)
+    } yield op match {
+      case 0 => Deltas.buildMap(Map(key -> Deltas.fromString(a), "z" -> Deltas.fromString(b)),
+        removeRest = false, deleteIfEmpty = false)
+      case 1 => Deltas.conditional(Conditions.fromString("""{..,"s":1}"""),
+        Deltas.fromString(a), Deltas.fromString(b))
+      case 2 => Deltas.buildMap(Map(key -> Deltas.fromString(a)),
+        removeRest = true, deleteIfEmpty = true)
+    }
+    forAll(deltaGen) { d =>
+      assert(Deltas.fromString(d.toString) === d)
+    }
+  }
+
   test("parse-print round trip is identity on random condition compositions") {
     val leafGen = Gen.oneOf(condTexts)
     val condGen: Gen[Condition] = for {
