@@ -175,6 +175,30 @@ object SparkEntry {
         .orderBy("tbl")
     },
 
+    // placement scan: resolve EVERY table of the placement in one pass
+    // (DataTools.multiTableScan analog); the fold partitions by (table,key)
+    // so tables share the shuffle
+    "placement_scan" -> { (s, dir) =>
+      val docs = materialized("placement", dir)(
+        ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+      docs.groupBy(col("table").as("tbl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("version")).as("n_changes"))
+        .orderBy("tbl")
+    },
+
+    "catalog_list_tables" -> { (s, dir) =>
+      val session = new EmoSession(s, EventLog.placementChanges(s, dir))
+      session.listTables().withColumnRenamed("table", "tbl")
+    },
+
+    "catalog_table_size" -> { (s, dir) =>
+      val session = new EmoSession(s, EventLog.placementChanges(s, dir))
+      import s.implicits._
+      Seq(("orders", session.tableApproximateSize("orders")),
+          ("orders_bounded", session.tableApproximateSize("orders", limit = Some(100))))
+        .toDF("metric", "n").orderBy("metric")
+    },
+
     "timeline_forward" -> { (s, dir) =>
       val session = new EmoSession(s, EventLog.changes(s, dir))
       session.timeline("events", "3", limit = 25)
@@ -508,6 +532,23 @@ object SparkEntry {
         |UNION ALL SELECT 'region', count(*) FROM region
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |ORDER BY tbl""".stripMargin,
+
+    "placement_scan" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS tbl, count(DISTINCT user_id) AS n_docs, count(*) AS n_changes FROM events
+        |  UNION ALL
+        |  SELECT 'orders', count(*), count(*) FROM orders)
+        |ORDER BY tbl""".stripMargin,
+
+    "catalog_list_tables" ->
+      """SELECT 'events' AS tbl UNION ALL SELECT 'orders' ORDER BY tbl""".stripMargin,
+
+    "catalog_table_size" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS metric, count(*) AS n FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_bounded', least(count(*), 100) FROM orders)
+        |ORDER BY metric""".stripMargin,
 
     "timeline_forward" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events

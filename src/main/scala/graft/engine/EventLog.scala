@@ -80,6 +80,30 @@ object EventLog {
         .otherwise(concat(lit("{..,\"t\":\""), col("event_type"), lit("\"}"))),
       array(col("event_type")))
 
+  /** A second document table in the same placement: each order is one
+    * literal-delta document in table "orders" — used by the multi-table /
+    * placement-scan queries. */
+  def ordersChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.read(spark, sfDir, "orders")
+    o.select(
+      lit("orders").as("table"),
+      col("o_orderkey").cast("string").as("key"),
+      // o_orderdate reads as TIMESTAMP_NTZ; go through TIMESTAMP (UTC session)
+      (unix_micros(col("o_orderdate").cast("timestamp")) / 1000L).cast("long").as("ms"),
+      col("o_orderkey").cast("long").as("seq"),
+      lit("").as("node"),
+      concat(
+        lit("{\"status\":\""), col("o_orderstatus"),
+        lit("\",\"priority\":\""), col("o_orderpriority"),
+        lit("\",\"total\":"), col("o_totalprice").cast("string"),
+        lit("}")).as("delta"),
+      array(lit("order")).as("tags"))
+  }
+
+  /** The whole placement: every table's change log unioned. */
+  def placementChanges(spark: SparkSession, sfDir: String): DataFrame =
+    changes(spark, sfDir).unionByName(ordersChanges(spark, sfDir))
+
   /** Content-only log with constant (empty) tags: consecutive same-type
     * events are redundant changes (DefaultResolver.java:73-90 semantics). */
   def typeOnlyChanges(spark: SparkSession, sfDir: String): DataFrame =
