@@ -388,6 +388,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    "dedup_embedding" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings").where(col("vec_id") < 60)
+      Similarity.embeddingNearDuplicates(emb, "vec_id", "embedding", threshold = 0.3)
+        .select("id1", "id2").orderBy("id1", "id2")
+    },
+
+    // rows-only: kmeans centroids have no SQL equivalent; recall vs brute
+    // force checked in ScalaTest
+    "sim_ivf" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      Similarity.ivfTopK(centroids, index, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
     // ========================================================== pipeline: text
     "text_tokens" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
@@ -659,6 +677,15 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
         |  FROM q, c WHERE qid <> nid)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 60)
+        |SELECT l.vec_id AS id1, r.vec_id AS id2
+        |FROM v l, v r
+        |WHERE l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.e, r.e) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -92,6 +92,98 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Embedding-cosine near-duplicate pairs (id1 < id2) with similarity >=
+    * threshold — the embedding-space dedup mode. Small inputs compare
+    * all pairs; at scale pass preBucket=true to restrict comparisons to
+    * LSH-bucketed candidates. */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, preBucket: Boolean = false,
+                              planes: Int = 4, bands: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs =
+      if (!preBucket) {
+        base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+          .select(col("l.id").as("id1"), col("r.id").as("id2"),
+            col("l.vec").as("v1"), col("r.vec").as("v2"))
+      } else {
+        val bucketed = base.select(col("id"), col("vec"),
+            posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        bucketed.as("l").join(bucketed.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.id") < col("r.id"))
+          .select(col("l.id").as("id1"), col("r.id").as("id2"),
+            col("l.vec").as("v1"), col("r.vec").as("v2"))
+          .distinct()
+      }
+    pairs.withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /**
+   * IVF (inverted-file) ANN index — the classic coarse-quantizer scale path:
+   * deterministic centroid selection (hash-sampled corpus points refined by
+   * `iters` Lloyd steps), assignment of every vector to its nearest
+   * centroid, and search probing only the `nProbe` closest cells per query.
+   * All stages are DataFrame ops; centroids are collected (they are tiny:
+   * nCells vectors) and broadcast into the assignment expression.
+   */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, iters: Int = 2): (Seq[Seq[Double]], DataFrame) = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // deterministic seed centroids: the nCells corpus rows with smallest id-hash
+    var centroids: Seq[Seq[Double]] = base
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nCells)
+      .select("vec").collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), transform(col("dims"), d => d.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      it += 1
+    }
+    val index = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
+    (centroids, index)
+  }
+
+  /** Expression: index of the nearest centroid (max cosine) for a vector. */
+  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    greatest(scored: _*).getField("i")
+  }
+
+  /** IVF search: probe the nProbe nearest cells per query, exact-rank within. */
+  def ivfTopK(centroids: Seq[Seq[Double]], index: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // top-nProbe cells per query via the same centroid scoring
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("qv"), array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    val probed = q.withColumn("cells",
+        slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell_s"))
+      .select(col("query_id"), col("qv"), col("cell_s.i").as("cell"))
+    val scored = probed.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("score", cosine(col("qv"), col("vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
   /** One band's bucket key via builtins (cross-check formulation):
     * planes [band*planes, (band+1)*planes). */
   def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {

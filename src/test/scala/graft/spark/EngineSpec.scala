@@ -173,6 +173,32 @@ class EngineSpec extends AnyFunSuite {
     hp.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("IVF index recalls most brute-force top-k; embedding near-dup finds self-similar pairs") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    assert(centroids.size === 8)
+    val ivf = Similarity.ivfTopK(centroids, index, queries, "vec_id", "embedding", 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+
+    // near-dup: every duplicated vector must pair with its copy at cosine 1
+    val s = spark
+    import s.implicits._
+    val dup = emb.where(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val withDups = emb.where(col("vec_id") < 50).unionByName(dup)
+    val pairs = Similarity.embeddingNearDuplicates(withDups, "vec_id", "embedding",
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 100000L), (1L, 100001L), (2L, 100002L)))
+  }
+
   test("fanout: native-compiled predicates agree with the parity evaluator") {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     val subs = Seq(
