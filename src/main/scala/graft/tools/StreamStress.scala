@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.engine.EventLog
+import graft.resolve.ChangeRow
+import graft.streaming.Materializer
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: drive the streaming materializer over the full sf0.1 change log
+  * in a handful of micro-batches and report changelog throughput. */
+object StreamStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = EventLog.changes(spark, "/root/testdata/sf0.1")
+      .select("table", "key", "ms", "seq", "node", "delta", "tags")
+      .as[ChangeRow].collect()
+    println(s"STREAM_STRESS input=${all.length} changes")
+
+    val input = MemoryStream[ChangeRow]
+    val monitor = new graft.streaming.Databus.LagMonitor
+    spark.streams.addListener(monitor)
+    val q = Materializer.materialize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stress_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_stress").toString)
+      .start()
+    val t0 = System.nanoTime()
+    val batches = all.grouped(all.length / 5 + 1).toSeq
+    batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val outRows = spark.table("stress_out").count()
+    println(f"STREAM_STRESS batches=${batches.size} changes=${all.length} " +
+      f"changelog_rows=$outRows secs=$secs%.1f rows_per_sec=${all.length / secs}%.0f " +
+      f"monitor_batches=${monitor.batches}")
+    q.stop()
+    spark.stop()
+  }
+}
