@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
  * the streaming materializer; here it is re-derived lazily.
  */
 final class EmoSession(val spark: SparkSession, changes: DataFrame,
-                       placement: String = "default") {
+                       placement: String = "default",
+                       resolvedView: Option[DataFrame] = None) {
 
-  /** Resolved current documents (including tombstones). */
-  lazy val docs: Dataset[DocRow] = ResolveEngine.resolve(changes, placement)
+  /** Resolved current documents (including tombstones). Pass a persisted
+    * `resolvedView` (the continuously-maintained store) to serve reads from
+    * it instead of re-folding the log per session. */
+  lazy val docs: Dataset[DocRow] = {
+    import spark.implicits._
+    resolvedView.map(_.as[DocRow])
+      .getOrElse(ResolveEngine.resolve(changes, placement))
+  }
 
-  private def docsDf: DataFrame = docs.toDF()
+  private def docsDf: DataFrame = resolvedView.getOrElse(docs.toDF())
 
   /** Point get: resolve one document. Uses a key-pushdown filter BEFORE the
     * fold shuffle — only that coordinate's deltas are read. */

@@ -155,26 +155,18 @@ object Similarity {
     (centroids, index)
   }
 
-  /** Expression: index of the nearest centroid (max cosine) for a vector. */
-  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    greatest(scored: _*).getField("i")
-  }
+  /** Column: index of the nearest centroid (max cosine) for a vector —
+    * single-pass expression, no literal-per-centroid codegen blowup. */
+  private def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    sketches.nearestCells(vec, centroids, 1).getItem(0)
 
   /** IVF search: probe the nProbe nearest cells per query, exact-rank within. */
   def ivfTopK(centroids: Seq[Seq[Double]], index: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // top-nProbe cells per query via the same centroid scoring
-    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("qv"), array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }
-    val probed = q.withColumn("cells",
-        slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
-      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell_s"))
-      .select(col("query_id"), col("qv"), col("cell_s.i").as("cell"))
+    val probed = q
+      .select(col("query_id"), col("qv"),
+        explode(sketches.nearestCells(col("qv"), centroids, nProbe)).as("cell"))
     val scored = probed.join(index, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .withColumn("score", cosine(col("qv"), col("vec")))

@@ -187,6 +187,55 @@ case class HyperplaneSketchExpr(child: Expression, planes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-n nearest centroids (by cosine) of a vector — one JVM pass instead of
+  * a width-nCells literal expression tree (which churns Janino codegen).
+  * Output: array<int> of the n best cell indices, best first. */
+case class NearestCellsExpr(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val dims = vec.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      v(i) = et match {
+        case FloatType   => vec.getFloat(i).toDouble
+        case DoubleType  => vec.getDouble(i)
+        case IntegerType => vec.getInt(i).toDouble
+        case LongType    => vec.getLong(i).toDouble
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+      i += 1
+    }
+    val vNorm = math.sqrt(v.map(x => x * x).sum)
+    val scores = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      var d = 0
+      val lim = math.min(dims, cent.length)
+      while (d < lim) { dot += v(d) * cent(d); d += 1 }
+      scores(c) = dot / (vNorm * centNorms(c))
+      c += 1
+    }
+    val order = scores.indices.sortBy(i => (-scores(i), i)).take(n).toArray
+    new GenericArrayData(order)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object sketches {
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
@@ -196,4 +245,7 @@ object sketches {
 
   def hyperplaneSketch(vec: Column, planes: Int, bands: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(vec), planes, bands))
+
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftBridge.column(NearestCellsExpr(GraftBridge.expression(vec), centroids, n))
 }
