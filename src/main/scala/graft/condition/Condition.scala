@@ -84,49 +84,73 @@ final case class LikeCondition(pattern: String) extends Condition {
 }
 
 object LikeCondition {
-  /** Split on unescaped '*'; returns (leadingStar, trailingStar, literal segments). */
-  def compile(pattern: String): (Boolean, Boolean, Vector[String]) = {
-    val segs = Vector.newBuilder[String]
-    val cur = new java.lang.StringBuilder
+
+  /** Unescaped pattern: the effective chars plus a parallel mask marking
+    * which are literal (were escaped). An unescaped '*' is the wildcard;
+    * escaped chars — INCLUDING escaped stars and backslashes — are literal. */
+  private[graft] final case class Unescaped(chars: Array[Char], literal: Array[Boolean]) {
+    def isWildcard(i: Int): Boolean = chars(i) == '*' && !literal(i)
+  }
+
+  /** Reference-parity unescaping (LikeConditionImpl.create, :40-80):
+    * backslash escapes the NEXT character whatever it is ("a\\b" denotes
+    * "ab"), a terminal backslash is rejected, and runs of consecutive
+    * unescaped wildcards collapse to one. */
+  private[graft] def unescape(pattern: String): Unescaped = {
+    val chars = new Array[Char](pattern.length)
+    val literal = new Array[Boolean](pattern.length)
+    var n = 0
     var i = 0
     while (i < pattern.length) {
       val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == '*') {
-        cur.append('*'); i += 2
-      } else if (c == '*') {
-        if (cur.length > 0) { segs += cur.toString; cur.setLength(0) }
-        i += 1
+      if (c == '\\') {
+        if (i == pattern.length - 1)
+          throw new IllegalArgumentException(
+            s"Invalid terminal escape character at position $i")
+        chars(n) = pattern.charAt(i + 1); literal(n) = true; n += 1; i += 2
       } else {
-        cur.append(c); i += 1
+        // collapse consecutive unescaped wildcards
+        if (!(c == '*' && n > 0 && chars(n - 1) == '*' && !literal(n - 1))) {
+          chars(n) = c; n += 1
+        }
+        i += 1
       }
     }
-    if (cur.length > 0) segs += cur.toString
-    (pattern.startsWith("*"), endsWithUnescapedStar(pattern), segs.result())
+    Unescaped(java.util.Arrays.copyOf(chars, n), java.util.Arrays.copyOf(literal, n))
   }
 
-  private def endsWithUnescapedStar(p: String): Boolean = {
-    if (!p.endsWith("*")) return false
-    // count preceding backslashes
-    var n = 0
-    var i = p.length - 2
-    while (i >= 0 && p.charAt(i) == '\\') { n += 1; i -= 1 }
-    n % 2 == 0
+  /** Split on wildcards; returns (leadingStar, trailingStar, literal
+    * segments), all derived from the SAME unescaped form. */
+  def compile(pattern: String): (Boolean, Boolean, Vector[String]) = {
+    val u = unescape(pattern)
+    val segs = Vector.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    while (i < u.chars.length) {
+      if (u.isWildcard(i)) {
+        if (cur.length > 0) { segs += cur.toString; cur.setLength(0) }
+      } else cur.append(u.chars(i))
+      i += 1
+    }
+    if (cur.length > 0) segs += cur.toString
+    val lead = u.chars.length > 0 && u.isWildcard(0)
+    val trail = u.chars.length > 0 && u.isWildcard(u.chars.length - 1)
+    (lead, trail, segs.result())
   }
 
   /** True if the pattern contains no unescaped wildcard. */
   def isLiteral(pattern: String): Boolean = {
+    val u = unescape(pattern)
     var i = 0
-    while (i < pattern.length) {
-      val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == '*') i += 2
-      else if (c == '*') return false
-      else i += 1
+    while (i < u.chars.length) {
+      if (u.isWildcard(i)) return false
+      i += 1
     }
     true
   }
 
   /** The literal string the pattern denotes when [[isLiteral]]. */
-  def literalValue(pattern: String): String = pattern.replace("\\*", "*")
+  def literalValue(pattern: String): String = new String(unescape(pattern).chars)
 }
 
 /**

@@ -225,22 +225,22 @@ object ConditionCompiler {
   private def staticEval(c: Condition, v: JValue): Column =
     lit(ConditionEvaluator.eval(c, v))
 
-  /** Translate the condition glob (only `*`, escape `\*`) to SQL LIKE:
-    * `*` -> `%`; literal `%`/`_`/`\` escaped with backslash. */
+  /** Translate the condition glob to SQL LIKE via the SAME unescaping as
+    * the evaluator (LikeCondition.unescape: backslash escapes any next
+    * char): unescaped `*` -> `%`; literal `%`/`_`/`\` escaped. */
   def globToSqlLike(pattern: String): String = {
+    val u = graft.condition.LikeCondition.unescape(pattern)
     val sb = new java.lang.StringBuilder
     var i = 0
-    while (i < pattern.length) {
-      val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == '*') {
-        sb.append("*"); i += 2
-      } else c match {
-        case '*'  => sb.append('%'); i += 1
-        case '%'  => sb.append("\\%"); i += 1
-        case '_'  => sb.append("\\_"); i += 1
-        case '\\' => sb.append("\\\\"); i += 1
-        case _    => sb.append(c); i += 1
+    while (i < u.chars.length) {
+      if (u.isWildcard(i)) sb.append('%')
+      else u.chars(i) match {
+        case '%'  => sb.append("\\%")
+        case '_'  => sb.append("\\_")
+        case '\\' => sb.append("\\\\")
+        case c    => sb.append(c)
       }
+      i += 1
     }
     sb.toString
   }

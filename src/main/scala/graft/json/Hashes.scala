@@ -122,4 +122,16 @@ object Hashes {
     bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
   }
+
+  /** Inverse of toHex; strict (throws on odd length / non-hex chars). */
+  def fromHex(hex: String): Array[Byte] = {
+    require(hex.length % 2 == 0, s"odd-length hex: $hex")
+    val out = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
 }

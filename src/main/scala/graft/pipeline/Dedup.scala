@@ -105,16 +105,15 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
     // exact verification on the candidate set only; shingles compared as
-    // 64-bit hashes (collision odds negligible, set sizes identical) so the
-    // intersect works on longs instead of strings
+    // sorted 64-bit hash sets (collision odds negligible, set sizes
+    // identical) so jaccard is a single merge walk per pair instead of
+    // per-row hash-set builds over string arrays
     val sh = df.select(col(idCol).as("id"),
-      transform(wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("shingles"))
+      sketches.hashedShingles(col(textCol), shingleN).as("shingles"))
     candidates
       .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", sketches.sortedJaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -123,11 +122,11 @@ object Dedup {
     * set — the brute-force verifier used in tests and on bucketed data. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+      sketches.hashedShingles(col(textCol), shingleN).as("sh"))
     sh.as("l").join(sh.as("r"), col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+        sketches.sortedJaccard(col("l.sh"), col("r.sh")).as("jaccard"))
   }
 
   /** 64-bit SimHash over word tokens: for each of 64 bit positions, sum +1/-1

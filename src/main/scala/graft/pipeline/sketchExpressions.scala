@@ -119,6 +119,76 @@ case class MinHashExpr(child: Expression, shingleN: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles as SORTED xxhash64 values — one pass, no
+  * intermediate string arrays. Set-identical to
+  * `transform(array_distinct(wordShingles(text, n)), xxhash64)` (ordering
+  * aside); sorted output enables merge-walk set ops ([[SortedJaccardExpr]]).
+  * The builtin chain (split -> transform -> slice -> concat_ws ->
+  * array_distinct) generates codegen past the JIT method-size threshold and
+  * runs interpreted at scale; this is one small JIT-friendly loop. */
+case class HashedShinglesExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val n = tokens.length - shingleN + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      hashes(i) = SketchHash.hash(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // dedup in place (sorted)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) hashes else java.util.Arrays.copyOf(hashes, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays by merge walk —
+  * O(n+m), no per-row hash sets. Null when the union is empty. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) null else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane sign sketch: `planes` bits per band, `bands` bands,
   * one pass over the vector per (band, plane). Plane components are the
   * same deterministic hash-derived values as the builtin formulation.
@@ -242,6 +312,12 @@ object sketches {
 
   def minhash(text: Column, shingleN: Int, k: Int): Column =
     GraftBridge.column(MinHashExpr(GraftBridge.expression(text), shingleN, k))
+
+  def hashedShingles(text: Column, shingleN: Int): Column =
+    GraftBridge.column(HashedShinglesExpr(GraftBridge.expression(text), shingleN))
+
+  def sortedJaccard(l: Column, r: Column): Column =
+    GraftBridge.column(SortedJaccardExpr(GraftBridge.expression(l), GraftBridge.expression(r)))
 
   def hyperplaneSketch(vec: Column, planes: Int, bands: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(vec), planes, bands))

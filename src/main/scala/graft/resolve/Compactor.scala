@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
  *
  *   resolve(compact(log, cutoff)) == resolve(log)
  *
- * for version counts, content, deleted flags and timestamps. (The chained
- * MD5 signature is checkpointed into the synthetic delta's changeId seq so
- * versions keep counting correctly; signatures of compacted docs diverge
- * from the uncompacted fold by design — the reference stores the cutoff
- * signature in the compaction record for the same reason,
- * Compaction.java:20-60.)
+ * for version counts, content, deleted flags, timestamps AND the chained
+ * MD5 signature: the fold signature at the cutoff is carried verbatim in
+ * the checkpoint row and restored by the resolver, exactly as the reference
+ * stores Compaction.getCutoffSignature (Compaction.java:20-60,
+ * DefaultResolver.java:52/60/96) — ~signature is the optimistic-concurrency
+ * token and must be stable across compaction.
  */
 object Compactor {
 
@@ -47,15 +47,17 @@ object Compactor {
     val folded = ResolveEngine.resolve(prefix)
 
     val baseDeltas = folded.map { d =>
-      // delta literal reproducing the folded content (delete for tombstones)
-      val deltaText = if (d.deleted) "~" else d.body
+      // checkpoint rows are marked out-of-band with a reserved delta prefix
+      // (a control char, illegal as DSL text) so detection never keys on the
+      // node id; the node carries the fold metadata INCLUDING the cutoff
+      // signature, restored verbatim on resolve
+      val deltaText = ResolveEngine.CheckpointDeltaPrefix.toString +
+        (if (d.deleted) "~" else d.body)
       ChangeRow(d.table, d.id,
         // the base delta sits at the last compacted position
         ms = d.last_update_ms,
-        // seq encodes the compacted count so ~version parity is testable:
-        // resolve adds (version-1) from the synthetic row's metadata
         seq = Long.MinValue + d.version, // orders before any real seq at same ms
-        node = s"compaction:${d.version}:${d.first_update_ms}:${d.last_mutate_ms}",
+        node = s"compaction:${d.version}:${d.first_update_ms}:${d.last_mutate_ms}:${d.signature}",
         delta = deltaText,
         tags = d.last_tags)
     }.toDF()

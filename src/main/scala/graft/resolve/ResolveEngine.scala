@@ -84,6 +84,34 @@ object ResolveEngine {
   /** Columns required of a changes DataFrame. */
   val changeColumns: Seq[String] = Seq("table", "key", "ms", "seq", "node", "delta", "tags")
 
+  /** Reserved first char of a compaction-checkpoint delta. A control char is
+    * never legal DSL text, so detection cannot collide with producer data. */
+  final val CheckpointDeltaPrefix = '\u0001'
+
+  def isCheckpoint(deltaText: String): Boolean =
+    deltaText != null && deltaText.nonEmpty &&
+      deltaText.charAt(0) == CheckpointDeltaPrefix
+
+  final case class CheckpointMeta(count: Long, firstUpdateMs: Long,
+                                  lastMutateMs: Long, cutoffSignature: String)
+
+  /** Strict parse of a checkpoint row's node field:
+    * "compaction:<count>:<firstUpdateMs>:<lastMutateMs>:<md5hex32>".
+    * A row already identified as a checkpoint (reserved delta prefix) with a
+    * node that fails this parse is corrupt — fail loudly rather than fold
+    * bogus state. */
+  private def parseCheckpointNode(table: String, key: String, node: String): CheckpointMeta = {
+    val parts = if (node == null) Array.empty[String] else node.split(":", -1)
+    require(parts.length == 5 && parts(0) == "compaction" &&
+      parts(4).length == 32 && parts(4).forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"corrupt compaction checkpoint for ($table,$key): node=$node")
+    try CheckpointMeta(parts(1).toLong, parts(2).toLong, parts(3).toLong, parts(4))
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"corrupt compaction checkpoint for ($table,$key): node=$node")
+    }
+  }
+
   def resolve(changes: DataFrame, placement: String = "default",
               includeDeleted: Boolean = true): Dataset[DocRow] = {
     val spark = changes.sparkSession
@@ -127,24 +155,28 @@ object ResolveEngine {
       def next(): DocRow = {
         val first = it.head
         val resolver = new Resolver(first.table, first.key, placement)
-        var firstRow = true
         while (it.hasNext && it.head.table == first.table && it.head.key == first.key) {
           val c = it.next()
           val cid = TimeUuid(c.ms, c.seq, c.node)
-          if (firstRow && c.node != null && c.node.startsWith("compaction:")) {
-            // checkpoint row written by Compactor.compact: node carries
-            // "compaction:<count>:<firstUpdateMs>:<lastMutateMs>"
-            val parts = c.node.split(':')
+          if (isCheckpoint(c.delta)) {
+            // Checkpoint rows are signaled out-of-band by the reserved delta
+            // prefix (illegal as DSL text), never by the node id, so a
+            // producer whose node happens to start with "compaction:" is an
+            // ordinary change. A checkpoint restores state at ANY position:
+            // rows ordering before it (late arrivals predating the cutoff)
+            // are superseded, matching the reference where compaction
+            // replaces every delta at or before the cutoff.
+            val meta = parseCheckpointNode(first.table, first.key, c.node)
+            val bodyText = c.delta.substring(1)
             val content = graft.json.JsonCodec.parseOrUndefined(
-              if (c.delta == "~") null else c.delta)
-            resolver.restoreCompaction(content, parts(1).toLong, cid,
-              parts(2).toLong, parts(3).toLong,
+              if (bodyText == "~") null else bodyText)
+            resolver.restoreCompaction(content, meta.count, cid,
+              meta.firstUpdateMs, meta.lastMutateMs, meta.cutoffSignature,
               Resolver.splitTags(if (c.tagsJoined == null) "" else c.tagsJoined).toSet)
           } else {
             resolver.updateJoined(cid, parseDelta(c.delta),
               if (c.tagsJoined == null) "" else c.tagsJoined)
           }
-          firstRow = false
         }
         toRow(resolver.result())
       }

@@ -40,19 +40,24 @@ final class Resolver(val table: String, val id: String, val placement: String) {
 
   /** Restore state from a compaction checkpoint (the analog of
     * DefaultResolver's Compaction constructor, DefaultResolver.java:45-64):
-    * content, version count, timestamps and tags resume from the checkpoint;
-    * the signature restarts from the marker (the reference likewise stores
-    * the cutoff signature in the compaction record rather than recomputing). */
+    * content, version count, timestamps, tags and the chained signature all
+    * resume from the checkpoint. The cutoff signature is restored VERBATIM
+    * (Compaction.getCutoffSignature, DefaultResolver.java:52/60/96) so the
+    * ~signature of a logical document is stable across compaction — it is
+    * the optimistic-concurrency token. Any state folded before this call is
+    * discarded: changes ordering before a checkpoint are superseded by it. */
   def restoreCompaction(checkpointContent: JValue, count: Long, markerId: TimeUuid,
                         firstUpdateMs: Long, lastMutateMs: Long,
-                        tags: Set[String]): Unit = {
+                        cutoffSignatureHex: String, tags: Set[String]): Unit = {
     content = checkpointContent
     version = count
-    signature = Hashes.chainSignature(Hashes.SignatureZero, markerId.bytes)
+    signature = Hashes.fromHex(cutoffSignatureHex)
     firstUpdate = TimeUuid(firstUpdateMs, 0, "")
     lastUpdate = markerId
     lastMutate = TimeUuid(lastMutateMs, 0, "")
     lastTagsJoined = Resolver.joinTags(tags)
+    redundant = 0L
+    lastWasRedundant = false
   }
 
   /** Apply one change; returns true when the change was redundant. */

@@ -84,7 +84,12 @@ object Databus {
     case OrCondition(cs) =>
       val parts = cs.map(tryCompileNative)
       if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(_ || _)) else None
-    case NotCondition(c) => tryCompileNative(c).map(!_)
+    case NotCondition(c) =>
+      // null-coalesce under NOT (parity with ConditionCompiler and the UDF
+      // path): for e.g. not({..,"~tags":containsAny(..)}) on a null tags
+      // column, arrays_overlap yields SQL NULL and !NULL would stay NULL,
+      // silently dropping an event the condition semantics deliver
+      tryCompileNative(c).map(inner => !coalesce(inner, lit(false)))
     case _ => None
   }
 

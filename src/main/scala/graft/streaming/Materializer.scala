@@ -16,7 +16,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * State per coordinate is the O(1) fold state (content + intrinsics), kept
  * in the state store — the streaming analog of compaction checkpoints: the
  * delta history is never re-read. At 100 TB the state store must be RocksDB
- * (spark.sql.streaming.stateStore.providerClass); semantics are identical.
+ * (spark.sql.streaming.stateStore.providerClass).
+ *
+ * Ordering caveat vs the batch fold: changes are sorted by changeId only
+ * WITHIN each micro-batch and batches apply in arrival order, so a delta
+ * arriving in a later batch with an earlier changeId folds after — the
+ * fold is order-sensitive, and such late deltas can resolve differently
+ * than ResolveEngine over the full log (which sorts globally). This mirrors
+ * the reference's own eventual-consistency window (writes racing a read
+ * resolve in arrival order until the log settles); producers needing exact
+ * batch parity must deliver in changeId order or buffer with an event-time
+ * watermark upstream of this operator.
  */
 object Materializer {
 
@@ -48,12 +58,17 @@ object Materializer {
     var redundant = state.redundant
     var anyMutation = false
 
+    def iso(ms: Long): String =
+      if (ms == 0L) null else graft.resolve.Iso8601.format(ms)
     changes.foreach { c =>
       val cid = TimeUuid(c.ms, c.seq, c.node)
       val delta = DslParser.parseDelta(c.delta)
       val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
+      // mid-fold intrinsics carry the running timestamps (parity with
+      // Resolver.intrinsicsView) so conditional deltas reading
+      // ~firstUpdateAt/~lastUpdateAt/~lastMutateAt resolve as in batch
       val intr = graft.condition.IntrinsicsView(key, table, sig,
-        body eq graft.json.JUndefined, null, null, null, null)
+        body eq graft.json.JUndefined, iso(firstMs), iso(lastMs), iso(mutateMs), null)
       val updated = graft.delta.DeltaEvaluator.eval(delta, body, intr)
       val contentChanged = updated != body
       if (!contentChanged && lastTags == tags) redundant += 1

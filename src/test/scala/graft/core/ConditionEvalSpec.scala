@@ -141,6 +141,27 @@ class ConditionEvalSpec extends AnyFunSuite {
     assert(!eval("like(\"a\\\\*b\")", JString("axb")))
   }
 
+  test("like escape parity: backslash escapes ANY next char (LikeConditionImpl.create)") {
+    // "a\b" denotes the literal string "ab"
+    assert(LikeCondition("a\\b").matches("ab"))
+    assert(!LikeCondition("a\\b").matches("a\\b"))
+    // escaped backslash is a literal backslash
+    assert(LikeCondition("a\\\\b").matches("a\\b"))
+    // terminal backslash is rejected
+    intercept[IllegalArgumentException](LikeCondition("abc\\").matches("abc"))
+    intercept[IllegalArgumentException](Conditions.like("abc\\"))
+    // consecutive wildcards collapse
+    assert(LikeCondition("a**b").matches("axyb"))
+    assert(LikeCondition("a**b").matches("ab"))
+    // "a\\*": literal backslash then wildcard — compile is self-consistent
+    val (lead, trail, segs) = LikeCondition.compile("a\\\\*")
+    assert(!lead && trail && segs == Vector("a\\"))
+    assert(LikeCondition("a\\\\*").matches("a\\xyz"))
+    assert(!LikeCondition("a\\\\*").matches("axyz"))
+    // escaped star alone is a literal (smart constructor folds to equal)
+    assert(Conditions.like("a\\*") == EqualCondition(JString("a*")))
+  }
+
   test("map conditions descend; missing field => UNDEFINED") {
     val doc = JValue.obj(
       "about" -> JValue.obj("author" -> JString("Bob")),

@@ -220,13 +220,15 @@ class EngineSpec extends AnyFunSuite {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     val cutoff = 1705000000000L // mid-range of the event timestamps
     val before = ResolveEngine.resolve(changes).collect()
-      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms))
+      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms, d.signature))
       .toMap
     val compacted = Compactor.compact(changes, cutoff)
-    // the compacted log is strictly smaller but resolves identically
+    // the compacted log is strictly smaller but resolves identically —
+    // INCLUDING ~signature (the optimistic-concurrency token): the cutoff
+    // signature rides in the checkpoint row and is restored verbatim
     assert(compacted.count() < changes.count())
     val after = ResolveEngine.resolve(compacted).collect()
-      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms))
+      .map(d => d.id -> (d.body, d.version, d.deleted, d.first_update_ms, d.last_update_ms, d.last_mutate_ms, d.signature))
       .toMap
     assert(after === before)
     // delete-heavy log: tombstones survive compaction
@@ -235,6 +237,45 @@ class EngineSpec extends AnyFunSuite {
     val a2 = ResolveEngine.resolve(Compactor.compact(delChanges, cutoff)).collect()
       .map(d => d.id -> (d.body, d.version, d.deleted)).toMap
     assert(a2 === b2)
+  }
+
+  test("compaction checkpoints: out-of-band marker, any-position restore") {
+    import graft.resolve.{ChangeRow, Compactor}
+    val s = spark
+    import s.implicits._
+    // a producer whose node id starts with "compaction:" is an ORDINARY
+    // change (detection keys on the reserved delta prefix, not the node)
+    val odd = Seq(
+      ChangeRow("t", "k1", 1000L, 0L, "compaction:9:9:9", """{..,"a":1}""", Seq()),
+      ChangeRow("t", "k1", 2000L, 0L, "node-b", """{..,"b":2}""", Seq()))
+      .toDF()
+    val doc = ResolveEngine.resolve(odd).collect().head
+    assert(doc.version === 2L)
+    assert(doc.body.contains("\"a\":1") && doc.body.contains("\"b\":2"))
+
+    // a late-arriving change ordering BEFORE the checkpoint is superseded by
+    // it: the checkpoint restores at its position, not only at row 1
+    val base = Seq(
+      ChangeRow("t", "k2", 1000L, 0L, "n1", """{..,"x":1}""", Seq()),
+      ChangeRow("t", "k2", 3000L, 0L, "n2", """{..,"y":2}""", Seq()))
+      .toDF()
+    val compacted = Compactor.compact(base, cutoffMs = 3500L)
+    val late = Seq(ChangeRow("t", "k2", 500L, 0L, "n0", """{..,"late":true}""", Seq())).toDF()
+    val withLate = compacted.unionByName(late)
+    val expect = ResolveEngine.resolve(base).collect().head
+    val got = ResolveEngine.resolve(withLate).collect().head
+    assert(got.version === expect.version)
+    assert(got.signature === expect.signature)
+    assert(got.body === expect.body)
+
+    // a checkpoint row with a corrupt node field fails loudly
+    val corrupt = Seq(ChangeRow("t", "k3", 1000L, 0L, "not-a-checkpoint",
+      ResolveEngine.CheckpointDeltaPrefix.toString + "{}", Seq())).toDF()
+    val e = intercept[org.apache.spark.SparkException] {
+      ResolveEngine.resolve(corrupt).collect()
+    }
+    assert(e.getMessage.contains("corrupt compaction checkpoint") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt compaction checkpoint")))
   }
 
   test("queue poll/claim and dedup queue") {
