@@ -62,6 +62,20 @@ object SparkEntry {
 
   private def jget(c: String, path: String): Column = get_json_object(col(c), s"$$.$path")
 
+  /** The partitioned on-disk resolved store (DocStore layout), written once
+    * per scale factor and shared by the store_* queries — the serving-layer
+    * storage a deployment maintains, not per-query work. */
+  private val storeCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def storeOf(s: SparkSession, dir: String): String =
+    storeCache.getOrElseUpdate(dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store/${new java.io.File(dir).getName}"
+      val docs = materialized("placement", dir)(
+        ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+      DocStore.write(docs, path)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================================================================ §2.4 resolve
@@ -234,6 +248,22 @@ object SparkEntry {
       val back = Stash.read(s, out)
       back.select(lit("events").as("tbl"), col("~id"))
         .groupBy("tbl").agg(count(lit(1)).as("n"))
+    },
+
+    // partitioned store: each branch prunes to (table=orders, part subset);
+    // the 4-way union must re-cover every orders doc exactly once — checked
+    // against the DuckDB oracle over the raw orders table
+    "store_pruned_scan" -> { (s, dir) =>
+      val path = storeOf(s, dir)
+      (1 to 4).map { p =>
+        DocStore.scan(s, path,
+          s"""and(intrinsic("~table":"orders"),partition(4:$p))""")
+      }.reduce(_.unionByName(_))
+        .select(col("id").as("okey"),
+          col("version"),
+          jget("body", "status").as("status"),
+          jget("body", "total").cast("double").as("total"))
+        .orderBy("okey")
     },
 
     // ============================================================ §2.2 conditions
@@ -593,6 +623,13 @@ object SparkEntry {
 
     "stash_roundtrip" ->
       """SELECT 'events' AS tbl, CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events""".stripMargin,
+
+    "store_pruned_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |       CAST(1 AS BIGINT) AS version,
+        |       o_orderstatus AS status,
+        |       CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders ORDER BY okey""".stripMargin,
 
     "cond_equal" ->
       """SELECT p_partkey FROM part WHERE p_size = 5 ORDER BY p_partkey""".stripMargin,

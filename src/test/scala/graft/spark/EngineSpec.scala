@@ -278,6 +278,54 @@ class EngineSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("corrupt compaction checkpoint")))
   }
 
+  test("doc store: partition pruning reads only matching directories") {
+    import graft.engine.DocStore
+    val docs = ResolveEngine.resolve(
+      graft.engine.EventLog.placementChanges(spark, "/root/testdata/sf0.001")).toDF()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_test"
+    DocStore.write(docs, path)
+    val full = DocStore.read(spark, path)
+    val allFiles = full.inputFiles.length
+
+    // files actually read = the scan node's numFiles metric post-pruning
+    // (inputFiles reports the relation's full listing, pre-pruning)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+
+    // table pruning: only the orders directories are read
+    val tableScan = DocStore.scan(spark, path, """intrinsic("~table":"orders")""")
+    assert(filesRead(tableScan) < allFiles)
+    assert(tableScan.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("table=orders")))
+    assert(tableScan.count() ===
+      docs.where(col("table") === "orders").count())
+
+    // partition(N:...) pruning with N | 16: part IN (mapped subset)
+    val partScan = DocStore.scan(spark, path, "partition(4:2)")
+    val partFiles = filesRead(partScan)
+    assert(partFiles > 0 && partFiles < allFiles)
+    // 4-partition 2 maps to 16-partitions {2, 6, 10, 14}
+    assert(partScan.queryExecution.sparkPlan.toString.contains("PartitionFilters"))
+    // pruning is sound: same rows as the unpruned exact filter
+    val expected = graft.engine.EmoDocs.whereDf(full, "partition(4:2)")
+      .selectExpr("table", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = partScan.selectExpr("table", "id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected && got.nonEmpty)
+
+    // the 4-way partition cover is exact and disjoint
+    val cover = (1 to 4).map(p => DocStore.scan(spark, path, s"partition(4:$p)").count()).sum
+    assert(cover === full.count())
+
+    // unprunable forms still answer correctly (negation scans everything)
+    val notScan = DocStore.scan(spark, path, """not(intrinsic("~table":"orders"))""")
+    assert(notScan.count() === docs.where(col("table") =!= "orders").count())
+  }
+
   test("queue poll/claim and dedup queue") {
     import graft.streaming.Queues
     val s = spark
