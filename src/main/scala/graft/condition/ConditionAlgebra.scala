@@ -100,6 +100,11 @@ object ConditionAlgebra {
     case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
       comparisonDisjoint(lc, rc)
 
+    // like() matches strings only; proven-non-overlapping patterns disjoint
+    case (lc @ LikeCondition(_), rc @ LikeCondition(_)) => !likeOverlaps(lc, rc)
+    case (LikeCondition(_), IsCondition(s)) => s != State.STRING && s != State.DEFINED
+    case (IsCondition(s), LikeCondition(_)) => s != State.STRING && s != State.DEFINED
+
     case (NotCondition(a), b) => isSubset(b, a)
     case (a, NotCondition(b)) => isSubset(a, b)
 
@@ -231,22 +236,40 @@ object ConditionAlgebra {
 
   private def cmp(a: JValue, b: JValue): Int = JValue.CrossTypeOrdering.compare(a, b)
 
-  /** Like-pattern implication: identical patterns, or r's literal segments
-    * frame l's (prefix/suffix containment for the common cases). */
+  /** Like-pattern implication, exact for all multi-segment globs
+    * (LikeConditionImpl.isSubsetOf:173-179): replace every wildcard of l
+    * with a char no literal can contain — l implies r iff r matches the
+    * result, since r's segments can then only embed inside l's guaranteed
+    * literal runs, respecting anchors. */
   private def likeSubset(l: LikeCondition, r: LikeCondition): Boolean = {
     if (l.pattern == r.pattern) return true
+    val u = LikeCondition.unescape(l.pattern)
+    val sb = new java.lang.StringBuilder(u.chars.length)
+    var i = 0
+    while (i < u.chars.length) {
+      sb.append(if (u.isWildcard(i)) '\u0000' else u.chars(i))
+      i += 1
+    }
+    r.matches(sb.toString)
+  }
+
+  /** May the two patterns match a common string?
+    * (LikeConditionImpl.overlaps:151-170) Literal patterns check exact
+    * membership; otherwise overlap depends only on the anchored prefixes
+    * and suffixes (internal wildcard regions can always be made to agree).
+    * `false` is definitive — used to prove disjointness. */
+  private def likeOverlaps(l: LikeCondition, r: LikeCondition): Boolean = {
     val (lLead, lTrail, lSegs) = LikeCondition.compile(l.pattern)
     val (rLead, rTrail, rSegs) = LikeCondition.compile(r.pattern)
-    // r = "*seg*" (single floating segment): l implies r if some literal
-    // segment of l contains r's segment and that segment always appears
-    if (rLead && rTrail && rSegs.size == 1)
-      return lSegs.exists(_.contains(rSegs.head))
-    // r = "prefix*": l implies if l is anchored with a prefix extending r's
-    if (!rLead && rTrail && rSegs.size == 1)
-      return !lLead && lSegs.nonEmpty && lSegs.head.startsWith(rSegs.head)
-    // r = "*suffix"
-    if (rLead && !rTrail && rSegs.size == 1)
-      return !lTrail && lSegs.nonEmpty && lSegs.last.endsWith(rSegs.head)
-    false
+    val lLiteral = !lLead && !lTrail && lSegs.size <= 1
+    val rLiteral = !rLead && !rTrail && rSegs.size <= 1
+    if (lLiteral) return r.matches(lSegs.headOption.getOrElse(""))
+    if (rLiteral) return l.matches(rSegs.headOption.getOrElse(""))
+    val lPre = if (!lLead && lSegs.nonEmpty) lSegs.head else null
+    val rPre = if (!rLead && rSegs.nonEmpty) rSegs.head else null
+    val lSuf = if (!lTrail && lSegs.nonEmpty) lSegs.last else null
+    val rSuf = if (!rTrail && rSegs.nonEmpty) rSegs.last else null
+    (lPre == null || rPre == null || lPre.startsWith(rPre) || rPre.startsWith(lPre)) &&
+      (lSuf == null || rSuf == null || lSuf.endsWith(rSuf) || rSuf.endsWith(lSuf))
   }
 }

@@ -116,6 +116,34 @@ class ConditionAlgebraSpec extends AnyFunSuite {
     assert(dis("not(is(string))", "is(string)"))
   }
 
+  test("multi-segment like subset (wildcard-substitution embedding)") {
+    // every match of l starts with a and ends with c, so l implies a*c
+    assert(sub("like(\"a*b*c\")", "like(\"a*c\")"))
+    assert(!sub("like(\"a*c\")", "like(\"a*b*c\")"))
+    // middle segments must embed in guaranteed literal runs
+    assert(sub("like(\"review:*:cli*ent\")", "like(\"review:*ent\")"))
+    assert(sub("like(\"review:*:client\")", "like(\"*:*\")"))
+    assert(!sub("like(\"review*client\")", "like(\"*:*\")"))
+    // anchors: prefix/suffix must extend, not just contain
+    assert(sub("like(\"abc*\")", "like(\"ab*\")"))
+    assert(!sub("like(\"ab*\")", "like(\"abc*\")"))
+    assert(sub("like(\"*xyz\")", "like(\"*yz\")"))
+    // a floating segment implies a shorter floating segment
+    assert(sub("like(\"*abc*\")", "like(\"*b*\")"))
+    assert(!sub("like(\"*b*\")", "like(\"*abc*\")"))
+  }
+
+  test("like disjointness via prefix/suffix incompatibility") {
+    assert(dis("like(\"a*\")", "like(\"b*\")"))
+    assert(dis("like(\"*a\")", "like(\"*b\")"))
+    assert(!dis("like(\"a*\")", "like(\"ab*\")"))
+    assert(!dis("like(\"a*z\")", "like(\"ab*z\")"))
+    assert(dis("like(\"a*x\")", "like(\"a*y\")"))
+    // like matches only strings
+    assert(dis("like(\"a*\")", "is(num)"))
+    assert(!dis("like(\"a*\")", "is(string)"))
+  }
+
   test("inverse") {
     assert(ConditionAlgebra.isInverse(c("~"), c("+")))
     assert(ConditionAlgebra.isInverse(c("alwaysTrue()"), c("alwaysFalse()")))
