@@ -38,8 +38,13 @@ object TextAnalysis {
 
   /** Heuristic language id: argmax of marker counts; ties and zero scores
     * fall back to "und" (undetermined). Deterministic: languages are scored
-    * in sorted name order and strict > comparison keeps the first max. */
-  def langId(textCol: Column): Column = {
+    * in sorted name order and strict > comparison keeps the first max.
+    * Single tokenization pass ([[LangIdExpr]]); [[langIdBuiltin]] is the
+    * equivalent builtin formulation used to cross-check it. */
+  def langId(textCol: Column): Column = textExpressions.langId(textCol, stopwords)
+
+  /** Builtin-only language id (one marker-count pass per language). */
+  def langIdBuiltin(textCol: Column): Column = {
     val ordered = stopwords.toSeq.sortBy(_._1)
     val scored = ordered.map { case (lang, ms) => (lang, markerCount(textCol, ms)) }
     val best = scored.foldLeft((lit("und"), lit(0))) {
@@ -67,8 +72,14 @@ object TextAnalysis {
     markerCount(textCol, markers).cast("double") / greatest(tokenCount(textCol), lit(1))
 
   /** Composite quality gate (thresholds typical of corpus filtering). */
+  /** Single-pass acceptance test ([[QualityOkExpr]]); [[qualityOkBuiltin]]
+    * is the builtin cross-check. */
   def qualityOk(textCol: Column, minTokens: Int = 10, maxMeanTokenLen: Double = 12.0,
                 maxPunctRatio: Double = 0.2): Column =
+    textExpressions.qualityOk(textCol, minTokens, maxMeanTokenLen, maxPunctRatio)
+
+  def qualityOkBuiltin(textCol: Column, minTokens: Int = 10, maxMeanTokenLen: Double = 12.0,
+                       maxPunctRatio: Double = 0.2): Column =
     (tokenCount(textCol) >= minTokens) &&
       (meanTokenLen(textCol) <= maxMeanTokenLen) &&
       (punctRatio(textCol) <= maxPunctRatio)

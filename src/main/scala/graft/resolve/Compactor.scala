@@ -64,4 +64,19 @@ object Compactor {
 
     baseDeltas.unionByName(tail)
   }
+
+  /** Per-document delta-log sizes at or above `threshold` — the compaction
+    * scheduler's input. The reference compacts lazily behind reads once a
+    * log crosses a row threshold (DefaultDataStore.java:411-420); the batch
+    * analog runs this report and feeds the hot coordinates to [[compact]].
+    * This is also the skew monitor for the resolve fold: a coordinate whose
+    * log outgrows one task's share is exactly one that must be compacted —
+    * the fold itself is order-sensitive (chained signature, conditional
+    * deltas), so checkpointing, not salting, is the scale-out path. */
+  def skewReport(changes: DataFrame, threshold: Long = 1000L): DataFrame =
+    changes.groupBy("table", "key")
+      .agg(count(lit(1)).as("n_changes"),
+        min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .where(col("n_changes") >= threshold)
+      .orderBy(col("n_changes").desc, col("table"), col("key"))
 }

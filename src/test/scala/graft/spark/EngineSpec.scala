@@ -171,6 +171,38 @@ class EngineSpec extends AnyFunSuite {
       array((0 until 3).map(b => Similarity.lshBucketBand(col("embedding"), 4, b)): _*).as("slow"))
       .collect()
     hp.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // hashed shingles: expression vs builtin chain (set equality)
+    val hs = docs.select(
+      sketches.hashedShingles(col("text"), 2).as("fast"),
+      transform(Dedup.wordShingles(col("text"), 2), s => xxhash64(s)).as("slow")).collect()
+    hs.foreach(r => assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet))
+    // langId / qualityOk: expression vs builtin formulation
+    import graft.pipeline.TextAnalysis
+    val tq = docs.select(
+      TextAnalysis.langId(col("text")).as("lfast"),
+      TextAnalysis.langIdBuiltin(col("text")).as("lslow"),
+      TextAnalysis.qualityOk(col("text")).as("qfast"),
+      TextAnalysis.qualityOkBuiltin(col("text")).as("qslow"),
+      TextAnalysis.qualityOk(col("text"), minTokens = 20).as("qfast20"),
+      TextAnalysis.qualityOkBuiltin(col("text"), minTokens = 20).as("qslow20")).collect()
+    tq.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getBoolean(2) === r.getBoolean(3))
+      assert(r.getBoolean(4) === r.getBoolean(5))
+    }
+    // edge cases through both paths
+    val s2 = spark
+    import s2.implicits._
+    val edge = Seq("", "   ", "der der der", "a.b,c;d:e!f?g", "the of and x y z t u v w").toDF("text")
+    val e2 = edge.select(
+      TextAnalysis.langId(col("text")).as("lfast"),
+      TextAnalysis.langIdBuiltin(col("text")).as("lslow"),
+      TextAnalysis.qualityOk(col("text"), minTokens = 2).as("qfast"),
+      TextAnalysis.qualityOkBuiltin(col("text"), minTokens = 2).as("qslow")).collect()
+    e2.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getBoolean(2) === r.getBoolean(3))
+    }
   }
 
   test("IVF index recalls most brute-force top-k; embedding near-dup finds self-similar pairs") {
