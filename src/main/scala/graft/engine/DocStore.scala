@@ -65,6 +65,21 @@ object DocStore {
     pruned.map(df.where).getOrElse(df).where(exact)
   }
 
+  /** Write the store BUCKETED by document id (catalog table): repeated
+    * joins and multiGets against a bucketed store are shuffle-free on the
+    * store side — Spark matches the bucket hash partitioning instead of
+    * exchanging, the single biggest shuffle saving for serving-layer joins
+    * at 100 TB (verified no-ShuffleExchange in EngineSpec). The sortBy
+    * gives within-bucket key order for efficient merge access. */
+  def writeBucketed(docs: DataFrame, tableName: String,
+                    buckets: Int = 64): Unit =
+    docs.write
+      .bucketBy(buckets, "id")
+      .sortBy("id")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Sound weakening of `cond` onto the partition columns (None = no
     * pruning possible). Conjunctions prune on any prunable branch;
     * disjunctions need every branch prunable; negations never prune (the

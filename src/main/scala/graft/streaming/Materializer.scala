@@ -125,4 +125,63 @@ object Materializer {
           else Iterator.empty
       }
   }
+
+  /** Per-coordinate state of the watermark-ordered fold: committed fold
+    * state + changes newer than the watermark, still reorderable. */
+  final case class OrderedState(fold: FoldState, buffer: Seq[ChangeRow])
+
+  /** ChangeRow + its event-time column: the watermark column must survive
+    * to the stateful operator for EventTimeTimeout. */
+  final case class TimedChange(table: String, key: String, ms: Long, seq: Long,
+      node: String, delta: String, tags: Seq[String],
+      eventTime: java.sql.Timestamp) {
+    def toChangeRow: ChangeRow = ChangeRow(table, key, ms, seq, node, delta, tags)
+  }
+
+  /**
+   * Watermark-ordered materializer: exact batch-fold parity for any
+   * disorder within `latenessMs`. Changes buffer in state until the event-
+   * time watermark passes them, then fold in global changeId order — a late
+   * change arriving within the allowed lateness folds at its correct
+   * position even when it belongs before changes from earlier micro-
+   * batches. This is the buffering alternative to [[materialize]]'s
+   * arrival-order semantics (see the ordering caveat above): one extra
+   * latency window in exchange for cross-batch order.
+   *
+   * Changes later than the watermark (beyond `latenessMs`) fold on arrival,
+   * degrading gracefully to [[materialize]] semantics rather than dropping.
+   */
+  def materializeOrdered(changes: Dataset[ChangeRow], latenessMs: Long,
+                         placement: String = "default"): Dataset[DocRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    implicit val stateEnc = Encoders.product[OrderedState]
+    implicit val docEnc = Encoders.product[DocRow]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    changes
+      .withColumn("eventTime", org.apache.spark.sql.functions
+        .timestamp_millis(org.apache.spark.sql.functions.col("ms")))
+      .withWatermark("eventTime", s"$latenessMs milliseconds")
+      .as[TimedChange]
+      .groupByKey(c => (c.table, c.key))
+      .flatMapGroupsWithState[OrderedState, DocRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((table, key), rows, state: GroupState[OrderedState]) =>
+          val prev = state.getOption.getOrElse(OrderedState(initialState, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val all = prev.buffer ++ rows.map(_.toChangeRow)
+          // ripe = at or before the watermark (no further reordering
+          // possible) plus anything already later than allowed
+          val (ripe, hold) = all.partition(_.ms <= wm)
+          val sorted = ripe.sortBy(c => (c.ms, c.seq, c.node))
+          val (next, mutated) = applyBatch(table, key, prev.fold, sorted)
+          state.update(OrderedState(next, hold))
+          if (hold.nonEmpty) {
+            // wake when the watermark passes the oldest held change
+            state.setTimeoutTimestamp(math.max(hold.map(_.ms).min, wm + 1))
+          }
+          if (mutated) Iterator.single(stateToDoc(table, key, next, placement))
+          else Iterator.empty
+      }
+  }
 }

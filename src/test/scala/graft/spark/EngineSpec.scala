@@ -15,6 +15,8 @@ class EngineSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -356,6 +358,34 @@ class EngineSpec extends AnyFunSuite {
     // unprunable forms still answer correctly (negation scans everything)
     val notScan = DocStore.scan(spark, path, """not(intrinsic("~table":"orders"))""")
     assert(notScan.count() === docs.where(col("table") =!= "orders").count())
+  }
+
+  test("bucketed doc store joins without shuffling the store side") {
+    import graft.engine.DocStore
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = ResolveEngine.resolve(
+      graft.engine.EventLog.changes(spark, "/root/testdata/sf0.001")).toDF()
+    DocStore.writeBucketed(docs, "bucketed_docs_test", buckets = 4)
+    val store = spark.table("bucketed_docs_test")
+
+    // self-join on the bucket key: both sides reuse the bucket partitioning
+    val joined = store.as("a").join(store.as("b"), "id")
+      .select(col("a.id"), col("a.version"), col("b.signature"))
+    joined.collect()
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed self-join should not shuffle, found: ${shuffles.size}")
+    assert(joined.count() === docs.count())
+
+    // aggregation on the bucket key is also exchange-free
+    val agg = store.groupBy("id").agg(max("version").as("v"))
+    agg.collect()
+    val aggShuffles = agg.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(aggShuffles.isEmpty)
   }
 
   test("queue poll/claim and dedup queue") {

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.resolve.ChangeRow
+import graft.resolve.{ChangeRow, ResolveEngine}
 import graft.streaming.{Databus, Materializer, Subscription}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -75,6 +75,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(!res.getAs[Boolean]("deleted"))
       assert(res.getAs[String]("body") === """{"state":"APPROVED"}""")
       assert(out4.count(r => r.getAs[String]("id") == "k2") === 1) // never re-emitted
+    } finally query.stop()
+  }
+
+  test("watermark-ordered materializer folds cross-batch late changes in changeId order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeRow]
+    val query = Materializer.materializeOrdered(input.toDS(), latenessMs = 5000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mat_ordered_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_mat_ord").toString)
+      .start()
+
+    try {
+      // the literal at ms=10000 arrives FIRST; the merge at ms=7000 arrives
+      // in a later micro-batch. changeId order folds 7000 before 10000, so
+      // the literal erases the rating — arrival-order folding would not.
+      input.addData(change("k1", 10000, """{"name":"Bob"}"""))
+      query.processAllAvailable()
+      input.addData(
+        change("k1", 7000, """{..,"rating":4}"""),
+        change("k1", 20000, """{..,"state":"APPROVED"}"""))
+      query.processAllAvailable()
+      // advance the watermark past ms=20000 so it commits
+      input.addData(change("k1", 30000, """{..,"z":1}"""))
+      query.processAllAvailable()
+
+      val rows = spark.table("mat_ordered_out")
+        .orderBy(col("version")).collect()
+      assert(rows.nonEmpty)
+      val last = rows.last
+      // batch-fold parity on the committed prefix (7000, 10000, 20000)
+      val batch = ResolveEngine.resolve(Seq(
+        change("k1", 7000, """{..,"rating":4}"""),
+        change("k1", 10000, """{"name":"Bob"}"""),
+        change("k1", 20000, """{..,"state":"APPROVED"}""")).toDF())
+        .collect().head
+      assert(last.getAs[Long]("version") === batch.version)
+      assert(last.getAs[String]("body") === batch.body)
+      assert(last.getAs[String]("signature") === batch.signature)
+      assert(!batch.body.contains("rating")) // the literal erased it
     } finally query.stop()
   }
 
