@@ -63,6 +63,31 @@ object GraftFunctions {
       exprs => EmoJsonType(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("emo_json_get",
       exprs => EmoJsonGet(exprs(0), exprs(1)), "scala_udf")
+    // pipeline operators (literal int/double args are folded at plan time)
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      require(e.foldable, "argument must be a literal")
+      e.eval(null).asInstanceOf[Number].intValue
+    }
+    def litDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+      require(e.foldable, "argument must be a literal")
+      e.eval(null).asInstanceOf[Number].doubleValue
+    }
+    reg.createOrReplaceTempFunction("emo_minhash",
+      exprs => graft.pipeline.MinHashExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("emo_shingles",
+      exprs => graft.pipeline.HashedShinglesExpr(exprs(0), litInt(exprs(1))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("emo_jaccard",
+      exprs => graft.pipeline.SortedJaccardExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_langid",
+      exprs => graft.pipeline.LangIdExpr(exprs.head,
+        graft.pipeline.TextAnalysis.stopwords), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_quality_ok",
+      exprs => graft.pipeline.QualityOkExpr(exprs(0),
+        if (exprs.length > 1) litInt(exprs(1)) else 10,
+        if (exprs.length > 2) litDouble(exprs(2)) else 12.0,
+        if (exprs.length > 3) litDouble(exprs(3)) else 0.2), "scala_udf")
   }
 
   /** Column-API variant of `emo_cond` with the condition as a Scala string. */

@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans of selected SparkEntry queries: verifies
+  * pushdown (PushedFilters/ReadSchema), broadcast choices and codegen spans
+  * survive at the bench scale factor. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args(0).split(',').toSeq
+      else Seq("cond_equal", "cond_like", "join_enrich", "scan_point_get",
+        "sim_topk", "dedup_exact", "store_pruned_scan")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try graft.SparkEntry.warmup(spark, sfDir) catch { case _: Throwable => }
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try println(graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

@@ -365,6 +365,18 @@ class EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = ResolveEngine.resolve(
       graft.engine.EventLog.changes(spark, "/root/testdata/sf0.001")).toDF()
+    // a previous JVM's managed-table dir survives while the fresh catalog
+    // forgot the table — clear both before writing
+    spark.sql("DROP TABLE IF EXISTS bucketed_docs_test")
+    val orphan = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/bucketed_docs_test")
+    if (orphan.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(orphan)
+    }
     DocStore.writeBucketed(docs, "bucketed_docs_test", buckets = 4)
     val store = spark.table("bucketed_docs_test")
 

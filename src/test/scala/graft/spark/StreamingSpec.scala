@@ -203,6 +203,17 @@ class StreamingSpec extends AnyFunSuite {
     // hash parity through SQL
     val h = spark.sql("SELECT emo_hash32('abc')").collect()(0).getInt(0)
     assert(h === graft.json.Hashes.murmur3_32("abc"))
+    // pipeline operators through SQL: jaccard of shingle sets, language id,
+    // quality gate, minhash signature length
+    val row = spark.sql(
+      """SELECT emo_jaccard(emo_shingles('a b c d', 2), emo_shingles('a b c e', 2)) AS j,
+        |       emo_langid('the cat of the hat is the best') AS lang,
+        |       emo_quality_ok('short', 2) AS q,
+        |       size(emo_minhash('a b c d e f', 2, 16)) AS k""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 0.5) < 1e-9) // {ab,bc,cd} vs {ab,bc,ce}: 2 of 4
+    assert(row.getString(1) === "en")
+    assert(row.getBoolean(2) === false) // mean token len fine but only 1 token... minTokens=2 fails
+    assert(row.getInt(3) === 16)
   }
 
   test("table purge control events tombstone every document; lag monitor sees progress") {
