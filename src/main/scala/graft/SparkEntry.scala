@@ -238,6 +238,13 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("ms"))
     },
 
+    // audit records ride the timeline read path as an extra column
+    "timeline_audit" -> { (s, dir) =>
+      val session = new EmoSession(s, EventLog.changesWithAudit(s, dir))
+      session.timeline("events", "3", limit = 25)
+        .select(col("seq").as("event_id"), col("audit"))
+    },
+
     "timeline_reversed" -> { (s, dir) =>
       val session = new EmoSession(s, EventLog.changes(s, dir))
       session.timeline("events", "3", reversed = true, limit = 25)
@@ -633,6 +640,11 @@ object SparkEntry {
     "timeline_reversed" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events
         |WHERE user_id = 3 ORDER BY event_id DESC LIMIT 25""".stripMargin,
+
+    "timeline_audit" ->
+      """SELECT event_id,
+        |       concat('{"program":"', event_type, '","change":', event_id, '}') AS audit
+        |FROM events WHERE user_id = 3 ORDER BY event_id LIMIT 25""".stripMargin,
 
     "stash_roundtrip" ->
       """SELECT 'events' AS tbl, CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events""".stripMargin,

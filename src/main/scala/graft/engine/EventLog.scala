@@ -58,6 +58,17 @@ object EventLog {
       tags.as("tags"))
   }
 
+  /** Change log with a per-change audit record (Change.java:25-46 pairs an
+    * optional Audit with each delta; the analog is a JSON audit column that
+    * rides through the timeline read path untouched). */
+  def changesWithAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    changes(spark, sfDir).withColumn("audit",
+      to_json(struct(
+        // tags carry the event type; seq IS the event id in this log
+        element_at(col("tags"), 1).as("program"),
+        col("seq").as("change"))))
+  }
+
   /** Set-delta log: each event adds its type to the doc's sorted "types" set. */
   def setDeltaChanges(spark: SparkSession, sfDir: String): DataFrame =
     changesWith(spark, sfDir,

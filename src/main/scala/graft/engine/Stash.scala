@@ -58,4 +58,24 @@ object Stash {
       .filter(f => f.isDirectory && f.getName.startsWith("table="))
       .map(_.getName.stripPrefix("table=")).sorted
   }
+
+  /** A table's splits: its data files (StashReader.getSplits:310 — a split
+    * = one gzip file, consumed independently by parallel readers). */
+  def getSplits(spark: SparkSession, exportDir: String, table: String): Seq[String] = {
+    val dir = new java.io.File(s"$exportDir/table=$table")
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).sorted
+  }
+
+  /** One split's rows (StashReader.getSplit analog). */
+  def readSplit(spark: SparkSession, splitPath: String): DataFrame =
+    spark.read.json(splitPath)
+
+  /** Table metadata: split count + total compressed bytes
+    * (StashTableMetadata analog). */
+  def tableMetadata(spark: SparkSession, exportDir: String, table: String): (String, Int, Long) = {
+    val splits = getSplits(spark, exportDir, table)
+    (table, splits.size, splits.map(p => new java.io.File(p).length()).sum)
+  }
 }

@@ -426,6 +426,13 @@ class EngineSpec extends AnyFunSuite {
     assert(back.count() === docs.count())
     val row = back.where(col("~id") === "3").select("~version", "~table").collect()(0)
     assert(row.getLong(0) > 0 && row.getString(1) === "events")
+    // splits = the table's files; their union re-covers the table exactly
+    val splits = Stash.getSplits(spark, out, "events")
+    assert(splits.nonEmpty)
+    val splitTotal = splits.map(p => Stash.readSplit(spark, p).count()).sum
+    assert(splitTotal === docs.count())
+    val (tbl, nSplits, bytes) = Stash.tableMetadata(spark, out, "events")
+    assert(tbl === "events" && nSplits === splits.size && bytes > 0)
   }
 
   test("session scan pagination is resumable and ordered by row key") {
