@@ -519,6 +519,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // megabus ref resolution: refs at each coordinate's last visible change
+    // resolve with the folded doc; refs pointing past the store classify as
+    // pending and route to the retry channel
+    "megabus_refs" -> { (s, dir) =>
+      val ch = EventLog.changes(s, dir)
+      val coords = ch.groupBy("table", "key").agg(max(col("ms")).as("ms"))
+      val visibleRefs = coords
+        .withColumn("seq", lit(0L)).withColumn("node", lit(""))
+      val futureRefs = coords
+        .withColumn("ms", col("ms") + 1000000000L)
+        .withColumn("seq", lit(0L)).withColumn("node", lit(""))
+      graft.streaming.RefResolver
+        .resolveRefs(visibleRefs.unionByName(futureRefs), ch)
+        .select(col("key"), col("status"), col("version"))
+        .orderBy("key", "status")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -640,6 +657,15 @@ object SparkEntry {
     "timeline_reversed" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events
         |WHERE user_id = 3 ORDER BY event_id DESC LIMIT 25""".stripMargin,
+
+    "megabus_refs" ->
+      """SELECT * FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, 'resolved' AS status,
+        |         CAST(count(*) AS BIGINT) AS version
+        |  FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR), 'pending', NULL FROM events)
+        |ORDER BY key, status""".stripMargin,
 
     "timeline_audit" ->
       """SELECT event_id,

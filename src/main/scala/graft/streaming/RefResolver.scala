@@ -44,10 +44,18 @@ object RefResolver {
       .select(col("table"), col("id").as("key"), col("version"),
         col("deleted"), col("body"))
 
+    // pending refs carry NO payload: the write they announce is not yet
+    // readable, so emitting the stale doc would double-publish it — the
+    // retry channel re-resolves after the delay (MegabusRefResolver
+    // routes missing refs without a document)
+    val resolvedOnly = (c: org.apache.spark.sql.Column) =>
+      when(col("status") === "resolved", c)
     classified
       .join(docs, Seq("table", "key"), "left")
       .select(col("table"), col("key"), col("ms"), col("seq"), col("node"),
-        col("status"), col("version"), col("deleted"), col("body"))
+        col("status"), resolvedOnly(col("version")).as("version"),
+        resolvedOnly(col("deleted")).as("deleted"),
+        resolvedOnly(col("body")).as("body"))
   }
 
   /** The retry side-channel: pending refs to re-inject after a delay. */
