@@ -400,6 +400,18 @@ class EngineSpec extends AnyFunSuite {
     assert(aggShuffles.isEmpty)
   }
 
+  test("deployment tuning applies runtime-settable conf") {
+    import graft.engine.Deploy
+    val conf = Deploy.recommendedConf(totalCores = 4000)
+    assert(conf("spark.sql.shuffle.partitions") === "8000")
+    assert(conf("spark.sql.adaptive.skewJoin.enabled") === "true")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Deploy.tune(spark, totalCores = 8)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "16")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("queue poll/claim and dedup queue") {
     import graft.streaming.Queues
     val s = spark
