@@ -32,17 +32,22 @@ object Bench {
     catch { case _: Throwable => }
     // materialize the serving views (continuously maintained in deployment)
     try SparkEntry.warmup(spark, sfDir) catch { case _: Throwable => }
-    // two passes, keep the min: single-run numbers on this shared VM swing
-    // several-fold on I/O noise; the min is the steady-state operator cost
+    // two FULL passes over all queries, keep each query's min: single-run
+    // numbers on this shared VM swing several-fold on I/O noise, and
+    // whole-pass interleaving decorrelates a noise window from both reps of
+    // the same query — the min is the steady-state operator cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to reps).map { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+    }
+    val results = named.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

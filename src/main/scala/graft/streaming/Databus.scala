@@ -135,6 +135,51 @@ object Databus {
     fanout(events, Seq(Subscription("__canary", "alwaysTrue()")))
       .groupBy("subscription").agg(count(lit(1)).as("events_seen"))
 
+  // ------------------------------------------------- subscription lifecycle
+
+  /** A registered subscription with its TTL pair (Databus.java:15-43):
+    * the subscription itself expires at `subscriptionExpiresMs` unless
+    * renewed, and events older than `eventTtlMs` are not retained for it. */
+  final case class SubscriptionRecord(name: String, condition: String,
+      subscriptionExpiresMs: Long, eventTtlMs: Long)
+
+  /** Subscribe-or-renew: same-name re-subscription replaces the condition
+    * and extends the expiry (the reference's subscribe is idempotent). The
+    * registry is driver-side state (ZK/C* in the reference); at fanout time
+    * it is broadcast with the compiled predicates. */
+  def subscribe(registry: Seq[SubscriptionRecord], name: String, condition: String,
+                nowMs: Long, subscriptionTtlMs: Long, eventTtlMs: Long): Seq[SubscriptionRecord] =
+    registry.filterNot(_.name == name) :+
+      SubscriptionRecord(name, condition, nowMs + subscriptionTtlMs, eventTtlMs)
+
+  def renew(registry: Seq[SubscriptionRecord], name: String,
+            nowMs: Long, subscriptionTtlMs: Long): Seq[SubscriptionRecord] =
+    registry.map(r => if (r.name == name)
+      r.copy(subscriptionExpiresMs = nowMs + subscriptionTtlMs) else r)
+
+  def unsubscribe(registry: Seq[SubscriptionRecord], name: String): Seq[SubscriptionRecord] =
+    registry.filterNot(_.name == name)
+
+  /** The live subscriptions at `nowMs` (expired ones drop out of fanout). */
+  def activeSubscriptions(registry: Seq[SubscriptionRecord], nowMs: Long): Seq[Subscription] =
+    registry.filter(_.subscriptionExpiresMs > nowMs)
+      .map(r => Subscription(r.name, r.condition))
+
+  /** Fanout honoring the lifecycle: expired subscriptions receive nothing,
+    * and each subscription sees only events within its event TTL. */
+  def fanoutWithTtl(events: DataFrame, registry: Seq[SubscriptionRecord],
+                    nowMs: Long, attrsCol: Option[String] = None): DataFrame = {
+    val live = registry.filter(_.subscriptionExpiresMs > nowMs)
+    val branches = live.map { r =>
+      events.where(col("ms") >= nowMs - r.eventTtlMs &&
+          matchColumn(Subscription(r.name, r.condition), events, attrsCol))
+        .withColumn("subscription", lit(r.name))
+    }
+    if (branches.isEmpty)
+      events.withColumn("subscription", lit(null).cast("string")).limit(0)
+    else branches.reduce(_.unionByName(_))
+  }
+
   /**
    * Consolidate events per coordinate within a batch: keep the max-changeId
    * (winning) payload column values, union + sort tags, count collapsed

@@ -366,10 +366,12 @@ class EngineSpec extends AnyFunSuite {
     val docs = ResolveEngine.resolve(
       graft.engine.EventLog.changes(spark, "/root/testdata/sf0.001")).toDF()
     // a previous JVM's managed-table dir survives while the fresh catalog
-    // forgot the table — clear both before writing
+    // forgot the table — clear both before writing (at the session's ACTUAL
+    // warehouse: whichever spec created the shared session fixed it)
     spark.sql("DROP TABLE IF EXISTS bucketed_docs_test")
-    val orphan = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/bucketed_docs_test")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = new java.io.File(s"$warehouse/bucketed_docs_test")
     if (orphan.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

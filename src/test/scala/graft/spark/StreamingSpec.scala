@@ -148,6 +148,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("subscription lifecycle: TTL expiry, renewal, event TTL in fanout") {
+    import graft.streaming.Databus.{SubscriptionRecord => SR}
+    val s = spark
+    import s.implicits._
+    var reg = Seq.empty[SR]
+    reg = Databus.subscribe(reg, "a", "alwaysTrue()", nowMs = 0, subscriptionTtlMs = 1000, eventTtlMs = 500)
+    reg = Databus.subscribe(reg, "b", "alwaysTrue()", nowMs = 0, subscriptionTtlMs = 2000, eventTtlMs = 5000)
+    // idempotent re-subscribe replaces
+    reg = Databus.subscribe(reg, "a", "alwaysTrue()", nowMs = 100, subscriptionTtlMs = 1000, eventTtlMs = 500)
+    assert(reg.size === 2)
+    assert(Databus.activeSubscriptions(reg, nowMs = 1050).map(_.name) === Seq("b", "a"))
+    // at t=1200, a (expires 1100) is gone; renewal would have kept it
+    assert(Databus.activeSubscriptions(reg, nowMs = 1200).map(_.name) === Seq("b"))
+    val renewed = Databus.renew(reg, "a", nowMs = 1000, subscriptionTtlMs = 1000)
+    assert(Databus.activeSubscriptions(renewed, nowMs = 1200).map(_.name).toSet === Set("a", "b"))
+    assert(Databus.unsubscribe(reg, "b").map(_.name) === Seq("a"))
+
+    // event TTL: at now=1000, sub a (ttl 500) sees only events >= 500
+    val events = Seq(
+      ("t", "k1", 100L, 1L, "n", Seq.empty[String]),
+      ("t", "k2", 600L, 2L, "n", Seq.empty[String]),
+      ("t", "k3", 990L, 3L, "n", Seq.empty[String]))
+      .toDF("table", "key", "ms", "seq", "node", "tags")
+    val out = Databus.fanoutWithTtl(events, reg, nowMs = 1000)
+      .groupBy("subscription").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 2) // k2, k3 within 500ms ttl
+    assert(out("b") === 3) // all within 5000ms ttl
+    // expired registry fans out nothing, with the output schema intact
+    val none = Databus.fanoutWithTtl(events, reg, nowMs = 10000)
+    assert(none.count() === 0 && none.columns.contains("subscription"))
+  }
+
   test("ref resolution classifies pending refs into the retry channel") {
     import graft.streaming.RefResolver
     val s = spark
