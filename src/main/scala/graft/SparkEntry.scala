@@ -531,7 +531,8 @@ object SparkEntry {
         .withColumn("ms", col("ms") + 1000000000L)
         .withColumn("seq", lit(0L)).withColumn("node", lit(""))
       graft.streaming.RefResolver
-        .resolveRefs(visibleRefs.unionByName(futureRefs), ch)
+        .resolveRefs(visibleRefs.unionByName(futureRefs), ch,
+          resolvedStore = Some(docsOf(s, dir)))
         .select(col("key"), col("status"), col("version"))
         .orderBy("key", "status")
     },

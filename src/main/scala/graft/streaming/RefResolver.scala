@@ -23,7 +23,8 @@ object RefResolver {
     *  - "resolved": doc payload columns populated from the fold
     *  - "pending":  the store has no change at/after the ref (retry later)
     */
-  def resolveRefs(refs: DataFrame, changes: DataFrame): DataFrame = {
+  def resolveRefs(refs: DataFrame, changes: DataFrame,
+                  resolvedStore: Option[DataFrame] = None): DataFrame = {
     // latest visible changeId per coordinate (one cheap aggregate, no fold)
     val visible = changes.groupBy(col("table"), col("key"))
       .agg(max(struct(col("ms"), col("seq"), col("node"))).as("max_change"))
@@ -37,12 +38,17 @@ object RefResolver {
     val resolvedKeys = classified.where(col("status") === "resolved")
       .select("table", "key").distinct()
 
-    // fold only the coordinates that actually resolved (semi-join pushdown)
-    val docs = ResolveEngine.resolve(
-        changes.join(resolvedKeys, Seq("table", "key"), "left_semi"))
-      .toDF()
-      .select(col("table"), col("id").as("key"), col("version"),
-        col("deleted"), col("body"))
+    // deployment path: serve from the continuously-maintained resolved
+    // store (the materializer's output) — megabus reads the SoR view, it
+    // does not re-fold; fallback folds only the resolved coordinates
+    val docs = resolvedStore
+      .map(_.select(col("table"), col("id").as("key"), col("version"),
+        col("deleted"), col("body")))
+      .getOrElse(ResolveEngine.resolve(
+          changes.join(resolvedKeys, Seq("table", "key"), "left_semi"))
+        .toDF()
+        .select(col("table"), col("id").as("key"), col("version"),
+          col("deleted"), col("body")))
 
     // pending refs carry NO payload: the write they announce is not yet
     // readable, so emitting the stale doc would double-publish it — the
