@@ -37,6 +37,13 @@ object Stash {
     outDir
   }
 
+  /** Differential export: only documents mutated after `sinceMs` (the
+    * incremental companion to a full scan — downstream consumers overlay it
+    * on the previous full export; ScanUploader's re-scan analog). */
+  def exportDelta(docs: Dataset[DocRow], stashRoot: String, scanId: String,
+                  sinceMs: Long): String =
+    export(docs.filter(d => d.last_update_ms > sinceMs), stashRoot, scanId)
+
   /** Resolve the latest export directory via the _LATEST pointer. */
   def latest(spark: SparkSession, stashRoot: String): String = {
     val id = new String(Files.readAllBytes(Paths.get(stashRoot, "_LATEST")),

@@ -65,6 +65,19 @@ object Compactor {
     baseDeltas.unionByName(tail)
   }
 
+  /** Targeted compaction: checkpoint ONLY the hot coordinates (log size at
+    * or above `threshold`, i.e. [[skewReport]]'s output), leaving cold logs
+    * untouched — the incremental OPTIMIZE a deployment schedules, touching
+    * a small fraction of the data instead of rewriting every log. */
+  def compactHot(changes: DataFrame, cutoffMs: Long, threshold: Long): DataFrame = {
+    val hot = changes.groupBy(col("table"), col("key"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= threshold)
+      .select("table", "key")
+    val hotChanges = changes.join(hot, Seq("table", "key"), "left_semi")
+    val coldChanges = changes.join(hot, Seq("table", "key"), "left_anti")
+    compact(hotChanges, cutoffMs).unionByName(coldChanges)
+  }
+
   /** Per-document delta-log sizes at or above `threshold` — the compaction
     * scheduler's input. The reference compacts lazily behind reads once a
     * log crosses a row threshold (DefaultDataStore.java:411-420); the batch

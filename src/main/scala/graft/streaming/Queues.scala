@@ -40,4 +40,16 @@ object Queues {
     val n = queue.limit((limit + 1).toInt).count()
     if (n > limit) (limit, false) else (n, true)
   }
+
+  /** Streaming DedupQueue: drop duplicate dedup-keys across micro-batches,
+    * with state bounded by the event-time watermark — the streaming analog
+    * of the sorted-queue dedup (duplicates beyond the lateness window are
+    * impossible in the reference's sorted queues, so bounded state is the
+    * same guarantee re-expressed for streams). `eventTimeCol` must be a
+    * TimestampType column. */
+  def streamingDedup(stream: DataFrame, keyCol: String, eventTimeCol: String,
+                     lateness: String): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

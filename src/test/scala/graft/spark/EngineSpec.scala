@@ -414,6 +414,36 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("targeted compaction checkpoints only hot logs; delta export filters by mutate time") {
+    import graft.resolve.Compactor
+    import org.apache.spark.sql.Encoders
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val threshold = 40L
+    val hotN = Compactor.skewReport(changes, threshold).count()
+    assert(hotN > 0)
+    val compacted = Compactor.compactHot(changes, cutoffMs = Long.MaxValue, threshold)
+    // cold logs untouched, hot logs collapse to one checkpoint row each
+    val coldRows = changes.groupBy("key").count().where(col("count") < threshold)
+      .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+    assert(compacted.count() === coldRows + hotN)
+    // resolves identically to the raw log
+    val before = ResolveEngine.resolve(changes).collect()
+      .map(d => d.id -> (d.body, d.version, d.signature)).toMap
+    val after = ResolveEngine.resolve(compacted).collect()
+      .map(d => d.id -> (d.body, d.version, d.signature)).toMap
+    assert(after === before)
+
+    // differential stash export: only docs mutated after the horizon
+    val docs = ResolveEngine.resolve(changes)
+    val horizon = docs.toDF().agg(expr("percentile_approx(last_update_ms, 0.5)"))
+      .collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("stash_delta").toString
+    val out = Stash.exportDelta(docs, root, "delta-1", sinceMs = horizon)
+    val back = Stash.read(spark, out, Some("events"))
+    val expected = docs.filter(d => d.last_update_ms > horizon && !d.deleted).count()
+    assert(back.count() === expected && expected > 0 && expected < docs.count())
+  }
+
   test("queue poll/claim and dedup queue") {
     import graft.streaming.Queues
     val s = spark

@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(none.count() === 0 && none.columns.contains("subscription"))
   }
 
+  test("streaming dedup queue drops cross-batch duplicates within the watermark") {
+    import graft.streaming.Queues
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("msg_id", "dedup_key", "payload")
+      .withColumn("eventTime", timestamp_millis(col("msg_id") * 1000))
+    val query = Queues.streamingDedup(stream, "dedup_key", "eventTime", "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qdedup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_qd").toString)
+      .start()
+    try {
+      input.addData((1L, "a", "m1"), (2L, "b", "m2"), (3L, "a", "m3"))
+      query.processAllAvailable()
+      // duplicate of "a" in a LATER batch, still within the watermark
+      input.addData((4L, "a", "m4"), (5L, "c", "m5"))
+      query.processAllAvailable()
+      val keys = spark.table("qdedup_out").select("dedup_key", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(keys.keySet === Set("a", "b", "c"))
+      assert(keys("a") === "m1") // first occurrence wins, cross-batch dup dropped
+    } finally query.stop()
+  }
+
   test("ref resolution classifies pending refs into the retry channel") {
     import graft.streaming.RefResolver
     val s = spark
