@@ -87,7 +87,11 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
     docsDf.where(col("table") === table &&
       pmod(expressions.emoHash32(col("id")), lit(numSplits)) === split)
 
-  /** Per-document change history, TimeUUID-bounded, forward or reverse. */
+  /** Per-document change history, TimeUUID-bounded, forward or reverse.
+    * Over a compacted log, checkpoint rows surface as change_type
+    * "compaction" with the reserved marker stripped from the delta (the
+    * reference timeline likewise interleaves deltas, compactions and
+    * audits — DataStore.java:122-124). */
   def timeline(table: String, key: String,
                startMs: Option[Long] = None, endMs: Option[Long] = None,
                reversed: Boolean = false, limit: Int = Int.MaxValue): DataFrame = {
@@ -96,7 +100,11 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
     endMs.foreach(e => df = df.where(col("ms") <= e))
     val order = if (reversed) Seq(col("ms").desc, col("seq").desc, col("node").desc)
                 else Seq(col("ms").asc, col("seq").asc, col("node").asc)
-    df.orderBy(order: _*).limit(limit)
+    val marker = graft.resolve.ResolveEngine.CheckpointDeltaPrefix.toString
+    val isCp = col("delta").startsWith(marker)
+    df.withColumn("change_type", when(isCp, "compaction").otherwise("delta"))
+      .withColumn("delta", when(isCp, expr("substring(delta, 2)")).otherwise(col("delta")))
+      .orderBy(order: _*).limit(limit)
   }
 
   /** Paged table catalog listing. */

@@ -273,6 +273,38 @@ class EngineSpec extends AnyFunSuite {
     assert(a2 === b2)
   }
 
+  test("PROPERTY: compaction invariance on random logs and cutoffs") {
+    import graft.resolve.{ChangeRow, Compactor}
+    val s = spark
+    import s.implicits._
+    val deltaPool = Seq("""{"a":1}""", """{..,"b":2}""", "~", """{..,"a":~}""",
+      """{..,"n":if or(is(undefined),lt(5)) then 5 end}""", """{..,"s":(..,"x")}""",
+      """{..,"t":"hi"}""", "..", """{..,"c":{"d":[1,2]}}""",
+      """{..,"m":{..,"inner":3}}""")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val rows = (1 to (5 + rnd.nextInt(25))).map { _ =>
+        ChangeRow("t", s"k${rnd.nextInt(3)}", 1000L * (1 + rnd.nextInt(10)),
+          rnd.nextInt(5).toLong, s"n${rnd.nextInt(2)}",
+          deltaPool(rnd.nextInt(deltaPool.size)), Seq.empty)
+      }.distinctBy(r => (r.key, r.ms, r.seq, r.node))
+      val df = rows.toDF()
+      val cutoff = 1000L * (1 + rnd.nextInt(10))
+      val before = ResolveEngine.resolve(df).collect()
+        .map(d => d.id -> (d.body, d.version, d.signature, d.deleted,
+          d.first_update_ms, d.last_update_ms, d.last_mutate_ms)).toMap
+      val viaCompact = ResolveEngine.resolve(Compactor.compact(df, cutoff)).collect()
+        .map(d => d.id -> (d.body, d.version, d.signature, d.deleted,
+          d.first_update_ms, d.last_update_ms, d.last_mutate_ms)).toMap
+      assert(viaCompact === before, s"cutoff=$cutoff rows=${rows.size}")
+      val viaHot = ResolveEngine.resolve(
+          Compactor.compactHot(df, cutoff, threshold = 5)).collect()
+        .map(d => d.id -> (d.body, d.version, d.signature, d.deleted,
+          d.first_update_ms, d.last_update_ms, d.last_mutate_ms)).toMap
+      assert(viaHot === before, s"hot cutoff=$cutoff rows=${rows.size}")
+    }
+  }
+
   test("compaction checkpoints: out-of-band marker, any-position restore") {
     import graft.resolve.{ChangeRow, Compactor}
     val s = spark
@@ -551,5 +583,15 @@ class EngineSpec extends AnyFunSuite {
     val bounded = session.timeline("events", "3",
       startMs = Some(fwd.length.toLong), limit = 3).collect()
     assert(bounded.length <= 3)
+
+    // over a compacted log, the checkpoint surfaces as a compaction record
+    // with a readable delta (reserved marker stripped)
+    val compacted = graft.resolve.Compactor.compact(
+      EventLog.changes(spark, "/root/testdata/sf0.001"), cutoffMs = Long.MaxValue)
+    val tl = new EmoSession(spark, compacted).timeline("events", "3").collect()
+    assert(tl.length === 1)
+    val row = tl.head
+    assert(row.getAs[String]("change_type") === "compaction")
+    assert(row.getAs[String]("delta").startsWith("{")) // readable JSON literal
   }
 }
