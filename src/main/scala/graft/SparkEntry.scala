@@ -519,6 +519,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // table metadata catalog: create/template/drop as a folded system-table
+    // delta log (the reference's __system tables); the oracle pins the
+    // expected fold of the fixed metadata history
+    "catalog_metadata" -> { (s, dir) =>
+      val log = Seq(
+        TableCatalog.createTable("review:testcustomer", "ugc_global:ugc",
+          """{"type":"review","client":"testcustomer"}""", 1000L),
+        TableCatalog.createTable("question:testcustomer", "ugc_global:ugc",
+          """{"type":"question"}""", 2000L),
+        TableCatalog.createTable("tmp:scratch", "stash_scratch:tmp",
+          """{"ttl":1}""", 3000L),
+        TableCatalog.setTemplate("review:testcustomer",
+          """{"type":"review","client":"testcustomer","v":2}""", 4000L),
+        TableCatalog.dropTable("tmp:scratch", 5000L))
+      TableCatalog.catalog(s, log)
+        .select(col("tbl"), col("placement"), col("template"),
+          col("exists"), col("version"))
+        .orderBy("tbl")
+    },
+
     // megabus ref resolution: refs at each coordinate's last visible change
     // resolve with the folded doc; refs pointing past the store classify as
     // pending and route to the retry channel
@@ -658,6 +678,14 @@ object SparkEntry {
     "timeline_reversed" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events
         |WHERE user_id = 3 ORDER BY event_id DESC LIMIT 25""".stripMargin,
+
+    "catalog_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('question:testcustomer', 'ugc_global:ugc', '{"type":"question"}', TRUE, CAST(1 AS BIGINT)),
+        |  ('review:testcustomer', 'ugc_global:ugc', '{"client":"testcustomer","type":"review","v":2}', TRUE, CAST(2 AS BIGINT)),
+        |  ('tmp:scratch', NULL, NULL, FALSE, CAST(2 AS BIGINT))
+        |) AS t(tbl, placement, template, "exists", version)
+        |ORDER BY tbl""".stripMargin,
 
     "megabus_refs" ->
       """SELECT * FROM (

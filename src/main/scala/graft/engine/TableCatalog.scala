@@ -1,0 +1,64 @@
+package graft.engine
+
+import graft.resolve.{ChangeRow, ResolveEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table metadata catalog — create/drop/template/options as a DELTA LOG on a
+ * system table, resolved by the same fold as documents.
+ *
+ * This mirrors the reference exactly in spirit: table metadata lives in the
+ * `__system` tables and changes to it are ordinary audited deltas
+ * (table/db/astyanax/AstyanaxTableDAO; DataStore.java:48-95 createTable /
+ * dropTable / setTableTemplate / getTableMetadata). The catalog at any
+ * point in time is the resolve of its metadata log — so catalog history,
+ * auditing, timeline and compaction all come for free from the engine's
+ * core operator.
+ */
+object TableCatalog {
+
+  val SystemTable = "__system:table"
+
+  /** A createTable(name, placement, template) metadata delta
+    * (DataStore.java:48; template is arbitrary JSON metadata). */
+  def createTable(name: String, placement: String, templateJson: String,
+                  ms: Long, node: String = "catalog"): ChangeRow =
+    ChangeRow(SystemTable, name, ms, 0L, node,
+      s"""{"placement":"$placement","template":$templateJson}""", Seq("catalog"))
+
+  /** setTableTemplate (DataStore.java:89): replaces the template only. */
+  def setTemplate(name: String, templateJson: String, ms: Long,
+                  node: String = "catalog"): ChangeRow =
+    ChangeRow(SystemTable, name, ms, 1L, node,
+      s"""{..,"template":$templateJson}""", Seq("catalog"))
+
+  /** dropTable (DataStore.java:54): a tombstone on the metadata doc. */
+  def dropTable(name: String, ms: Long, node: String = "catalog"): ChangeRow =
+    ChangeRow(SystemTable, name, ms, 2L, node, "~", Seq("catalog"))
+
+  /** The current catalog: fold of the metadata log. Dropped tables surface
+    * with exists=false (their history is still in the log, like the
+    * reference's audit trail). */
+  def catalog(spark: SparkSession, metaLog: Seq[ChangeRow]): DataFrame = {
+    import spark.implicits._
+    ResolveEngine.resolve(metaLog.toDF()).toDF()
+      .select(col("id").as("tbl"),
+        get_json_object(col("body"), "$.placement").as("placement"),
+        get_json_object(col("body"), "$.template").as("template"),
+        (!col("deleted")).as("exists"),
+        col("version"))
+  }
+
+  def tableExists(cat: DataFrame, name: String): Boolean =
+    cat.where(col("tbl") === name && col("exists")).limit(1).count() == 1
+
+  def getTemplate(cat: DataFrame, name: String): Option[String] =
+    cat.where(col("tbl") === name && col("exists"))
+      .select("template").collect().headOption.map(_.getString(0))
+
+  /** Placement listing (DataStore.java:214 getTablePlacements). */
+  def placements(cat: DataFrame): Seq[String] =
+    cat.where(col("exists")).select("placement").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+}

@@ -476,6 +476,27 @@ class EngineSpec extends AnyFunSuite {
     assert(back.count() === expected && expected > 0 && expected < docs.count())
   }
 
+  test("table catalog: create/template/drop fold; lookups and placements") {
+    import graft.engine.TableCatalog
+    val log = Seq(
+      TableCatalog.createTable("a:1", "p1:x", """{"k":1}""", 1000L),
+      TableCatalog.createTable("b:1", "p2:y", """{"k":2}""", 2000L),
+      TableCatalog.setTemplate("a:1", """{"k":9}""", 3000L),
+      TableCatalog.dropTable("b:1", 4000L))
+    val cat = TableCatalog.catalog(spark, log)
+    assert(TableCatalog.tableExists(cat, "a:1"))
+    assert(!TableCatalog.tableExists(cat, "b:1"))
+    assert(!TableCatalog.tableExists(cat, "nope"))
+    assert(TableCatalog.getTemplate(cat, "a:1") === Some("""{"k":9}"""))
+    assert(TableCatalog.getTemplate(cat, "b:1") === None)
+    assert(TableCatalog.placements(cat) === Seq("p1:x"))
+    // re-creating a dropped table resumes its version chain (full history)
+    val cat2 = TableCatalog.catalog(spark,
+      log :+ TableCatalog.createTable("b:1", "p2:y", """{"k":3}""", 5000L))
+    assert(TableCatalog.tableExists(cat2, "b:1"))
+    assert(TableCatalog.getTemplate(cat2, "b:1") === Some("""{"k":3}"""))
+  }
+
   test("queue poll/claim and dedup queue") {
     import graft.streaming.Queues
     val s = spark
