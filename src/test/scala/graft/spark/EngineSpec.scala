@@ -476,6 +476,42 @@ class EngineSpec extends AnyFunSuite {
     assert(back.count() === expected && expected > 0 && expected < docs.count())
   }
 
+  test("PROPERTY: compiled row conditions match the reference evaluator model") {
+    import graft.condition.{ConditionEvaluator, Conditions}
+    import graft.json._
+    val orders = Tables.read(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val conds = Seq(
+      """{..,"o_orderstatus":"O"}""",
+      """{..,"o_totalprice":gt(100000)}""",
+      """{..,"o_orderstatus":in("O","F"),"o_orderpriority":like("1*")}""",
+      """not({..,"o_orderstatus":"O"})""",
+      """or({..,"o_totalprice":le(50000)},{..,"o_orderpriority":like("*URGENT*")})""",
+      """{..,"o_orderstatus":is(string)}""",
+      """{..,"nope":is(undefined)}""",
+      """not({..,"nope":+})""",
+      """and(not({..,"o_orderstatus":like("O*")}),{..,"o_totalprice":is(num)})""",
+      """{..,"o_orderkey":ge(500)}""",
+      """not(or({..,"o_orderstatus":"F"},not({..,"o_totalprice":gt(0)})))""")
+    // driver-side reference model: evaluate every condition over the rows
+    // as JSON objects with the exact evaluator semantics
+    val rows = orders.collect().map { r =>
+      r.getLong(0) -> JValue.obj(
+        "o_orderkey" -> JLong(r.getLong(0)),
+        "o_orderstatus" -> JString(r.getString(1)),
+        "o_totalprice" -> JDouble(r.getDouble(2)),
+        "o_orderpriority" -> JString(r.getString(3)))
+    }
+    conds.foreach { text =>
+      val cond = Conditions.fromString(text)
+      val expected = rows.filter { case (_, json) =>
+        ConditionEvaluator.eval(cond, json) }.map(_._1).toSet
+      val got = orders.where(ConditionCompiler.compileRow(cond, orders))
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"condition: $text")
+    }
+  }
+
   test("table catalog: create/template/drop fold; lookups and placements") {
     import graft.engine.TableCatalog
     val log = Seq(

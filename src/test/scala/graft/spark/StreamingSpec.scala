@@ -148,6 +148,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("PROPERTY: fanout matches the driver-side subscription model incl null tags") {
+    import graft.condition.{ConditionEvaluator, Conditions, IntrinsicsView}
+    import graft.json._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Seq("purchase", "view", "error", "signup")
+    val rows = (1 to 60).map { i =>
+      val tags: Seq[String] =
+        if (i % 7 == 0) null
+        else if (i % 5 == 0) Seq.empty
+        else Seq(types(rnd.nextInt(types.size)), types(rnd.nextInt(types.size))).distinct
+      (if (i % 2 == 0) "events" else "orders", s"k$i", 1000L * i, i.toLong, "n", tags)
+    }
+    val events = rows.toDF("table", "key", "ms", "seq", "node", "tags")
+    val subs = Seq(
+      Subscription("s1", """{..,"~tags":containsAny("error","view")}"""),
+      Subscription("s2", """not({..,"~tags":containsAny("error")})"""),
+      Subscription("s3", """intrinsic("~table":like("ev*"))"""),
+      Subscription("s4", """and(intrinsic("~table":"orders"),not({..,"~tags":containsAll("purchase","view")}))"""),
+      Subscription("s5", """or({..,"~tags":containsOnly("view")},intrinsic("~id":like("k1*")))"""),
+      Subscription("s6", "not(intrinsic(\"~table\":\"orders\"))"),
+      Subscription("s7", "alwaysTrue()"))
+    val out = Databus.fanout(events, subs)
+      .select("subscription", "key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // driver-side model: the reference evaluator over the match JSON
+    val expected = (for {
+      sub <- subs
+      (table, key, _, _, _, tags) <- rows
+      json = Databus.eventMatchJson(JObj(Map.empty),
+        if (tags == null) Seq.empty else tags)
+      intr = IntrinsicsView(key, table, null, deleted = false, null, null, null, null)
+      if ConditionEvaluator.eval(Conditions.fromString(sub.condition), json, intr)
+    } yield (sub.name, key)).toSet
+    assert(out === expected)
+    // and every subscription delivered something in this fixture
+    assert(subs.map(_.name).toSet === out.map(_._1).toSet)
+  }
+
   test("subscription lifecycle: TTL expiry, renewal, event TTL in fanout") {
     import graft.streaming.Databus.{SubscriptionRecord => SR}
     val s = spark
