@@ -512,6 +512,31 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("PROPERTY: document where-conditions match the evaluator over body+intrinsics") {
+    import graft.condition.{ConditionEvaluator, Conditions}
+    import graft.json._
+    val docs = ResolveEngine.resolve(EventLog.changes(spark, "/root/testdata/sf0.001"))
+    val conds = Seq(
+      """{..,"last_type":in("purchase","signup"),"last_value":gt(0)}""",
+      """not({..,"last_type":"error"})""",
+      """and(intrinsic("~table":"events"),{..,"k":is(num)})""",
+      """or(intrinsic("~id":like("1*")),{..,"last_value":le(0.5)})""",
+      """{..,"missing_field":is(undefined)}""",
+      """not(and({..,"last_type":like("p*")},intrinsic("~deleted":false)))""",
+      """partition(4:1,2)""",
+      """and(partition(2:1),{..,"last_type":+})""")
+    val collected = docs.collect()
+    conds.foreach { text =>
+      val cond = Conditions.fromString(text)
+      val expected = collected.filter { d =>
+        ConditionEvaluator.eval(cond,
+          JsonCodec.parseOrUndefined(d.body), EmoDocs.intrinsicsOf(d))
+      }.map(_.id).toSet
+      val got = EmoDocs.where(docs, text).collect().map(_.id).toSet
+      assert(got === expected, s"condition: $text")
+    }
+  }
+
   test("table catalog: create/template/drop fold; lookups and placements") {
     import graft.engine.TableCatalog
     val log = Seq(
