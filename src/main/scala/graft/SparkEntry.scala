@@ -27,8 +27,8 @@ object SparkEntry {
     * DSL expression, return docs with intrinsics. */
   def entry(spark: SparkSession): DataFrame = {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
-    val docs = ResolveEngine.resolve(changes)
-    EmoDocs.where(docs, """{..,"last_type":in("purchase","signup"),"last_value":gt(0)}""")
+    EmoDocs.resolveWhere(changes,
+      """{..,"last_type":in("purchase","signup"),"last_value":gt(0)}""")
       .toDF()
   }
 

@@ -75,4 +75,42 @@ object EmoDocs {
 
   def whereDf(docs: DataFrame, conditionText: String): DataFrame =
     docs.where(predicate(docs, conditionText))
+
+  /** True when the condition depends only on the COORDINATE — ~table, ~id
+    * and partitions (functions of the coordinate) — so it commutes with the
+    * resolve fold: filtering the change log first folds only matching
+    * documents. Conservative: other intrinsics (~version, ~deleted,
+    * timestamps) are fold RESULTS and must not be pushed. */
+  private def coordinateOnly(c: Condition): Boolean = c match {
+    case IntrinsicCondition(Intrinsic.Table | Intrinsic.Id, _) => true
+    case _: PartitionCondition | _: ConstantCondition => true
+    case AndCondition(cs) => cs.forall(coordinateOnly)
+    case OrCondition(cs)  => cs.forall(coordinateOnly)
+    case NotCondition(i)  => coordinateOnly(i)
+    case _ => false
+  }
+
+  /** Resolve-with-predicate-pushdown: top-level conjuncts that depend only
+    * on the coordinate filter the CHANGE LOG before the fold's shuffle, so
+    * only matching documents are folded at all (the generalization of the
+    * point-get key pushdown, and the dominant cost saver for selective
+    * scans at placement scale); the full condition still applies after the
+    * fold for exactness. */
+  def resolveWhere(changes: DataFrame, conditionText: String,
+                   placement: String = "default"): Dataset[DocRow] = {
+    val cond = ConditionAlgebra.simplify(Conditions.fromString(conditionText))
+    val conjuncts = cond match {
+      case AndCondition(cs) => cs
+      case c                => Seq(c)
+    }
+    val pushable = conjuncts.filter(coordinateOnly)
+    val preIntr = Map(
+      Intrinsic.Table -> changes("table"),
+      Intrinsic.Id -> changes("key"))
+    val pre = pushable
+      .map(c => ConditionCompiler.compileRow(c, changes, preIntr))
+      .foldLeft(lit(true))(_ && _)
+    where(graft.resolve.ResolveEngine.resolve(changes.where(pre), placement),
+      conditionText)
+  }
 }

@@ -537,6 +537,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveWhere pushes coordinate conjuncts below the fold") {
+    val changes = EventLog.placementChanges(spark, "/root/testdata/sf0.001")
+    val conds = Seq(
+      """and(intrinsic("~table":"orders"),{..,"status":"O"})""",
+      """and(partition(4:1),intrinsic("~id":like("1*")))""",
+      """and(not(intrinsic("~table":"orders")),{..,"last_value":gt(0)})""",
+      """or(intrinsic("~id":"3"),intrinsic("~id":"5"))""")
+    conds.foreach { text =>
+      val pushed = EmoDocs.resolveWhere(changes, text).collect()
+        .map(d => d.table -> d.id).toSet
+      val unpushed = EmoDocs.where(ResolveEngine.resolve(changes), text).collect()
+        .map(d => d.table -> d.id).toSet
+      assert(pushed === unpushed, s"condition: $text")
+      assert(pushed.nonEmpty, s"vacuous fixture: $text")
+    }
+  }
+
   test("table catalog: create/template/drop fold; lookups and placements") {
     import graft.engine.TableCatalog
     val log = Seq(
