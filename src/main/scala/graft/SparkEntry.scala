@@ -144,6 +144,18 @@ object SparkEntry {
         .orderBy("key")
     },
 
+    // targeted compaction: only hot logs checkpoint, the fold is unchanged
+    "resolve_compacted_hot" -> { (s, dir) =>
+      val compacted = graft.resolve.Compactor.compactHot(
+        EventLog.changes(s, dir), cutoffMs = 1705000000000L, threshold = 30L)
+      ResolveEngine.resolve(compacted).toDF().select(
+          col("id").as("key"),
+          col("version"),
+          jget("body", "last_type").as("last_type"),
+          jget("body", "last_value").cast("double").as("last_value"))
+        .orderBy("key")
+    },
+
     "queue_poll" -> { (s, dir) =>
       val q = Tables.events(s, dir).select(col("event_id").as("msg_id"),
         col("user_id"), col("event_type"))
@@ -611,6 +623,13 @@ object SparkEntry {
         |       arg_max(event_type, event_id) AS last_type,
         |       arg_max(value, event_id) AS last_value,
         |       CAST(arg_max(CAST(props->>'k' AS BIGINT), event_id) AS BIGINT) AS last_k
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "resolve_compacted_hot" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS version,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       arg_max(value, event_id) AS last_value
         |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
 
     "queue_poll" ->
