@@ -44,6 +44,21 @@ object Materializer {
   val initialState: FoldState = FoldState(null, 0L, Hashes.toHex(Hashes.SignatureZero),
     0L, 0L, 0L, Seq.empty, 0L)
 
+  // delta texts repeat heavily across coordinates (templated updates):
+  // bounded per-thread parse cache, same as the batch fold's
+  private val deltaCache = ThreadLocal.withInitial(() =>
+    new java.util.LinkedHashMap[String, graft.delta.Delta](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.delta.Delta]): Boolean = size > 4096
+    })
+
+  private def parseDeltaCached(text: String): graft.delta.Delta = {
+    val cache = deltaCache.get()
+    var d = cache.get(text)
+    if (d == null) { d = DslParser.parseDelta(text); cache.put(text, d) }
+    d
+  }
+
   /** Apply one batch of changes (already sorted) to a fold state. Returns
     * (new state, whether any change in the batch mutated content or tags). */
   def applyBatch(table: String, key: String, state: FoldState,
@@ -62,13 +77,16 @@ object Materializer {
       if (ms == 0L) null else graft.resolve.Iso8601.format(ms)
     changes.foreach { c =>
       val cid = TimeUuid(c.ms, c.seq, c.node)
-      val delta = DslParser.parseDelta(c.delta)
+      val delta = parseDeltaCached(c.delta)
       val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
       // mid-fold intrinsics carry the running timestamps (parity with
       // Resolver.intrinsicsView) so conditional deltas reading
-      // ~firstUpdateAt/~lastUpdateAt/~lastMutateAt resolve as in batch
-      val intr = graft.condition.IntrinsicsView(key, table, sig,
-        body eq graft.json.JUndefined, iso(firstMs), iso(lastMs), iso(mutateMs), null)
+      // ~firstUpdateAt/~lastUpdateAt/~lastMutateAt resolve as in batch;
+      // built lazily — ISO formatting only when the delta actually reads it
+      val intr = if (delta.needsIntrinsics)
+        graft.condition.IntrinsicsView(key, table, sig,
+          body eq graft.json.JUndefined, iso(firstMs), iso(lastMs), iso(mutateMs), null)
+      else null
       val updated = graft.delta.DeltaEvaluator.eval(delta, body, intr)
       val contentChanged = updated != body
       if (!contentChanged && lastTags == tags) redundant += 1

@@ -554,6 +554,27 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("plan contracts: pushdown, pruning and broadcast survive in key queries") {
+    val dir = "/root/testdata/sf0.001"
+    def planOf(name: String): String =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // compiled equality reaches the parquet scan as a pushed filter
+    val condPlan = planOf("cond_equal")
+    assert(condPlan.contains("PushedFilters") && condPlan.contains("EqualTo(p_size,5)"),
+      s"cond_equal lost pushdown:\n$condPlan")
+    // the scan is column-pruned to what the query projects
+    assert(condPlan.contains("struct<p_partkey:bigint,p_size:int>"))
+    // the dim side of the enrichment join broadcasts
+    val joinPlan = planOf("join_enrich")
+    assert(joinPlan.contains("BroadcastHashJoin"), s"join_enrich not broadcast:\n$joinPlan")
+    // glob conditions push as string-prefix filters
+    val likePlan = planOf("cond_like")
+    assert(likePlan.contains("PushedFilters") &&
+      (likePlan.contains("StringStartsWith") || likePlan.contains("StringContains")),
+      s"cond_like lost string pushdown:\n$likePlan")
+  }
+
   test("table catalog: create/template/drop fold; lookups and placements") {
     import graft.engine.TableCatalog
     val log = Seq(
