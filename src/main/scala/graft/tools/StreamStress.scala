@@ -35,7 +35,8 @@ object StreamStress {
         java.nio.file.Files.createTempDirectory("ckpt_stress").toString)
       .start()
     val t0 = System.nanoTime()
-    val batches = all.grouped(all.length / 5 + 1).toSeq
+    val nBatches = sys.env.getOrElse("STREAM_STRESS_BATCHES", "5").toInt
+    val batches = all.grouped(all.length / nBatches + 1).toSeq
     batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
     val secs = (System.nanoTime() - t0) / 1e9
     val outRows = spark.table("stress_out").count()
