@@ -569,6 +569,19 @@ object SparkEntry {
         .orderBy("key", "status")
     },
 
+    // deterministic (hash-keyed, rerun-stable) train/eval split + per-split
+    // quality stats; the oracle reproduces the split with the same md5
+    // prefix threshold in SQL
+    "pipeline_split" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      docs.withColumn("split",
+          graft.pipeline.Sampling.splitColumn(col("doc_id"), trainFraction = 0.8))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("split")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -845,6 +858,13 @@ object SparkEntry {
         |WHERE l.vec_id < r.vec_id
         |  AND list_cosine_similarity(l.e, r.e) >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+
+    "pipeline_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |            THEN 'train' ELSE 'eval' END AS split,
+        |       count(*) AS n,
+        |       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

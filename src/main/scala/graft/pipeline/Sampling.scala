@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling and splitting for training-data pipelines.
+ *
+ * Everything is keyed on a cryptographic hash of a stable id — no RNG, no
+ * seed plumbing, rerun-stable and join-stable across engines (md5 hex is
+ * identical in Spark and SQL engines, so splits are reproducible outside
+ * Spark too). Thresholds compare the first hex chars lexically: a fraction
+ * f maps to the hex prefix floor(f * 16^k) at width k, giving granularity
+ * 1/16^k (k=4 → 0.0015%).
+ */
+object Sampling {
+
+  private val PrefixLen = 4
+
+  /** Hex threshold for a fraction in [0,1] at PrefixLen granularity. */
+  private[pipeline] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val buckets = 1 << (4 * PrefixLen) // 16^PrefixLen
+    val cut = math.round(fraction * buckets).toInt
+    if (cut >= buckets) "g" * PrefixLen // 'g' sorts above every hex digit
+    else f"$cut%04x"
+  }
+
+  private def hashPrefix(keyCol: Column): Column =
+    substring(md5(keyCol.cast("string")), 1, PrefixLen)
+
+  /** Deterministic keep-fraction filter (the sample is a stable subset:
+    * re-running, or sampling a superset, reproduces it). */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashPrefix(col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /** Label each row train/eval by hash threshold — the reproducible
+    * train-test split (disjoint, exhaustive, rerun-stable). */
+  def splitColumn(keyCol: Column, trainFraction: Double): Column =
+    when(hashPrefix(keyCol) < lit(hexThreshold(trainFraction)), "train")
+      .otherwise("eval")
+
+  def trainEvalSplit(df: DataFrame, keyCol: String,
+                     trainFraction: Double): (DataFrame, DataFrame) = {
+    val tagged = df.withColumn("__split", splitColumn(col(keyCol), trainFraction))
+    (tagged.where(col("__split") === "train").drop("__split"),
+     tagged.where(col("__split") === "eval").drop("__split"))
+  }
+
+  /** Per-stratum deterministic sampling: each stratum keeps its own
+    * fraction (class-balance control without a shuffle — the filter is a
+    * scan-local predicate on (stratum, hash)). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    val pred = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === stratum &&
+        hashPrefix(col(keyCol)) < lit(hexThreshold(f)))
+    }
+    df.where(pred)
+  }
+}

@@ -575,6 +575,39 @@ class EngineSpec extends AnyFunSuite {
       s"cond_like lost string pushdown:\n$likePlan")
   }
 
+  test("deterministic sampling: stable subsets, disjoint splits, strata fractions") {
+    import graft.pipeline.Sampling
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    // rerun-stable and nested: a 20% sample is a subset of the 50% sample
+    val s20 = Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s50))
+    assert(math.abs(s20.size.toDouble / n - 0.2) < 0.1)
+    assert(math.abs(s50.size.toDouble / n - 0.5) < 0.1)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === n)
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0)
+    // split is disjoint and exhaustive
+    val (train, eval) = Sampling.trainEvalSplit(docs, "doc_id", 0.8)
+    assert(train.count() + eval.count() === n)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalIds = eval.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(evalIds).isEmpty)
+    // stratified: per-language fractions honored (and only listed strata kept)
+    val withLang = docs.withColumn("lang",
+      graft.pipeline.TextAnalysis.langId(col("text")))
+    val langs = withLang.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strat = Sampling.stratifiedSample(withLang, "doc_id", "lang",
+      Map("en" -> 1.0, "und" -> 0.5))
+    val got = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set("en", "und")))
+    assert(got.getOrElse("en", 0L) === langs.getOrElse("en", 0L))
+  }
+
   test("table catalog: create/template/drop fold; lookups and placements") {
     import graft.engine.TableCatalog
     val log = Seq(
