@@ -62,11 +62,14 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
     df.withColumn("row_key", rk).orderBy("row_key").limit(limit)
   }
 
-  /** Filtered scan: condition DSL compiled to the exact-parity evaluator on
-    * the body (schemaless path; for typed frames use ConditionCompiler). */
+  /** Filtered scan: condition DSL split by [[EmoDocs.predicate]] — intrinsic
+    * and partition conjuncts compile to native Catalyst predicates (parquet
+    * pushdown + partition pruning on a materialized store), only the
+    * body-touching remainder evaluates via the exact-parity expression. */
   def scanWhere(table: String, conditionText: String, limit: Int = Int.MaxValue): DataFrame = {
-    val df = docsDf.where(col("table") === table && !col("deleted"))
-      .where(expressions.emoCondEval(conditionText, col("body"), col("id"), col("table")))
+    val base = docsDf
+    val df = base.where(col("table") === table && !col("deleted"))
+      .where(EmoDocs.predicate(base, conditionText))
     df.withColumn("row_key", rowKey(col("table"), col("id"))).orderBy("row_key").limit(limit)
   }
 

@@ -149,17 +149,31 @@ object Dedup {
   }
 
   /** SimHash near-dup buckets: fingerprint split into `bands` sub-keys; docs
-    * sharing any sub-key are candidates (Hamming-distance tolerant). */
+    * sharing any sub-key are candidates (Hamming-distance tolerant).
+    *
+    * Degenerate buckets are capped exactly like [[minhashNearDuplicates]]:
+    * a band key shared by B docs contributes B^2/2 candidate pairs, and at
+    * corpus scale one boilerplate bucket (e.g. near-empty docs with fp~0)
+    * would dominate the join. Buckets above `maxBucketSize` are dropped
+    * from pairwise candidate generation — members of such a bucket share a
+    * 16-bit fingerprint slice with thousands of others, which means
+    * template spam best handled by exact/fingerprint-equality dedup. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     val width = 64 / bands
     val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * width).bitwiseAND((1L << width) - 1).as("band_key"))
     }
-    val exploded = withFp.select(col("id"), col("fp"), explode(array(bandCols: _*)).as("bh"))
+    val allBands = withFp.select(col("id"), col("fp"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("fp"), col("bh.band"), col("bh.band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketSizes = allBands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val exploded = allBands.join(
+      bucketSizes.where(col("bucket_n") <= maxBucketSize).select("band", "band_key"),
+      Seq("band", "band_key"), "left_semi")
     exploded.as("l").join(exploded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&

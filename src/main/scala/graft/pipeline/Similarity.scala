@@ -93,15 +93,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id1 < id2) with similarity >=
-    * threshold — the embedding-space dedup mode. Small inputs compare
-    * all pairs; at scale pass preBucket=true to restrict comparisons to
-    * LSH-bucketed candidates. */
+    * threshold — the embedding-space dedup mode.
+    *
+    * Path selection is automatic and scale-safe by default: inputs above
+    * `allPairsMaxRows` go through LSH pre-bucketing (candidates restricted
+    * to vectors sharing a hyperplane-sketch bucket — an equi-join, never a
+    * cross join); tiny inputs use the exact all-pairs comparison, which is
+    * also the verifier for the bucketed path in tests. Pass
+    * `preBucket=Some(b)` to force a path. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                              threshold: Double, preBucket: Boolean = false,
-                              planes: Int = 4, bands: Int = 8): DataFrame = {
+                              threshold: Double, preBucket: Option[Boolean] = None,
+                              planes: Int = 4, bands: Int = 8,
+                              allPairsMaxRows: Long = 10000L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // one cheap count action beats planning an O(N^2) join on a large input;
+    // at corpus scale the caller knows the answer and forces the path
+    val bucketed0 = preBucket.getOrElse(base.count() > allPairsMaxRows)
     val pairs =
-      if (!preBucket) {
+      if (!bucketed0) {
         base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
           .select(col("l.id").as("id1"), col("r.id").as("id2"),
             col("l.vec").as("v1"), col("r.vec").as("v2"))

@@ -1,9 +1,76 @@
 package graft.streaming
 
-import graft.condition.{Conditions, ConditionEvaluator, IntrinsicsView}
+import graft.condition.{Condition, Conditions, ConditionEvaluator, IntrinsicsView}
 import graft.json._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass multi-subscription matcher: evaluates EVERY subscription
+ * condition against one event row and returns the array of matched
+ * subscription names. The subscription list rides in the expression (plan
+ * broadcast — serialized once per executor, conditions parsed lazily per
+ * JVM), so fanout over N subscriptions is ONE scan of the event batch
+ * regardless of N — the DefaultFanout.java:195-260 shape, where each event
+ * is read once and tested against the whole subscription set.
+ *
+ * `subs` entries are (name, conditionText, minMs): an event matches entry i
+ * iff `ms >= minMs(i)` (event-TTL cutoff; Long.MinValue = no cutoff) and the
+ * condition accepts the event's (attrs, tags, table, key).
+ *
+ * children: attrsJson (string, nullable), tags (array<string>), table, key,
+ * ms (long).
+ */
+case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
+                                  children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  @transient private lazy val compiled: Array[(UTF8String, Condition, Long)] =
+    subs.map { case (n, c, m) => (UTF8String.fromString(n), Conditions.fromString(c), m) }.toArray
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val attrsV = children(0).eval(input)
+    val tagsV = children(1).eval(input)
+    val tableV = children(2).eval(input)
+    val keyV = children(3).eval(input)
+    val msV = children(4).eval(input)
+    val attrs: JValue =
+      if (attrsV == null) JObj(Map.empty) else JsonCodec.parse(attrsV.toString)
+    val tags: Seq[String] =
+      if (tagsV == null) Seq.empty
+      else {
+        val ad = tagsV.asInstanceOf[ArrayData]
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      }
+    val json = Databus.eventMatchJson(attrs, tags)
+    val intr = IntrinsicsView(
+      if (keyV == null) null else keyV.toString,
+      if (tableV == null) null else tableV.toString,
+      null, deleted = false, null, null, null, null)
+    val ms = if (msV == null) Long.MaxValue else msV.asInstanceOf[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < compiled.length) {
+      val (name, cond, minMs) = compiled(i)
+      if (ms >= minMs && ConditionEvaluator.eval(cond, json, intr)) out += name
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
 
 /** A standing subscription: named condition over table attributes, intrinsics
   * and event tags (Databus.java:15-30). */
@@ -41,14 +108,41 @@ object Databus {
    * plus optional attrs JSON column) across subscriptions. Emits one row per
    * (matched subscription, event) with a `subscription` column — the
    * relational form of per-subscription channels.
+   *
+   * Two physical shapes, chosen by subscription count:
+   *  - small N (<= `unionPathMaxSubs`): a UNION of one natively-compiled
+   *    filter branch per subscription — predicates are Catalyst filters, so
+   *    they push down and codegen; the plan is wide but each branch prunes.
+   *  - large N: ONE pass over the batch via [[MultiSubscriptionMatch]] —
+   *    the subscription set is evaluated per row emitting the matched-name
+   *    array, then exploded. N subscriptions never means N scans; this is
+   *    the shape that survives the reference's real cardinality (hundreds of
+   *    standing subscriptions, DefaultFanout.java:195-260).
    */
   def fanout(events: DataFrame, subs: Seq[Subscription],
-             attrsCol: Option[String] = None): DataFrame = {
-    val branches = subs.map { sub =>
-      events.where(matchColumn(sub, events, attrsCol))
-        .withColumn("subscription", lit(sub.name))
-    }
-    branches.reduce(_.unionByName(_))
+             attrsCol: Option[String] = None,
+             unionPathMaxSubs: Int = 16): DataFrame = {
+    if (subs.size <= unionPathMaxSubs) {
+      val branches = subs.map { sub =>
+        events.where(matchColumn(sub, events, attrsCol))
+          .withColumn("subscription", lit(sub.name))
+      }
+      branches.reduce(_.unionByName(_))
+    } else
+      fanoutSinglePass(events, subs.map(s => (s.name, s.condition, Long.MinValue)), attrsCol)
+  }
+
+  /** The large-N fanout shape: one scan, matched-subscription array, explode.
+    * Empty match arrays drop the event (explode, not explode_outer) — parity
+    * with the union path, which emits nothing for unmatched events. */
+  private def fanoutSinglePass(events: DataFrame, subs: Seq[(String, String, Long)],
+                               attrsCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val attrs = attrsCol.map(col).getOrElse(lit(null).cast("string"))
+    val matchArr = GraftBridge.column(MultiSubscriptionMatch(subs,
+      Seq(attrs, col("tags"), col("table"), col("key"), col("ms").cast("long"))
+        .map(GraftBridge.expression)))
+    events.withColumn("subscription", explode(matchArr))
   }
 
   /** The match predicate for one subscription as a Column. Conditions that
@@ -166,18 +260,25 @@ object Databus {
       .map(r => Subscription(r.name, r.condition))
 
   /** Fanout honoring the lifecycle: expired subscriptions receive nothing,
-    * and each subscription sees only events within its event TTL. */
+    * and each subscription sees only events within its event TTL. Large
+    * registries take the single-pass path with per-subscription TTL cutoffs
+    * folded into the match expression. */
   def fanoutWithTtl(events: DataFrame, registry: Seq[SubscriptionRecord],
-                    nowMs: Long, attrsCol: Option[String] = None): DataFrame = {
+                    nowMs: Long, attrsCol: Option[String] = None,
+                    unionPathMaxSubs: Int = 16): DataFrame = {
     val live = registry.filter(_.subscriptionExpiresMs > nowMs)
-    val branches = live.map { r =>
-      events.where(col("ms") >= nowMs - r.eventTtlMs &&
-          matchColumn(Subscription(r.name, r.condition), events, attrsCol))
-        .withColumn("subscription", lit(r.name))
-    }
-    if (branches.isEmpty)
+    if (live.isEmpty)
       events.withColumn("subscription", lit(null).cast("string")).limit(0)
-    else branches.reduce(_.unionByName(_))
+    else if (live.size <= unionPathMaxSubs) {
+      val branches = live.map { r =>
+        events.where(col("ms") >= nowMs - r.eventTtlMs &&
+            matchColumn(Subscription(r.name, r.condition), events, attrsCol))
+          .withColumn("subscription", lit(r.name))
+      }
+      branches.reduce(_.unionByName(_))
+    } else
+      fanoutSinglePass(events,
+        live.map(r => (r.name, r.condition, nowMs - r.eventTtlMs)), attrsCol)
   }
 
   /**

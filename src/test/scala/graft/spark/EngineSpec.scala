@@ -137,6 +137,27 @@ class EngineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 8)
   }
 
+  test("simhash candidates: degenerate buckets are capped like minhash") {
+    val s = spark
+    import s.implicits._
+    // 40 identical boilerplate docs (one degenerate bucket per band) + one
+    // planted near-dup pair of distinct content
+    val spam = (1L to 40L).map(i => (i, "click here to unsubscribe from this newsletter"))
+    val pair = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+                   (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (spam ++ pair).toDF("doc_id", "text")
+    // uncapped: the spam bucket contributes 40*39/2 = 780 pairs
+    val uncapped = Dedup.simhashCandidates(df, "doc_id", "text", bands = 4,
+      maxBucketSize = 10000).count()
+    assert(uncapped >= 780)
+    // capped at 10: spam buckets (size 40) are dropped entirely; the planted
+    // pair (bucket size 2) survives — bounded candidate count
+    val capped = Dedup.simhashCandidates(df, "doc_id", "text", bands = 4,
+      maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
   test("LSH similarity search recalls most brute-force top-k") {
     val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.where(col("vec_id") < 5)

@@ -351,6 +351,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fanout at 500 subscriptions: one source scan, parity with model and union path") {
+    import graft.condition.{ConditionEvaluator, Conditions, IntrinsicsView}
+    import graft.json._
+    val s = spark
+    import s.implicits._
+    val types = Seq("purchase", "view", "error", "signup")
+    val rows = (1 to 200).map { i =>
+      val tags: Seq[String] = if (i % 7 == 0) null else Seq(types(i % 4))
+      (if (i % 2 == 0) "events" else "orders", s"k$i", 1000L * i, i.toLong, "n", tags)
+    }
+    val events = rows.toDF("table", "key", "ms", "seq", "node", "tags")
+    val subs = (1 to 500).map { i =>
+      val cond = i % 4 match {
+        case 0 => s"""{..,"~tags":contains("${types(i % types.size)}")}"""
+        case 1 => s"""intrinsic("~id":like("k${i % 10}*"))"""
+        case 2 => """and(intrinsic("~table":"events"),{..,"~tags":containsAny("error","view")})"""
+        case _ => s"""not({..,"~tags":contains("${types(i % types.size)}")})"""
+      }
+      Subscription(s"sub$i", cond)
+    }
+    val single = Databus.fanout(events, subs) // 500 > default threshold
+    val planStr = single.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(planStr).size
+    assert(scans === 1, s"expected ONE source scan at 500 subscriptions, got $scans")
+    val got = single.select("subscription", "key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // driver-side model truth
+    val expected = (for {
+      sub <- subs
+      (table, key, _, _, _, tags) <- rows
+      json = Databus.eventMatchJson(JObj(Map.empty),
+        if (tags == null) Seq.empty else tags)
+      intr = IntrinsicsView(key, table, null, deleted = false, null, null, null, null)
+      if ConditionEvaluator.eval(sub.parsed, json, intr)
+    } yield (sub.name, key)).toSet
+    assert(got === expected)
+    // both physical paths agree on a shared slice
+    val slice = subs.take(24)
+    val viaUnion = Databus.fanout(events, slice, unionPathMaxSubs = 100)
+      .select("subscription", "key").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaSingle = Databus.fanout(events, slice, unionPathMaxSubs = 1)
+      .select("subscription", "key").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaUnion === viaSingle)
+  }
+
+  test("fanoutWithTtl: single-pass path honors per-subscription event TTLs") {
+    import graft.streaming.Databus.{SubscriptionRecord => SR}
+    val s = spark
+    import s.implicits._
+    val reg = Seq(
+      SR("short", "alwaysTrue()", subscriptionExpiresMs = 9999, eventTtlMs = 500),
+      SR("long", "alwaysTrue()", subscriptionExpiresMs = 9999, eventTtlMs = 5000),
+      SR("expired", "alwaysTrue()", subscriptionExpiresMs = 10, eventTtlMs = 5000))
+    val events = Seq(
+      ("t", "k1", 100L, 1L, "n", Seq.empty[String]),
+      ("t", "k2", 600L, 2L, "n", Seq.empty[String]),
+      ("t", "k3", 990L, 3L, "n", Seq.empty[String]))
+      .toDF("table", "key", "ms", "seq", "node", "tags")
+    def counts(unionMax: Int) =
+      Databus.fanoutWithTtl(events, reg, nowMs = 1000, unionPathMaxSubs = unionMax)
+        .groupBy("subscription").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSingle = counts(1)
+    assert(viaSingle === Map("short" -> 2L, "long" -> 3L))
+    assert(viaSingle === counts(100))
+  }
+
   test("consolidation collapses a batch to one event per coordinate") {
     val s = spark
     import s.implicits._
