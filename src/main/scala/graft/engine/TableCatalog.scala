@@ -20,18 +20,30 @@ object TableCatalog {
 
   val SystemTable = "__system:table"
 
+  import graft.json.{JsonCodec, JString}
+
+  /** Parse-validate arbitrary caller JSON and re-render it canonically —
+    * the only safe way to splice it into delta text (a quote in a placement
+    * name or a malformed template must fail HERE, not mis-fold later). */
+  private def canonicalJson(what: String, text: String): String =
+    try JsonCodec.render(JsonCodec.parse(text))
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"$what is not valid JSON: $text", e)
+    }
+
   /** A createTable(name, placement, template) metadata delta
     * (DataStore.java:48; template is arbitrary JSON metadata). */
   def createTable(name: String, placement: String, templateJson: String,
                   ms: Long, node: String = "catalog"): ChangeRow =
     ChangeRow(SystemTable, name, ms, 0L, node,
-      s"""{"placement":"$placement","template":$templateJson}""", Seq("catalog"))
+      s"""{"placement":${JsonCodec.render(JString(placement))},"template":${canonicalJson("template", templateJson)}}""",
+      Seq("catalog"))
 
   /** setTableTemplate (DataStore.java:89): replaces the template only. */
   def setTemplate(name: String, templateJson: String, ms: Long,
                   node: String = "catalog"): ChangeRow =
     ChangeRow(SystemTable, name, ms, 1L, node,
-      s"""{..,"template":$templateJson}""", Seq("catalog"))
+      s"""{..,"template":${canonicalJson("template", templateJson)}}""", Seq("catalog"))
 
   /** dropTable (DataStore.java:54): a tombstone on the metadata doc. */
   def dropTable(name: String, ms: Long, node: String = "catalog"): ChangeRow =

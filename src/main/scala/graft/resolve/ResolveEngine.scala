@@ -95,12 +95,30 @@ object ResolveEngine {
   final case class CheckpointMeta(count: Long, firstUpdateMs: Long,
                                   lastMutateMs: Long, cutoffSignature: String)
 
+  /** Legacy (pre-marker) checkpoint detection: the first checkpoint format
+    * signaled via the NODE field alone — "compaction:<count>:<firstMs>:
+    * <lastMutateMs>" (4 fields, all-numeric tail) with an UNPREFIXED body
+    * delta. Current logs signal checkpoints out-of-band via
+    * [[CheckpointDeltaPrefix]]; a legacy row reaching the fold would
+    * otherwise apply as an ordinary literal delta and silently produce wrong
+    * ~version/~signature, so the fold fails loudly instead (re-compact the
+    * log with the current Compactor to migrate). A producer node id can only
+    * collide with this pattern by matching the exact all-numeric 4-field
+    * shape. */
+  def isLegacyCheckpointNode(node: String): Boolean = {
+    if (node == null || !node.startsWith("compaction:")) false
+    else {
+      val parts = node.split(":", -1)
+      parts.length == 4 && parts.drop(1).forall(p => p.nonEmpty && p.forall(_.isDigit))
+    }
+  }
+
   /** Strict parse of a checkpoint row's node field:
     * "compaction:<count>:<firstUpdateMs>:<lastMutateMs>:<md5hex32>".
     * A row already identified as a checkpoint (reserved delta prefix) with a
     * node that fails this parse is corrupt — fail loudly rather than fold
     * bogus state. */
-  private def parseCheckpointNode(table: String, key: String, node: String): CheckpointMeta = {
+  def parseCheckpointNode(table: String, key: String, node: String): CheckpointMeta = {
     val parts = if (node == null) Array.empty[String] else node.split(":", -1)
     require(parts.length == 5 && parts(0) == "compaction" &&
       parts(4).length == 32 && parts(4).forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
@@ -173,6 +191,11 @@ object ResolveEngine {
             resolver.restoreCompaction(content, meta.count, cid,
               meta.firstUpdateMs, meta.lastMutateMs, meta.cutoffSignature,
               Resolver.splitTags(if (c.tagsJoined == null) "" else c.tagsJoined).toSet)
+          } else if (isLegacyCheckpointNode(c.node)) {
+            throw new IllegalStateException(
+              s"legacy compaction checkpoint for (${first.table},${first.key}): " +
+              s"node=${c.node} uses the pre-marker format; re-compact the log " +
+              "with the current Compactor before resolving")
           } else {
             resolver.updateJoined(cid, parseDelta(c.delta),
               if (c.tagsJoined == null) "" else c.tagsJoined)

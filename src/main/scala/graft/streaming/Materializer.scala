@@ -60,9 +60,15 @@ object Materializer {
   }
 
   /** Apply one batch of changes (already sorted) to a fold state. Returns
-    * (new state, whether any change in the batch mutated content or tags). */
+    * (new state, whether any change in the batch mutated content or tags).
+    *
+    * Compaction checkpoint rows (reserved delta prefix — a compacted log IS
+    * "a standard changes DataFrame") restore the fold state exactly like the
+    * batch fold's `Resolver.restoreCompaction`: content, version count,
+    * timestamps, tags and the verbatim cutoff signature all resume from the
+    * checkpoint, superseding whatever preceded it. */
   def applyBatch(table: String, key: String, state: FoldState,
-                 changes: Seq[ChangeRow]): (FoldState, Boolean) = {
+                 changes: Seq[ChangeRow], placement: String = "default"): (FoldState, Boolean) = {
     var body = JsonCodec.parseOrUndefined(state.body)
     var sig = state.sigHex
     var version = state.version
@@ -77,27 +83,48 @@ object Materializer {
       if (ms == 0L) null else graft.resolve.Iso8601.format(ms)
     changes.foreach { c =>
       val cid = TimeUuid(c.ms, c.seq, c.node)
-      val delta = parseDeltaCached(c.delta)
-      val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
-      // mid-fold intrinsics carry the running timestamps (parity with
-      // Resolver.intrinsicsView) so conditional deltas reading
-      // ~firstUpdateAt/~lastUpdateAt/~lastMutateAt resolve as in batch;
-      // built lazily — ISO formatting only when the delta actually reads it
-      val intr = if (delta.needsIntrinsics)
-        graft.condition.IntrinsicsView(key, table, sig,
-          body eq graft.json.JUndefined, iso(firstMs), iso(lastMs), iso(mutateMs), null)
-      else null
-      val updated = graft.delta.DeltaEvaluator.eval(delta, body, intr)
-      val contentChanged = updated != body
-      if (!contentChanged && lastTags == tags) redundant += 1
-      else anyMutation = true
-      body = updated
-      lastTags = tags
-      version += 1
-      sig = Hashes.toHex(Hashes.chainSignature(hexToBytes(sig), cid.bytes))
-      if (firstMs == 0L) firstMs = c.ms
-      lastMs = c.ms
-      if (contentChanged || mutateMs == 0L) mutateMs = c.ms
+      if (graft.resolve.ResolveEngine.isCheckpoint(c.delta)) {
+        val meta = graft.resolve.ResolveEngine.parseCheckpointNode(table, key, c.node)
+        val bodyText = c.delta.substring(1)
+        val restored = JsonCodec.parseOrUndefined(if (bodyText == "~") null else bodyText)
+        if (restored != body) anyMutation = true
+        body = restored
+        version = meta.count
+        sig = meta.cutoffSignature
+        firstMs = meta.firstUpdateMs
+        lastMs = c.ms
+        mutateMs = meta.lastMutateMs
+        lastTags = if (c.tags == null) Set.empty[String] else c.tags.toSet
+        redundant = 0L
+      } else if (graft.resolve.ResolveEngine.isLegacyCheckpointNode(c.node)) {
+        throw new IllegalStateException(
+          s"legacy compaction checkpoint for ($table,$key): node=${c.node} " +
+          "uses the pre-marker format; re-compact the log with the current " +
+          "Compactor before streaming it")
+      } else {
+        val delta = parseDeltaCached(c.delta)
+        val tags = if (c.tags == null) Set.empty[String] else c.tags.toSet
+        // mid-fold intrinsics carry the running timestamps AND the fold's
+        // placement (parity with Resolver.intrinsicsView) so conditional
+        // deltas reading ~firstUpdateAt/~lastUpdateAt/~lastMutateAt or
+        // ~placement resolve as in batch; built lazily — ISO formatting only
+        // when the delta actually reads it
+        val intr = if (delta.needsIntrinsics)
+          graft.condition.IntrinsicsView(key, table, sig,
+            body eq graft.json.JUndefined, iso(firstMs), iso(lastMs), iso(mutateMs), placement)
+        else null
+        val updated = graft.delta.DeltaEvaluator.eval(delta, body, intr)
+        val contentChanged = updated != body
+        if (!contentChanged && lastTags == tags) redundant += 1
+        else anyMutation = true
+        body = updated
+        lastTags = tags
+        version += 1
+        sig = Hashes.toHex(Hashes.chainSignature(hexToBytes(sig), cid.bytes))
+        if (firstMs == 0L) firstMs = c.ms
+        lastMs = c.ms
+        if (contentChanged || mutateMs == 0L) mutateMs = c.ms
+      }
     }
     val rendered = if (body eq graft.json.JUndefined) null else JsonCodec.render(body)
     (FoldState(rendered, version, sig, firstMs, lastMs, mutateMs,
@@ -136,7 +163,7 @@ object Materializer {
         case ((table, key), rows, state: GroupState[FoldState]) =>
           val sorted = rows.toSeq.sortBy(c => (c.ms, c.seq, c.node))
           val prev = state.getOption.getOrElse(initialState)
-          val (next, mutated) = applyBatch(table, key, prev, sorted)
+          val (next, mutated) = applyBatch(table, key, prev, sorted, placement)
           state.update(next)
           // suppress redundant-only batches from the changelog
           if (mutated) Iterator.single(stateToDoc(table, key, next, placement))
@@ -192,7 +219,7 @@ object Materializer {
           // possible) plus anything already later than allowed
           val (ripe, hold) = all.partition(_.ms <= wm)
           val sorted = ripe.sortBy(c => (c.ms, c.seq, c.node))
-          val (next, mutated) = applyBatch(table, key, prev.fold, sorted)
+          val (next, mutated) = applyBatch(table, key, prev.fold, sorted, placement)
           state.update(OrderedState(next, hold))
           if (hold.nonEmpty) {
             // wake when the watermark passes the oldest held change

@@ -331,9 +331,11 @@ class EngineSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     // a producer whose node id starts with "compaction:" is an ORDINARY
-    // change (detection keys on the reserved delta prefix, not the node)
+    // change (detection keys on the reserved delta prefix, not the node) —
+    // unless it matches the exact legacy all-numeric 4-field checkpoint
+    // shape, which fails loudly (see the legacy-checkpoint test)
     val odd = Seq(
-      ChangeRow("t", "k1", 1000L, 0L, "compaction:9:9:9", """{..,"a":1}""", Seq()),
+      ChangeRow("t", "k1", 1000L, 0L, "compaction:node-9", """{..,"a":1}""", Seq()),
       ChangeRow("t", "k1", 2000L, 0L, "node-b", """{..,"b":2}""", Seq()))
       .toDF()
     val doc = ResolveEngine.resolve(odd).collect().head
@@ -648,6 +650,23 @@ class EngineSpec extends AnyFunSuite {
       log :+ TableCatalog.createTable("b:1", "p2:y", """{"k":3}""", 5000L))
     assert(TableCatalog.tableExists(cat2, "b:1"))
     assert(TableCatalog.getTemplate(cat2, "b:1") === Some("""{"k":3}"""))
+  }
+
+  test("table catalog: metadata splicing is escaped and validated") {
+    import graft.engine.TableCatalog
+    // a placement containing quotes/backslashes must round-trip intact
+    val tricky = """p"quo\te"""
+    val log = Seq(TableCatalog.createTable("q:1", tricky, """{"k":"v w"}""", 1000L))
+    val cat = TableCatalog.catalog(spark, log)
+    assert(TableCatalog.tableExists(cat, "q:1"))
+    assert(TableCatalog.placements(cat) === Seq(tricky))
+    // malformed template JSON fails at construction, not at resolve time
+    intercept[IllegalArgumentException] {
+      TableCatalog.createTable("bad", "p", """{not json""", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TableCatalog.setTemplate("bad", """{"unclosed":""", 2L)
+    }
   }
 
   test("queue poll/claim and dedup queue") {

@@ -351,6 +351,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("materializer folds compaction checkpoint rows like the batch engine") {
+    import graft.resolve.Compactor
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = Seq(
+      change("k1", 1000, """{"a":1}"""),
+      change("k1", 2000, """{..,"b":2}""", Seq("t1")),
+      change("k1", 3000, """{..,"a":5}"""),
+      change("k2", 1000, """{"x":1}"""),
+      change("k2", 2000, "~"))
+    val compacted = Compactor.compact(log.toDF(), cutoffMs = 2500)
+      .as[ChangeRow].collect().toSeq
+    assert(compacted.exists(c => ResolveEngine.isCheckpoint(c.delta)))
+    val tail = change("k1", 4000, """{..,"c":7}""")
+
+    val input = MemoryStream[ChangeRow]
+    val query = Materializer.materialize(input.toDS(), placement = "pl")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mat_ckpt_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_matc").toString)
+      .start()
+    try {
+      input.addData(compacted: _*)
+      query.processAllAvailable()
+      input.addData(tail)
+      query.processAllAvailable()
+      val streamed = spark.table("mat_ckpt_out").collect()
+        .groupBy(_.getAs[String]("id"))
+        .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("version")) }
+      val batch = ResolveEngine.resolve((log :+ tail).toDF(), "pl").collect()
+        .map(d => d.id -> d).toMap
+      // exact batch parity: content, version AND signature survive the
+      // checkpoint restore in the streaming fold
+      val k = "k1"
+      assert(streamed(k).getAs[String]("body") === batch(k).body, s"body $k")
+      assert(streamed(k).getAs[Long]("version") === batch(k).version, s"version $k")
+      assert(streamed(k).getAs[String]("signature") === batch(k).signature, s"signature $k")
+      assert(streamed(k).getAs[Boolean]("deleted") === batch(k).deleted, s"deleted $k")
+      // k2 compacted to a tombstone checkpoint: restoring a tombstone over
+      // empty state mutates nothing, so the changelog (correctly) stays
+      // silent — same suppression as a redundant delta
+      assert(!streamed.contains("k2") && batch("k2").deleted)
+    } finally query.stop()
+  }
+
+  test("legacy pre-marker checkpoint rows fail loudly in batch and streaming") {
+    val s = spark
+    import s.implicits._
+    val legacy = ChangeRow("t", "k", 1000L, 0L, "compaction:3:100:900", """{"x":1}""", Seq.empty)
+    val e1 = intercept[Exception] {
+      ResolveEngine.resolve(Seq(legacy).toDF()).collect()
+    }
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("|")
+    assert(rootMessages(e1).contains("legacy compaction checkpoint"))
+    val e2 = intercept[IllegalStateException] {
+      Materializer.applyBatch("t", "k", Materializer.initialState, Seq(legacy))
+    }
+    assert(e2.getMessage.contains("legacy compaction checkpoint"))
+    // a NON-numeric "compaction:"-prefixed producer node is an ordinary change
+    val okNode = ChangeRow("t", "k", 1000L, 0L, "compaction:node-7", """{"x":1}""", Seq.empty)
+    assert(ResolveEngine.resolve(Seq(okNode).toDF()).collect().head.version === 1L)
+  }
+
   test("fanout at 500 subscriptions: one source scan, parity with model and union path") {
     import graft.condition.{ConditionEvaluator, Conditions, IntrinsicsView}
     import graft.json._
