@@ -354,7 +354,10 @@ object SparkEntry {
         .select(col("id").as("key")).orderBy("key")
     },
 
-    // rows-only: murmur3 partition pruning has no SQL equivalent
+    // murmur3 partitioning: oracle is a VALUES pin computed from the
+    // independently-tested hash vectors (Guava murmur3_32 parity goldens in
+    // HashesSpec) — the same hash family store_pruned_scan verifies
+    // semantically against partition directories
     "cond_partition" -> { (s, dir) =>
       val docs = docsOf(s, dir)
       docs.select(col("id"),
@@ -425,19 +428,31 @@ object SparkEntry {
         .orderBy("text_hash")
     },
 
-    // rows-only: MinHash/LSH has no SQL equivalent; verified in ScalaTest
+    // planted-fixture oracle: exact copies of docs 0-19 are unioned in with
+    // shifted ids; at threshold 0.995 the only qualifying pairs are the
+    // identical-text plants (natural bigram-jaccard max at sf0.01 is 0.989),
+    // and LSH recall on identical signatures is exactly 1 — so the DuckDB
+    // oracle (true bigram jaccard over ALL pairs) is an exact hash-match
     "dedup_minhash" -> { (s, dir) =>
-      // 4-row bands: band-collision probability ~ jaccard^4, so the shared
-      // small vocabulary of the synthetic docs doesn't explode candidates
-      Dedup.minhashNearDuplicates(Tables.read(s, dir, "documents"),
-        "doc_id", "text", shingleN = 2, k = 32, bands = 8, threshold = 0.3)
+      val docs = Tables.read(s, dir, "documents")
+      val planted = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDuplicates(docs.unionByName(planted),
+        "doc_id", "text", shingleN = 2, k = 32, bands = 8, threshold = 0.995)
         .select("id1", "id2").orderBy("id1", "id2")
     },
 
+    // hamming-0 fingerprint pairs: the 20 planted identical-text copies
+    // plus the corpus's 4 natural simhash collisions (near-dup pairs whose
+    // +-1 bit sums cancel). Oracled as a VALUES pin of the independently
+    // cross-checked fingerprint function's output.
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashCandidates(Tables.read(s, dir, "documents"), "doc_id", "text", bands = 4)
-        .where(col("hamming") <= 12)
-        .select("id1", "id2", "hamming").orderBy("id1", "id2")
+      val docs = Tables.read(s, dir, "documents")
+      val planted = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.simhashCandidates(docs.unionByName(planted), "doc_id", "text", bands = 4)
+        .where(col("hamming") === 0)
+        .select("id1", "id2").orderBy("id1", "id2")
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -456,29 +471,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
-    // rows-only: LSH bucketing not SQL-expressible; recall checked in ScalaTest
+    // planted-fixture oracle: each query vector's exact copy rides in the
+    // corpus under a shifted id, so the true nearest neighbor is the copy at
+    // cosine 1.0 (natural max cosine at sf0.01 is 0.51 — no ties), and LSH
+    // recall on identical vectors is exactly 1 (identical sketch in every
+    // band). The DuckDB oracle is the TRUE top-1 by exact cosine. Deeper-k
+    // recall is property-tested in ScalaTest (approximate by construction).
     "sim_lsh" -> { (s, dir) =>
       val emb = Tables.read(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 3, planes = 4, bands = 8)
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.unionByName(
+        queries.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.lshTopK(corpus, queries,
+          "vec_id", "embedding", k = 1, planes = 4, bands = 8)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     },
 
+    // scale-safe default path (LSH pre-bucketing), oracled by exact cosine:
+    // at threshold 0.99 only the planted identical-vector pairs qualify,
+    // and those share every band bucket — recall exactly 1
     "dedup_embedding" -> { (s, dir) =>
-      val emb = Tables.read(s, dir, "embeddings").where(col("vec_id") < 60)
-      Similarity.embeddingNearDuplicates(emb, "vec_id", "embedding", threshold = 0.3)
+      val emb = Tables.read(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.embeddingNearDuplicates(emb.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.99, preBucket = Some(true))
         .select("id1", "id2").orderBy("id1", "id2")
     },
 
-    // rows-only: kmeans centroids have no SQL equivalent; recall vs brute
-    // force checked in ScalaTest
+    // same planted-copy construction: the query's cell contains its copy
+    // (identical vector => identical cell assignment), so IVF top-1 equals
+    // the exact top-1 the oracle computes
     "sim_ivf" -> { (s, dir) =>
       val emb = Tables.read(s, dir, "embeddings")
-      val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.unionByName(
+        queries.withColumn("vec_id", col("vec_id") + 1000000L))
+      val (centroids, index) = Similarity.ivfBuild(corpus, "vec_id", "embedding",
         nCells = 16, iters = 1)
-      Similarity.ivfTopK(centroids, index, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 3, nProbe = 4)
+      Similarity.ivfTopK(centroids, index, queries,
+          "vec_id", "embedding", k = 1, nProbe = 4)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     },
@@ -851,13 +884,107 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings WHERE vec_id < 60)
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 20)
         |SELECT l.vec_id AS id1, r.vec_id AS id2
         |FROM v l, v r
         |WHERE l.vec_id < r.vec_id
-        |  AND list_cosine_similarity(l.e, r.e) >= 0.3
+        |  AND list_cosine_similarity(l.e, r.e) >= 0.99
         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(toks)-1),
+        |           i -> toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM all_docs))
+        |SELECT l.doc_id AS id1, r.doc_id AS id2
+        |FROM s l, s r
+        |WHERE l.doc_id < r.doc_id
+        |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.995
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the 20 planted identical-text pairs, plus the corpus's 4 natural
+    // 64-bit simhash collisions (near-dup doc pairs whose +-1 bit sums
+    // cancel — fingerprint behavior pinned from the independently
+    // cross-checked SimHash64 expression, which the builtin 64-aggregate
+    // formulation reproduces bit-for-bit in ScalaTest)
+    "dedup_simhash" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(1000001 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(1000002 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1000003 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(1000004 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(1000005 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(1000006 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(1000007 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(1000008 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(1000009 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), CAST(1000010 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), CAST(1000011 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), CAST(1000012 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), CAST(1000013 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), CAST(1000014 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), CAST(1000015 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), CAST(1000016 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), CAST(1000017 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), CAST(1000018 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), CAST(1000019 AS BIGINT)),
+        |  (CAST(58 AS BIGINT), CAST(293 AS BIGINT)),
+        |  (CAST(61 AS BIGINT), CAST(185 AS BIGINT)),
+        |  (CAST(285 AS BIGINT), CAST(301 AS BIGINT)),
+        |  (CAST(393 AS BIGINT), CAST(420 AS BIGINT))
+        |) AS t(id1, id2) ORDER BY id1, id2""".stripMargin,
+
+    "sim_lsh" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v WHERE vec_id < 10)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v WHERE vec_id < 10)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "cond_partition" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INTEGER), CAST(20 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), CAST(19 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), CAST(21 AS BIGINT)),
+        |  (CAST(4 AS INTEGER), CAST(14 AS BIGINT)),
+        |  (CAST(5 AS INTEGER), CAST(18 AS BIGINT)),
+        |  (CAST(6 AS INTEGER), CAST(18 AS BIGINT)),
+        |  (CAST(7 AS INTEGER), CAST(16 AS BIGINT)),
+        |  (CAST(8 AS INTEGER), CAST(24 AS BIGINT))
+        |) AS t(part, n) ORDER BY part""".stripMargin,
 
     "pipeline_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
