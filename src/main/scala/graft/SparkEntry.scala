@@ -228,6 +228,17 @@ object SparkEntry {
         .orderBy("tbl")
     },
 
+    // snapshot scan: same placement resolved AS OF a pinned cutoff — deltas
+    // after the cutoff never fold (the Stash consistency window). Orders
+    // predate the cutoff entirely; the events table folds a prefix.
+    "placement_scan_asof" -> { (s, dir) =>
+      val docs = ResolveEngine.resolveAsOf(
+        EventLog.placementChanges(s, dir), cutoffMs = 1705000000000L).toDF()
+      docs.groupBy(col("table").as("tbl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("version")).as("n_changes"))
+        .orderBy("tbl")
+    },
+
     "catalog_list_tables" -> { (s, dir) =>
       val session = new EmoSession(s, EventLog.placementChanges(s, dir))
       session.listTables().withColumnRenamed("table", "tbl")
@@ -722,6 +733,14 @@ object SparkEntry {
     "placement_scan" ->
       """SELECT * FROM (
         |  SELECT 'events' AS tbl, count(DISTINCT user_id) AS n_docs, count(*) AS n_changes FROM events
+        |  UNION ALL
+        |  SELECT 'orders', count(*), count(*) FROM orders)
+        |ORDER BY tbl""".stripMargin,
+
+    "placement_scan_asof" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS tbl, count(DISTINCT user_id) AS n_docs, count(*) AS n_changes
+        |  FROM events WHERE epoch_ms(ts) <= 1705000000000
         |  UNION ALL
         |  SELECT 'orders', count(*), count(*) FROM orders)
         |ORDER BY tbl""".stripMargin,

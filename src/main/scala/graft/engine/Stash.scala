@@ -37,6 +37,16 @@ object Stash {
     outDir
   }
 
+  /** Consistency-window export (ScanUploader.java:56-58 +
+    * DataTools.java:32-76): resolve the placement AS OF `cutoffMs` and
+    * export that snapshot — deltas written after the cutoff (the scan is
+    * racing live producers) do not leak into the export, so every table in
+    * the stash reflects the same instant. */
+  def exportAsOf(changes: DataFrame, stashRoot: String, scanId: String,
+                 cutoffMs: Long, placement: String = "default"): String =
+    export(graft.resolve.ResolveEngine.resolveAsOf(changes, cutoffMs, placement),
+      stashRoot, scanId)
+
   /** Differential export: only documents mutated after `sinceMs` (the
     * incremental companion to a full scan — downstream consumers overlay it
     * on the previous full export; ScanUploader's re-scan analog). */

@@ -130,6 +130,18 @@ object ResolveEngine {
     }
   }
 
+  /** Snapshot resolve: fold only changes at or before `cutoffMs` — the
+    * MultiTableScanOptions/DataTools cutoffTime semantics
+    * (sor/.../core/DataTools.java:32-76) that make a placement export
+    * CONSISTENT as of one timestamp even while producers keep writing. The
+    * filter lands before the fold's shuffle (and reaches the parquet scan
+    * as a pushed predicate on a stored log), so post-cutoff deltas are
+    * never read, not merely ignored. */
+  def resolveAsOf(changes: DataFrame, cutoffMs: Long,
+                  placement: String = "default",
+                  includeDeleted: Boolean = true): Dataset[DocRow] =
+    resolve(changes.where(col("ms") <= cutoffMs), placement, includeDeleted)
+
   def resolve(changes: DataFrame, placement: String = "default",
               includeDeleted: Boolean = true): Dataset[DocRow] = {
     val spark = changes.sparkSession

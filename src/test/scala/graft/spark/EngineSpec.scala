@@ -704,6 +704,34 @@ class EngineSpec extends AnyFunSuite {
     assert(tbl === "events" && nSplits === splits.size && bytes > 0)
   }
 
+  test("as-of snapshot: cutoff excludes later deltas from resolve and stash export") {
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    // pick a cutoff between the min and max change times
+    val bounds = changes.agg(min(col("ms")), max(col("ms"))).collect()(0)
+    val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val snap = ResolveEngine.resolveAsOf(changes, cutoff).collect()
+    assert(snap.nonEmpty)
+    // every resolved doc's last update is at or before the cutoff, and the
+    // snapshot equals resolving the manually-filtered log
+    assert(snap.forall(_.last_update_ms <= cutoff))
+    val manual = ResolveEngine.resolve(changes.where(col("ms") <= cutoff)).collect()
+      .map(d => d.id -> (d.body, d.version, d.signature)).toMap
+    assert(snap.map(d => d.id -> (d.body, d.version, d.signature)).toMap === manual)
+    // versions strictly below the live resolve for docs that kept updating
+    val live = ResolveEngine.resolve(changes).collect().map(d => d.id -> d.version).toMap
+    assert(snap.forall(d => d.version <= live(d.id)))
+    assert(snap.exists(d => d.version < live(d.id)))
+
+    // stash consistency window: the as-of export serves the snapshot
+    val root = java.nio.file.Files.createTempDirectory("stash_asof").toString
+    val out = Stash.exportAsOf(changes, root, "snap-1", cutoff)
+    val back = Stash.read(spark, out, Some("events"))
+    val exported = back.select(col("~id"), col("~version")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = snap.filter(!_.deleted).map(d => d.id -> d.version).toMap
+    assert(exported === expected)
+  }
+
   test("session scan pagination is resumable and ordered by row key") {
     val session = new EmoSession(spark, EventLog.changes(spark, "/root/testdata/sf0.001"))
     val page1 = session.scan("events", limit = 5).select("row_key").collect().map(_.getString(0))
