@@ -240,11 +240,43 @@ object Databus {
   /** Subscribe-or-renew: same-name re-subscription replaces the condition
     * and extends the expiry (the reference's subscribe is idempotent). The
     * registry is driver-side state (ZK/C* in the reference); at fanout time
-    * it is broadcast with the compiled predicates. */
+    * it is broadcast with the compiled predicates.
+    *
+    * `defaultJoinFilter` reproduces DefaultDatabus.java:342-366: when the
+    * installation-wide default condition is set (not alwaysTrue), it is
+    * AND-ed onto the caller's condition AT SUBSCRIBE TIME — an alwaysTrue
+    * user condition is replaced outright. Callers that must see every event
+    * (the canary, internal tooling) opt out via
+    * `includeDefaultJoinFilter = false`. */
   def subscribe(registry: Seq[SubscriptionRecord], name: String, condition: String,
-                nowMs: Long, subscriptionTtlMs: Long, eventTtlMs: Long): Seq[SubscriptionRecord] =
+                nowMs: Long, subscriptionTtlMs: Long, eventTtlMs: Long,
+                defaultJoinFilter: Option[String] = None,
+                includeDefaultJoinFilter: Boolean = true): Seq[SubscriptionRecord] = {
+    val effective = defaultJoinFilter.filter(_ => includeDefaultJoinFilter) match {
+      case None => condition
+      case Some(d) =>
+        val dc = Conditions.fromString(d)
+        if (dc == ConstantCondition(true)) condition
+        else {
+          val uc = Conditions.fromString(condition)
+          if (uc == ConstantCondition(true)) dc.toString
+          else Conditions.and(Seq(uc, dc)).toString
+        }
+    }
     registry.filterNot(_.name == name) :+
-      SubscriptionRecord(name, condition, nowMs + subscriptionTtlMs, eventTtlMs)
+      SubscriptionRecord(name, effective, nowMs + subscriptionTtlMs, eventTtlMs)
+  }
+
+  /** Move pending events from one subscription's channel to another
+    * (Databus.java:114-125 moveAsync): re-keys every un-acked row of `from`
+    * to `to` WITHOUT re-running the destination's condition — the
+    * reference explicitly does not filter by the destination's table
+    * filter — and leaves future fanout unaffected (the registry still
+    * routes new events by each subscription's own condition). A pure
+    * column rewrite: no shuffle, no re-evaluation. */
+  def move(channel: DataFrame, from: String, to: String): DataFrame =
+    channel.withColumn("subscription",
+      when(col("subscription") === from, lit(to)).otherwise(col("subscription")))
 
   def renew(registry: Seq[SubscriptionRecord], name: String,
             nowMs: Long, subscriptionTtlMs: Long): Seq[SubscriptionRecord] =

@@ -484,6 +484,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSingle === counts(100))
   }
 
+  test("databus move re-keys pending events without re-filtering; subscribe ANDs the default join filter") {
+    import graft.streaming.Databus.{SubscriptionRecord => SR}
+    val s = spark
+    import s.implicits._
+    // move: DefaultDatabusTest move semantics — events already fanned out to
+    // 'from' go to 'to' verbatim, even where 'to''s condition would reject
+    val events = Seq(
+      ("t", "k1", 1000L, 1L, "n", Seq("purchase")),
+      ("t", "k2", 2000L, 2L, "n", Seq("view")),
+      ("t", "k3", 3000L, 3L, "n", Seq("purchase")))
+      .toDF("table", "key", "ms", "seq", "node", "tags")
+    val subs = Seq(
+      Subscription("from_sub", "alwaysTrue()"),
+      Subscription("to_sub", """{..,"~tags":contains("view")}"""))
+    val channel = Databus.fanout(events, subs)
+    val moved = Databus.move(channel, "from_sub", "to_sub")
+    val byKey = moved.groupBy("subscription").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // to_sub now holds its own 1 matched event plus all 3 moved ones,
+    // including the purchases its condition would reject; from_sub is empty
+    assert(byKey === Map("to_sub" -> 4L))
+    // future fanout is unaffected: the registry still filters per-condition
+    val after = Databus.fanout(events, subs).groupBy("subscription").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === Map("from_sub" -> 3L, "to_sub" -> 1L))
+
+    // defaultJoinFilter: AND-ed at subscribe; alwaysTrue user condition is
+    // replaced; opt-out keeps the raw condition; alwaysTrue default is a no-op
+    val default = Some("""not({..,"~tags":contains("internal")})""")
+    var reg = Seq.empty[SR]
+    reg = Databus.subscribe(reg, "u1", """{..,"~tags":contains("view")}""",
+      0L, 1000L, 1000L, default)
+    reg = Databus.subscribe(reg, "u2", "alwaysTrue()", 0L, 1000L, 1000L, default)
+    reg = Databus.subscribe(reg, "u3", "alwaysTrue()", 0L, 1000L, 1000L, default,
+      includeDefaultJoinFilter = false)
+    reg = Databus.subscribe(reg, "u4", """{..,"~tags":contains("view")}""",
+      0L, 1000L, 1000L, Some("alwaysTrue()"))
+    def cond(n: String) = reg.find(_.name == n).get.condition
+    assert(graft.condition.Conditions.fromString(cond("u1")) ===
+      graft.condition.Conditions.and(Seq(
+        graft.condition.Conditions.fromString("""{..,"~tags":contains("view")}"""),
+        graft.condition.Conditions.fromString(default.get))))
+    assert(graft.condition.Conditions.fromString(cond("u2")) ===
+      graft.condition.Conditions.fromString(default.get))
+    assert(cond("u3") === "alwaysTrue()")
+    assert(cond("u4") === """{..,"~tags":contains("view")}""")
+  }
+
   test("consolidation collapses a batch to one event per coordinate") {
     val s = spark
     import s.implicits._
