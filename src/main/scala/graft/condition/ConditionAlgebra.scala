@@ -35,6 +35,16 @@ object ConditionAlgebra {
     // subset of a negation iff provably disjoint from the negated condition
     case (_, NotCondition(b)) => isDisjoint(l, b)
 
+    // negation on the left: exact complements substitute directly; otherwise
+    // push through De Morgan — not(A or B) implies not(A) (and not(B)),
+    // not(A and B) = not(A) or not(B) needs every branch to imply r
+    case (NotCondition(la), rr) =>
+      complementOf(la).map(isSubset(_, rr)).getOrElse(la match {
+        case OrCondition(as)  => as.exists(a => isSubset(Conditions.not(a), rr))
+        case AndCondition(as) => as.forall(a => isSubset(Conditions.not(a), rr))
+        case _                => false
+      })
+
     // exact rule: a literal value implies r iff r accepts it (data-free eval;
     // only valid when r needs no intrinsics)
     case (EqualCondition(v), rr) if !referencesIntrinsics(rr) =>
@@ -45,12 +55,34 @@ object ConditionAlgebra {
     case (IsCondition(a), IsCondition(b)) =>
       a == b || (b == State.DEFINED && a != State.UNDEFINED)
 
+    // a comparison only matches values of its operand's kind
+    // (ConditionEvaluator: string compares match strings, numeric match
+    // numbers, everything else never matches)
     case (ComparisonCondition(_, _), IsCondition(State.DEFINED)) => true
+    case (ComparisonCondition(_, v), IsCondition(State.STRING)) =>
+      v.isInstanceOf[JString]
+    case (ComparisonCondition(_, v), IsCondition(State.NUM)) => JValue.isNumber(v)
     case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
       comparisonSubset(lc, rc)
 
+    // contains(...) only matches lists; map conditions only match maps
+    case (ContainsCondition(_, _), IsCondition(State.ARRAY | State.DEFINED)) => true
+    case (MapCondition(_), IsCondition(State.OBJECT | State.DEFINED)) => true
+
+    case (ContainsCondition(lv, lc), ContainsCondition(rv, rc)) =>
+      containsSubset(lv, lc, rv, rc)
+
     case (LikeCondition(_), IsCondition(State.STRING | State.DEFINED)) => true
     case (lc @ LikeCondition(_), rc @ LikeCondition(_)) => likeSubset(lc, rc)
+
+    // every match of a like() starts with its anchored prefix, so it is >=
+    // that prefix (the prefix itself is the infimum of the match set)
+    case (lc @ LikeCondition(_), ComparisonCondition(op, JString(v))) =>
+      anchoredPrefix(lc) match {
+        case Some(pre) if op == Comparison.GE => pre >= v
+        case Some(pre) if op == Comparison.GT => pre > v
+        case _ => false
+      }
 
     case (MapCondition(le), MapCondition(re)) =>
       // {..} conditions: l constrains a superset of keys at least as tightly.
@@ -100,10 +132,21 @@ object ConditionAlgebra {
     case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
       comparisonDisjoint(lc, rc)
 
+    // a comparison never matches values outside its operand's kind
+    case (ComparisonCondition(_, v), IsCondition(s)) => comparisonIsDisjoint(v, s)
+    case (IsCondition(s), ComparisonCondition(_, v)) => comparisonIsDisjoint(v, s)
+
     // like() matches strings only; proven-non-overlapping patterns disjoint
     case (lc @ LikeCondition(_), rc @ LikeCondition(_)) => !likeOverlaps(lc, rc)
     case (LikeCondition(_), IsCondition(s)) => s != State.STRING && s != State.DEFINED
     case (IsCondition(s), LikeCondition(_)) => s != State.STRING && s != State.DEFINED
+
+    // every like() match is >= its anchored prefix: disjoint from any upper
+    // bound strictly below the prefix
+    case (lc @ LikeCondition(_), ComparisonCondition(op, JString(v))) =>
+      likeComparisonDisjoint(lc, op, v)
+    case (ComparisonCondition(op, JString(v)), lc @ LikeCondition(_)) =>
+      likeComparisonDisjoint(lc, op, v)
 
     case (NotCondition(a), b) => isSubset(b, a)
     case (a, NotCondition(b)) => isSubset(a, b)
@@ -197,6 +240,52 @@ object ConditionAlgebra {
 
   private def evalSafe(c: Condition, v: JValue): Option[Boolean] =
     try Some(ConditionEvaluator.eval(c, v)) catch { case _: Exception => None }
+
+  /** Exact complement where one is known (beyond not(x) itself). */
+  private def complementOf(c: Condition): Option[Condition] = c match {
+    case IsCondition(State.UNDEFINED) => Some(IsCondition(State.DEFINED))
+    case IsCondition(State.DEFINED)   => Some(IsCondition(State.UNDEFINED))
+    case ConstantCondition(b)         => Some(ConstantCondition(!b))
+    case NotCondition(inner)          => Some(inner)
+    case _                            => None
+  }
+
+  /** Contains-family implication over value SETS (ConditionEvaluator
+    * semantics: ALL = condValues within the list's set, ANY = intersection,
+    * ONLY = set equality). */
+  private def containsSubset(lv: Set[JValue], lc: Containment.Containment,
+                             rv: Set[JValue], rc: Containment.Containment): Boolean = {
+    import Containment._
+    (lc, rc) match {
+      case (ALL, ALL)   => rv.subsetOf(lv)
+      case (ALL, ANY)   => lv.intersect(rv).nonEmpty
+      case (ANY, ANY)   => lv.subsetOf(rv)
+      case (ONLY, ONLY) => lv == rv
+      case (ONLY, ALL)  => rv.subsetOf(lv)
+      case (ONLY, ANY)  => lv.intersect(rv).nonEmpty
+      case _            => false
+    }
+  }
+
+  private def comparisonIsDisjoint(v: JValue, s: State.State): Boolean =
+    if (v.isInstanceOf[JString]) s != State.STRING && s != State.DEFINED
+    else if (JValue.isNumber(v)) s != State.NUM && s != State.DEFINED
+    else false
+
+  /** The literal prefix every match of the pattern starts with (None when
+    * the pattern opens with a wildcard). */
+  private def anchoredPrefix(lc: LikeCondition): Option[String] = {
+    val (lead, _, segs) = LikeCondition.compile(lc.pattern)
+    if (lead || segs.isEmpty) None else Some(segs.head)
+  }
+
+  private def likeComparisonDisjoint(lc: LikeCondition,
+                                     op: Comparison.Comparison, v: String): Boolean =
+    anchoredPrefix(lc) match {
+      case Some(pre) if op == Comparison.LE => pre > v || (pre == v && !lc.matches(v))
+      case Some(pre) if op == Comparison.LT => pre >= v
+      case _ => false
+    }
 
   /** Range inclusion for same-type comparisons: l's range within r's. */
   private def comparisonSubset(l: ComparisonCondition, r: ComparisonCondition): Boolean = {
