@@ -180,6 +180,30 @@ object SparkEntry {
         .orderBy("key")
     },
 
+    // claim lifecycle as a queryable surface (Databus.java:59-91): claim a
+    // batch per subscription, ack part of it, renew one channel's claims,
+    // then read getClaimCount at two instants — before and after the
+    // original TTL expiry (renewed claims survive, un-renewed lapse)
+    "databus_claims" -> { (s, dir) =>
+      import graft.streaming.Claims
+      val t0 = 1000000L; val ttl = 60000L
+      val ev = Tables.events(s, dir).select(col("event_id").as("msg_id"),
+        col("event_type"))
+      val ch0 = ev.withColumn("subscription", lit("s_all"))
+        .unionByName(ev.where(col("event_type") === "purchase")
+          .withColumn("subscription", lit("s_purchase")))
+        .withColumn("claim_until_ms", lit(0L))
+        .select("subscription", "msg_id", "claim_until_ms")
+      val ch1 = Claims.claim(ch0, nowMs = t0, claimTtlMs = ttl, limit = 100)
+      val ch2 = Claims.ack(ch1, ch1.where(col("subscription") === "s_purchase" &&
+        col("claim_until_ms") > t0 && col("msg_id") <= 300))
+      val ch3 = Claims.renew(ch2, "s_all", nowMs = t0 + 50000L, claimTtlMs = ttl)
+      Claims.claimCounts(ch3, t0).withColumnRenamed("claim_count", "claimed_t0")
+        .join(Claims.claimCounts(ch3, t0 + 70000L)
+          .withColumnRenamed("claim_count", "claimed_t2"), Seq("subscription"))
+        .orderBy("subscription")
+    },
+
     // ================================================================ §2.1 scans
     "scan_point_get" -> { (s, dir) =>
       val session = new EmoSession(s, EventLog.changes(s, dir))
@@ -703,6 +727,29 @@ object SparkEntry {
         |       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS all_tags,
         |       count(*) AS consolidated_count
         |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "databus_claims" ->
+      """WITH channel AS (
+        |  SELECT 's_all' AS subscription, event_id AS msg_id FROM events
+        |  UNION ALL
+        |  SELECT 's_purchase', event_id FROM events WHERE event_type = 'purchase'
+        |), claimed AS (
+        |  SELECT subscription, msg_id,
+        |         CASE WHEN row_number() OVER (PARTITION BY subscription ORDER BY msg_id) <= 100
+        |              THEN 1060000 ELSE 0 END AS claim_until_ms
+        |  FROM channel
+        |), after_ack AS (
+        |  SELECT * FROM claimed
+        |  WHERE NOT (subscription = 's_purchase' AND claim_until_ms > 1000000 AND msg_id <= 300)
+        |), after_renew AS (
+        |  SELECT subscription, msg_id,
+        |         CASE WHEN subscription = 's_all' AND claim_until_ms > 1050000
+        |              THEN 1110000 ELSE claim_until_ms END AS claim_until_ms
+        |  FROM after_ack)
+        |SELECT subscription,
+        |       CAST(sum(CASE WHEN claim_until_ms > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS claimed_t0,
+        |       CAST(sum(CASE WHEN claim_until_ms > 1070000 THEN 1 ELSE 0 END) AS BIGINT) AS claimed_t2
+        |FROM after_renew GROUP BY 1 ORDER BY subscription""".stripMargin,
 
     "scan_point_get" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS version, false AS deleted

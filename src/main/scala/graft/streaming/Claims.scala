@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Claim-based event delivery as a queryable relational surface (SURVEY
+ * §2.9; reference databus-api Databus.java:59-91 — poll claims, renew,
+ * acknowledge, unclaimAll, getClaimCount).
+ *
+ * A channel is a DataFrame of pending events per subscription:
+ * (subscription: string, msg_id: long in changeId order, claim_until_ms:
+ * long, plus payload columns). A row is CLAIMED at instant `now` iff
+ * `claim_until_ms > now`; an expired claim lapses back to pollable with no
+ * separate state transition — exactly the reference's TTL semantics, where
+ * an un-acked event re-delivers after its claim expires.
+ *
+ * Scale notes: every operator here is one hash shuffle on `subscription`
+ * (or none). `claim` needs per-subscription ordering, which is inherent to
+ * the semantics (ordered delivery within a channel) — the window partitions
+ * by subscription, so N subscriptions parallelize across the cluster while
+ * each channel stays sequential, the same concurrency shape as the
+ * reference's per-subscription dedup queues.
+ */
+object Claims {
+
+  /** Claim up to `limit` unclaimed-or-lapsed events per subscription, in
+    * msg_id (changeId) order: their `claim_until_ms` becomes
+    * `nowMs + claimTtlMs`. Already-claimed rows are untouched — polling
+    * never extends or steals a live claim (Databus.java poll: claimed
+    * events are skipped until their TTL lapses). Returns the whole updated
+    * channel. */
+  def claim(channel: DataFrame, nowMs: Long, claimTtlMs: Long, limit: Int): DataFrame = {
+    val lapsed = channel.where(col("claim_until_ms") <= nowMs)
+    val live = channel.where(col("claim_until_ms") > nowMs)
+    val w = Window.partitionBy("subscription").orderBy("msg_id")
+    val claimed = lapsed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("claim_until_ms",
+        when(col("__rn") <= limit, lit(nowMs + claimTtlMs))
+          .otherwise(col("claim_until_ms")))
+      .drop("__rn")
+    claimed.unionByName(live)
+  }
+
+  /** The claimed batch a poll at `nowMs` would hand the consumer: the rows
+    * whose claim is live. Pair with [[claim]]: `poll = claim(...) then
+    * claimedBatch(...)`. */
+  def claimedBatch(channel: DataFrame, subscription: String, nowMs: Long): DataFrame =
+    channel.where(col("subscription") === subscription && col("claim_until_ms") > nowMs)
+
+  /** Renew the live claims of one subscription (Databus.java renew):
+    * extends `claim_until_ms` to `nowMs + claimTtlMs`. With `msgIds`
+    * given, only those events renew (the reference's by-event-key form);
+    * lapsed claims never renew — a consumer that missed its TTL must
+    * re-poll, it cannot resurrect the old claim. */
+  def renew(channel: DataFrame, subscription: String, nowMs: Long,
+            claimTtlMs: Long, msgIds: Option[Seq[Long]] = None): DataFrame = {
+    val targeted = col("subscription") === subscription &&
+      col("claim_until_ms") > nowMs &&
+      msgIds.map(ids => col("msg_id").isin(ids: _*)).getOrElse(lit(true))
+    channel.withColumn("claim_until_ms",
+      when(targeted, lit(nowMs + claimTtlMs)).otherwise(col("claim_until_ms")))
+  }
+
+  /** Acknowledge: remove delivered events from the channel permanently
+    * (at-least-once — only an explicit ack consumes). */
+  def ack(channel: DataFrame, subscription: String, msgIds: Seq[Long]): DataFrame =
+    channel.where(!(col("subscription") === subscription &&
+      col("msg_id").isin(msgIds: _*)))
+
+  /** Ack by frame — the distributed form for bulk consumers: removes every
+    * (subscription, msg_id) pair present in `acks` via one anti join (no
+    * driver-side id list). */
+  def ack(channel: DataFrame, acks: DataFrame): DataFrame =
+    channel.join(acks.select("subscription", "msg_id"),
+      Seq("subscription", "msg_id"), "left_anti")
+
+  /** Release every live claim of a subscription back to pollable
+    * (Databus.java unclaimAll). */
+  def unclaimAll(channel: DataFrame, subscription: String): DataFrame =
+    channel.withColumn("claim_until_ms",
+      when(col("subscription") === subscription, lit(0L))
+        .otherwise(col("claim_until_ms")))
+
+  /** Drop every pending event of a subscription (Databus.java purge). */
+  def purge(channel: DataFrame, subscription: String): DataFrame =
+    channel.where(col("subscription") =!= subscription)
+
+  /** The queryable claim-count surface (Databus.java getClaimCount): per
+    * subscription, how many events are currently claimed at `nowMs`.
+    * Subscriptions present in the channel with zero live claims report 0
+    * (conditional sum, not a filtered count). One partial-aggregated
+    * shuffle; output is one row per subscription. */
+  def claimCounts(channel: DataFrame, nowMs: Long): DataFrame =
+    channel.groupBy("subscription")
+      .agg(sum(when(col("claim_until_ms") > nowMs, 1L).otherwise(0L))
+        .cast("long").as("claim_count"))
+}
