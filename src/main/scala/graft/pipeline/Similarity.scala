@@ -103,8 +103,9 @@ object Similarity {
     * `preBucket=Some(b)` to force a path. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double, preBucket: Option[Boolean] = None,
-                              planes: Int = 4, bands: Int = 8,
-                              allPairsMaxRows: Long = 10000L): DataFrame = {
+                              planes: Int = 16, bands: Int = 8,
+                              allPairsMaxRows: Long = 10000L,
+                              maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // one cheap count action beats planning an O(N^2) join on a large input;
     // at corpus scale the caller knows the answer and forces the path
@@ -115,15 +116,31 @@ object Similarity {
           .select(col("l.id").as("id1"), col("r.id").as("id2"),
             col("l.vec").as("v1"), col("r.vec").as("v2"))
       } else {
-        val bucketed = base.select(col("id"), col("vec"),
+        // ids only through the band join and the distinct: vectors are the
+        // wide payload, so candidate dedup shuffles bare (id1, id2) pairs
+        // and the vectors re-join by id afterwards (two hash joins on the
+        // id key — cheap at any scale, vs shuffling vector pairs)
+        val bucketed = base.select(col("id"),
             posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        bucketed.as("l").join(bucketed.as("r"),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cap degenerate buckets (same guard as the minhash/simhash paths):
+        // a bucket of B near-identical vectors contributes B^2/2 pairs;
+        // oversized buckets are duplicate CLUSTERS — handle them by cluster
+        // assignment (all members mutually near-dup), not pairwise
+        val sized = bucketed.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bucket_n"))
+        val capped = bucketed.join(
+          sized.where(col("bucket_n") <= maxBucketSize).select("band", "bucket"),
+          Seq("band", "bucket"), "left_semi")
+        val idPairs = capped.as("l").join(capped.as("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
             col("l.id") < col("r.id"))
-          .select(col("l.id").as("id1"), col("r.id").as("id2"),
-            col("l.vec").as("v1"), col("r.vec").as("v2"))
+          .select(col("l.id").as("id1"), col("r.id").as("id2"))
           .distinct()
+        idPairs
+          .join(base.select(col("id").as("id1"), col("vec").as("v1")), Seq("id1"))
+          .join(base.select(col("id").as("id2"), col("vec").as("v2")), Seq("id2"))
       }
     pairs.withColumn("cosine", cosine(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
