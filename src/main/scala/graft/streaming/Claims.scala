@@ -32,16 +32,18 @@ object Claims {
     * events are skipped until their TTL lapses). Returns the whole updated
     * channel. */
   def claim(channel: DataFrame, nowMs: Long, claimTtlMs: Long, limit: Int): DataFrame = {
-    val lapsed = channel.where(col("claim_until_ms") <= nowMs)
-    val live = channel.where(col("claim_until_ms") > nowMs)
-    val w = Window.partitionBy("subscription").orderBy("msg_id")
-    val claimed = lapsed
+    // ONE scan + one shuffle: the window partitions by (subscription,
+    // lapsed?) so lapsed rows number independently of live ones — no
+    // filter/union split reading the channel twice. Live rows get a rank
+    // too, but the claim predicate ignores it.
+    val lapsed = col("claim_until_ms") <= nowMs
+    val w = Window.partitionBy(col("subscription"), lapsed).orderBy("msg_id")
+    channel
       .withColumn("__rn", row_number().over(w))
       .withColumn("claim_until_ms",
-        when(col("__rn") <= limit, lit(nowMs + claimTtlMs))
+        when(lapsed && col("__rn") <= limit, lit(nowMs + claimTtlMs))
           .otherwise(col("claim_until_ms")))
       .drop("__rn")
-    claimed.unionByName(live)
   }
 
   /** The claimed batch a poll at `nowMs` would hand the consumer: the rows
