@@ -463,6 +463,23 @@ object SparkEntry {
         .orderBy("text_hash")
     },
 
+    // cluster assignment over a pair list that only CHAINS each planted
+    // duplicate group (d - d+1M, d+1M - d+2M, never d - d+2M), so the
+    // component label must propagate multi-hop; the oracle states the
+    // expected component structure independently (min id, 3 members, max
+    // member id per planted group)
+    "dedup_clusters" -> { (s, dir) =>
+      val ids = Tables.read(s, dir, "documents")
+        .where(col("doc_id") < 10).select(col("doc_id").cast("long").as("d"))
+      val chain = ids.select(col("d").as("id1"), (col("d") + 1000000L).as("id2"))
+        .unionByName(ids.select((col("d") + 1000000L).as("id1"),
+          (col("d") + 2000000L).as("id2")))
+      Dedup.duplicateClusters(chain)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy("cluster_id")
+    },
+
     // planted-fixture oracle: exact copies of docs 0-19 are unioned in with
     // shifted ids; at threshold 0.995 the only qualifying pairs are the
     // identical-text plants (natural bigram-jaccard max at sf0.01 is 0.989),
@@ -927,6 +944,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_clusters" ->
+      """SELECT CAST(doc_id AS BIGINT) AS cluster_id,
+        |       CAST(3 AS BIGINT) AS n_members,
+        |       CAST(doc_id + 2000000 AS BIGINT) AS max_id
+        |FROM documents WHERE doc_id < 10 ORDER BY cluster_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (

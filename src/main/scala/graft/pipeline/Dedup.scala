@@ -182,4 +182,62 @@ object Dedup {
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
       .distinct()
   }
+
+  /**
+   * Duplicate-cluster assignment: connected components over a near-dup
+   * pair list (`id1`, `id2` columns) — the dedup endgame, turning pairwise
+   * matches into "keep one representative per cluster". Returns one row
+   * per id that appears in any pair: (id, cluster_id) with cluster_id =
+   * the component's minimum id (so the canonical representative is
+   * `id === cluster_id`).
+   *
+   * Algorithm: min-label propagation — each round every node takes the
+   * minimum label among itself and its neighbors; stops when a round
+   * changes nothing (one count per round) or at `maxIters`. Rounds needed
+   * = the component graph's diameter. Near-dup components are overwhelmingly
+   * dense (bucket joins emit cliques), so 2-4 rounds is typical; a
+   * pathological million-link chain needs the alternating star-contraction
+   * algorithm (Kiveris et al., "Connected Components in MapReduce") — at
+   * that point the pairs input itself was the scale problem. Each round is
+   * one equi-join + one aggregate, both on the id key; the edge list is
+   * persisted once and reused every round.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .where(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop near-duplicates: keep each cluster's canonical (min-id) member
+    * plus every row that appears in no pair. */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val nonCanonical = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(nonCanonical, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.spark
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components cluster assignment over near-dup pairs: multi-hop
+  * chains, star shapes, disjoint components, canonical representatives,
+  * and the non-paired-rows passthrough of dropNearDuplicates. */
+class DedupClustersSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pairs(ps: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ps.toDF("id1", "id2")
+  }
+
+  private def clusters(df: DataFrame): Map[Long, Long] =
+    Dedup.duplicateClusters(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain needs multi-hop propagation to one component") {
+    // 5-4-3-2-1: label 1 must travel 4 hops
+    assert(clusters(pairs((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("star and disjoint components keep separate labels") {
+    val got = clusters(pairs((10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+      (20L, 21L), (21L, 22L),                                    // chain
+      (30L, 31L)))                                               // pair
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("bridging edge merges two cliques") {
+    val got = clusters(pairs((1L, 2L), (2L, 3L), (1L, 3L),  // clique A
+      (7L, 8L), (8L, 9L), (7L, 9L),                          // clique B
+      (3L, 7L)))                                             // bridge
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("maxIters caps the rounds (partial labels, no hang)") {
+    val chain = pairs((4L, 3L), (3L, 2L), (2L, 1L))
+    val partial = Dedup.duplicateClusters(chain, maxIters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after one round, 4 has only seen 3's initial label
+    assert(partial(4L) === 3L && partial(1L) === 1L)
+  }
+
+  test("dropNearDuplicates keeps canonical members and unpaired rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "a copy"), (3L, "a copy2"), (9L, "unique"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, pairs((1L, 2L), (2L, 3L)), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 9L))
+  }
+}
