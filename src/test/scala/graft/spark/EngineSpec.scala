@@ -598,6 +598,33 @@ class EngineSpec extends AnyFunSuite {
       s"cond_like lost string pushdown:\n$likePlan")
   }
 
+  test("plan contracts: new-operator physical shapes") {
+    val s = spark
+    import s.implicits._
+    // claim is ONE shuffle (the subscription/lapsed window), no union split
+    // re-reading the channel
+    val channel = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 0L))
+      .toDF("subscription", "msg_id", "claim_until_ms")
+    // (string match: AQE wraps the plan, hiding the tree from collect)
+    val claimPlan = graft.streaming.Claims.claim(channel, 1000L, 500L, 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(claimPlan).size === 1,
+      s"claim should shuffle once:\n$claimPlan")
+    assert(!claimPlan.contains("Union"),
+      s"claim re-introduced the filter/union split:\n$claimPlan")
+    // the bucketed embedding-dedup path never materializes an all-pairs
+    // join: candidates come from equi-joins only
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val bucketedPlan = graft.pipeline.Similarity.embeddingNearDuplicates(
+        emb, "vec_id", "embedding", threshold = 0.99, preBucket = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!bucketedPlan.contains("BroadcastNestedLoopJoin") &&
+      !bucketedPlan.contains("CartesianProduct"),
+      s"bucketed embedding dedup fell back to all-pairs:\n$bucketedPlan")
+  }
+
   test("deterministic sampling: stable subsets, disjoint splits, strata fractions") {
     import graft.pipeline.Sampling
     val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
