@@ -109,6 +109,38 @@ class KafkaBusSpec extends AnyFunSuite {
     assert(JsonCodec.render(parsed) === rows("tbl/k1"))
   }
 
+  test("megabus pipeline minus the broker: stream fold -> changelog encode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeRow]
+    // the exact megabusPipeline composition with the kafka edges replaced
+    // by memory source/sink: encodeChangelog must be streaming-compatible
+    val query = KafkaBus.encodeChangelog(
+        graft.streaming.Materializer.materialize(input.toDS()))
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("megabus_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_megabus").toString)
+      .start()
+    try {
+      input.addData(
+        ChangeRow("t", "k1", 1000L, 0L, "n", """{"x":1}""", Seq.empty),
+        ChangeRow("t", "k2", 1000L, 0L, "n", """{"y":2}""", Seq.empty))
+      query.processAllAvailable()
+      input.addData(ChangeRow("t", "k2", 2000L, 0L, "n", "~", Seq.empty))
+      query.processAllAvailable()
+      val out = spark.table("megabus_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(out.length === 3)
+      // live doc carries the envelope; the delete is a null-value tombstone
+      assert(out.count { case (k, v) => k == "t/k2" && v == null } === 1)
+      assert(out.exists { case (k, v) =>
+        k == "t/k1" && v != null && v.contains("\"body\":\"{\\\"x\\\":1}\"") })
+    } finally query.stop()
+  }
+
   test("decode transforms are streaming-plan compatible") {
     val s = spark
     import s.implicits._
