@@ -54,6 +54,31 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(partial(4L) === 3L && partial(1L) === 1L)
   }
 
+  test("randomized differential: propagation equals union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val es = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component min = min over all members with the same root
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root)
+            .filter(u => es.exists(e => e._1 == u || e._2 == u)).min.toLong
+        }).toMap
+      assert(clusters(pairs(es: _*)) === expected, s"edges: $es")
+    }
+  }
+
   test("dropNearDuplicates keeps canonical members and unpaired rows") {
     val s = spark
     import s.implicits._
