@@ -285,6 +285,18 @@ object SparkEntry {
         .select(col("seq").as("event_id"), col("ms"))
     },
 
+    // timeline with resolved content per version (includeContentData=true):
+    // after folding k changes, version = k and the last_* fields are the
+    // k-th change's own values — SQL-checkable as a running row_number
+    "timeline_resolved" -> { (s, dir) =>
+      val session = new EmoSession(s, EventLog.changes(s, dir))
+      session.timelineResolved("events", "3", limit = 25)
+        .select(col("version"),
+          jget("body", "last_type").as("last_type"),
+          jget("body", "last_value").cast("double").as("last_value"),
+          col("deleted"))
+    },
+
     // audit records ride the timeline read path as an extra column
     "timeline_audit" -> { (s, dir) =>
       val session = new EmoSession(s, EventLog.changesWithAudit(s, dir))
@@ -826,6 +838,15 @@ object SparkEntry {
     "timeline_reversed" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events
         |WHERE user_id = 3 ORDER BY event_id DESC LIMIT 25""".stripMargin,
+
+    "timeline_resolved" ->
+      """SELECT CAST(row_number() OVER w AS BIGINT) AS version,
+        |       event_type AS last_type,
+        |       CAST(value AS DOUBLE) AS last_value,
+        |       false AS deleted
+        |FROM events WHERE user_id = 3
+        |WINDOW w AS (ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY version LIMIT 25""".stripMargin,
 
     "catalog_metadata" ->
       """SELECT * FROM (VALUES

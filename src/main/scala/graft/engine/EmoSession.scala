@@ -110,6 +110,27 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
       .orderBy(order: _*).limit(limit)
   }
 
+  /** Timeline with the resolved document state at each version —
+    * DataStore.getTimeline's `includeContentData=true` (DataStore.java:122).
+    * The coordinate filter lands BEFORE the fold's shuffle, so only this
+    * document's log is read and folded. */
+  def timelineResolved(table: String, key: String,
+                       startMs: Option[Long] = None, endMs: Option[Long] = None,
+                       reversed: Boolean = false,
+                       limit: Int = Int.MaxValue): DataFrame = {
+    // NOTE: start/end bound which VERSIONS are returned, not which deltas
+    // fold — a window never changes the resolved state at a version, so
+    // the fold always starts from the log's beginning (reference parity)
+    val folded = graft.resolve.ResolveEngine.resolveVersions(
+      changes.where(col("table") === table && col("key") === key)).toDF()
+    var df = folded
+    startMs.foreach(s => df = df.where(col("ms") >= s))
+    endMs.foreach(e => df = df.where(col("ms") <= e))
+    val order = if (reversed) Seq(col("ms").desc, col("seq").desc, col("node").desc)
+                else Seq(col("ms").asc, col("seq").asc, col("node").asc)
+    df.orderBy(order: _*).limit(limit)
+  }
+
   /** Paged table catalog listing. */
   def listTables(fromExclusive: Option[String] = None, limit: Int = Int.MaxValue): DataFrame = {
     var df = changes.select(col("table")).distinct()

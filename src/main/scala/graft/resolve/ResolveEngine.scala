@@ -30,6 +30,20 @@ final case class ChangeRowFlat(
     delta: String,
     tagsJoined: String)
 
+/** One timeline entry with the resolved document state AS OF that change
+  * (DataStore.getTimeline includeContentData=true). */
+final case class VersionRow(
+    table: String,
+    key: String,
+    ms: Long,
+    seq: Long,
+    node: String,
+    change_type: String,
+    version: Long,
+    signature: String,
+    deleted: Boolean,
+    body: String)
+
 /** A resolved document row (FIXTURES.md §A2). Timestamps as epoch millis;
   * body as canonical JSON text (null when deleted). */
 final case class DocRow(
@@ -164,6 +178,83 @@ object ResolveEngine {
 
     if (includeDeleted) docs else docs.filter(!_.deleted)
   }
+
+  /**
+   * Per-version fold: one output row per change carrying the RESOLVED
+   * document state after that change — DataStore.getTimeline's
+   * `includeContentData=true` semantics (DataStore.java:122), where each
+   * timeline entry exposes the content as of its version. Same single
+   * shuffle + secondary sort as [[resolve]]; the fold emits every prefix
+   * state instead of only the last. Cost over resolve is one JSON render
+   * per change (inherent to the contract).
+   */
+  def resolveVersions(changes: DataFrame,
+                      placement: String = "default"): Dataset[VersionRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val ds = changes
+      .select(col("table").cast("string"), col("key").cast("string"),
+        col("ms").cast("long"), col("seq").cast("long"),
+        col("node").cast("string"), col("delta").cast("string"),
+        array_join(array_sort(coalesce(col("tags"), array())),
+          Resolver.TagSep.toString).as("tagsJoined"))
+      .as[ChangeRowFlat]
+    ds.repartition(col("table"), col("key"))
+      .sortWithinPartitions("table", "key", "ms", "seq", "node")
+      .mapPartitions(foldVersions(placement))
+  }
+
+  private def foldVersions(placement: String)(
+      rows: Iterator[ChangeRowFlat]): Iterator[VersionRow] =
+    new Iterator[VersionRow] {
+      private val it = rows.buffered
+      private var resolver: Resolver = null
+      private var curTable: String = null
+      private var curKey: String = null
+      private val deltaCache = new java.util.LinkedHashMap[String, Delta](1024, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Delta]): Boolean = size > 4096
+      }
+      private def parseDelta(text: String): Delta = {
+        var d = deltaCache.get(text)
+        if (d == null) { d = DslParser.parseDelta(text); deltaCache.put(text, d) }
+        d
+      }
+
+      def hasNext: Boolean = it.hasNext
+
+      def next(): VersionRow = {
+        val c = it.next()
+        if (resolver == null || c.table != curTable || c.key != curKey) {
+          resolver = new Resolver(c.table, c.key, placement)
+          curTable = c.table
+          curKey = c.key
+        }
+        val cid = TimeUuid(c.ms, c.seq, c.node)
+        val changeType =
+          if (isCheckpoint(c.delta)) {
+            val meta = parseCheckpointNode(c.table, c.key, c.node)
+            val bodyText = c.delta.substring(1)
+            val content = graft.json.JsonCodec.parseOrUndefined(
+              if (bodyText == "~") null else bodyText)
+            resolver.restoreCompaction(content, meta.count, cid,
+              meta.firstUpdateMs, meta.lastMutateMs, meta.cutoffSignature,
+              Resolver.splitTags(if (c.tagsJoined == null) "" else c.tagsJoined).toSet)
+            "compaction"
+          } else if (isLegacyCheckpointNode(c.node)) {
+            throw new IllegalStateException(
+              s"legacy compaction checkpoint for (${c.table},${c.key}): " +
+              s"node=${c.node} uses the pre-marker format; re-compact the log " +
+              "with the current Compactor before resolving")
+          } else {
+            resolver.updateJoined(cid, parseDelta(c.delta),
+              if (c.tagsJoined == null) "" else c.tagsJoined)
+            "delta"
+          }
+        val r = resolver.result()
+        VersionRow(c.table, c.key, c.ms, c.seq, c.node, changeType,
+          r.version, r.signature, r.deleted, r.bodyJson)
+      }
+    }
 
   /** Streaming fold over a (table,key)-clustered, changeId-sorted iterator. */
   private def foldPartition(placement: String)(rows: Iterator[ChangeRowFlat]): Iterator[DocRow] =

@@ -842,4 +842,26 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[String]("change_type") === "compaction")
     assert(row.getAs[String]("delta").startsWith("{")) // readable JSON literal
   }
+
+  test("timelineResolved: per-version states end at the batch fold, incl. compacted") {
+    val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
+    val session = new EmoSession(spark, changes)
+    val versions = session.timelineResolved("events", "3").collect()
+    // versions run 1..n in changeId order
+    assert(versions.map(_.getAs[Long]("version")).toSeq === (1L to versions.length).toSeq)
+    // the last per-version state IS the batch-resolved document (signature too)
+    val doc = session.get("events", "3").get
+    val last = versions.last
+    assert(last.getAs[Long]("version") === doc.version)
+    assert(last.getAs[String]("signature") === doc.signature)
+    assert(last.getAs[String]("body") === doc.body)
+    // over a compacted log: one compaction record restoring the same state
+    val compacted = graft.resolve.Compactor.compact(changes, cutoffMs = Long.MaxValue)
+    val cv = new EmoSession(spark, compacted).timelineResolved("events", "3").collect()
+    assert(cv.length === 1)
+    assert(cv.head.getAs[String]("change_type") === "compaction")
+    assert(cv.head.getAs[Long]("version") === doc.version)
+    assert(cv.head.getAs[String]("signature") === doc.signature)
+    assert(cv.head.getAs[String]("body") === doc.body)
+  }
 }
