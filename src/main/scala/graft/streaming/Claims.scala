@@ -52,6 +52,13 @@ object Claims {
   def claimedBatch(channel: DataFrame, subscription: String, nowMs: Long): DataFrame =
     channel.where(col("subscription") === subscription && col("claim_until_ms") > nowMs)
 
+  /** Peek: the batch a poll would deliver, WITHOUT claiming anything
+    * (Databus.java peek) — unclaimed-or-lapsed events in msg_id order. */
+  def peek(channel: DataFrame, subscription: String, nowMs: Long, limit: Int): DataFrame =
+    channel.where(col("subscription") === subscription &&
+        col("claim_until_ms") <= nowMs)
+      .orderBy("msg_id").limit(limit)
+
   /** Renew the live claims of one subscription (Databus.java renew):
     * extends `claim_until_ms` to `nowMs + claimTtlMs`. With `msgIds`
     * given, only those events renew (the reference's by-event-key form);

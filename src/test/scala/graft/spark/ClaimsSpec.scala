@@ -51,6 +51,15 @@ class ClaimsSpec extends AnyFunSuite {
     assert(batch.select("msg_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("peek delivers the pollable batch without claiming") {
+    val ch = channel(("a", 1L, 2000L), ("a", 2L, 0L), ("a", 3L, 0L), ("b", 4L, 0L))
+    val peeked = Claims.peek(ch, "a", nowMs = 1000L, limit = 1)
+    assert(peeked.select("msg_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the channel is untouched — peek mutates nothing
+    assert(snapshot(ch) === Set(("a", 1L, 2000L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("b", 4L, 0L)))
+  }
+
   test("renew extends live claims only; lapsed claims cannot resurrect") {
     val ch = channel(("a", 1L, 2000L), ("a", 2L, 900L), ("b", 3L, 2000L))
     val renewed = Claims.renew(ch, "a", nowMs = 1000L, claimTtlMs = 5000L)
