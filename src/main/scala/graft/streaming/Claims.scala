@@ -59,18 +59,25 @@ object Claims {
         col("claim_until_ms") <= nowMs)
       .orderBy("msg_id").limit(limit)
 
-  /** Renew the live claims of one subscription (Databus.java renew):
-    * extends `claim_until_ms` to `nowMs + claimTtlMs`. With `msgIds`
-    * given, only those events renew (the reference's by-event-key form);
-    * lapsed claims never renew — a consumer that missed its TTL must
-    * re-poll, it cannot resurrect the old claim. */
+  /** Renew claims of one subscription (Databus.java renew → event-store
+    * renew with `extendOnly=true`, DefaultClaimSet.renewAll): the new
+    * expiry is `max(current, nowMs + claimTtlMs)` — renewing never
+    * SHORTENS a live claim. The by-event-key form (`msgIds` given)
+    * re-claims even lapsed events, exactly like the reference, where
+    * renewAll installs a claim whether or not one is live
+    * (DefaultClaimSetTest.testRenewExpiredClaim); the bulk keep-alive form
+    * (no ids) extends only currently-live claims. */
   def renew(channel: DataFrame, subscription: String, nowMs: Long,
             claimTtlMs: Long, msgIds: Option[Seq[Long]] = None): DataFrame = {
-    val targeted = col("subscription") === subscription &&
-      col("claim_until_ms") > nowMs &&
-      msgIds.map(ids => col("msg_id").isin(ids: _*)).getOrElse(lit(true))
+    val targeted = msgIds match {
+      case Some(ids) => col("subscription") === subscription &&
+        col("msg_id").isin(ids: _*)
+      case None => col("subscription") === subscription &&
+        col("claim_until_ms") > nowMs
+    }
     channel.withColumn("claim_until_ms",
-      when(targeted, lit(nowMs + claimTtlMs)).otherwise(col("claim_until_ms")))
+      when(targeted, greatest(col("claim_until_ms"), lit(nowMs + claimTtlMs)))
+        .otherwise(col("claim_until_ms")))
   }
 
   /** Acknowledge: remove delivered events from the channel permanently

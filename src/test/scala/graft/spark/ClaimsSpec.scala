@@ -60,15 +60,21 @@ class ClaimsSpec extends AnyFunSuite {
       ("b", 4L, 0L)))
   }
 
-  test("renew extends live claims only; lapsed claims cannot resurrect") {
+  test("renew: extend-only, by-key re-claims lapsed (DefaultClaimSet parity)") {
     val ch = channel(("a", 1L, 2000L), ("a", 2L, 900L), ("b", 3L, 2000L))
+    // bulk keep-alive: live claims extend, lapsed stay lapsed
     val renewed = Claims.renew(ch, "a", nowMs = 1000L, claimTtlMs = 5000L)
     assert(snapshot(renewed) === Set(
       ("a", 1L, 6000L), ("a", 2L, 900L), ("b", 3L, 2000L)))
-    // by-msg-id renew targets a subset
-    val targeted = Claims.renew(channel(("a", 1L, 2000L), ("a", 2L, 2000L)),
+    // by-msg-id renew targets a subset AND re-claims an expired event
+    // (renewAll installs a claim whether or not one is live)
+    val targeted = Claims.renew(channel(("a", 1L, 2000L), ("a", 2L, 900L)),
       "a", nowMs = 1000L, claimTtlMs = 5000L, msgIds = Some(Seq(2L)))
     assert(snapshot(targeted) === Set(("a", 1L, 2000L), ("a", 2L, 6000L)))
+    // extendOnly: a shorter renewal never shortens a longer live claim
+    val shorter = Claims.renew(channel(("a", 1L, 9000L)),
+      "a", nowMs = 1000L, claimTtlMs = 100L, msgIds = Some(Seq(1L)))
+    assert(snapshot(shorter) === Set(("a", 1L, 9000L)))
   }
 
   test("ack removes, unclaimAll releases, purge drops the channel") {
