@@ -109,6 +109,35 @@ object Deltas {
       case v          => Literal(v)
     }
 
+  /** Intrinsic data fields + `~tags`: keys a producer may never write
+    * (Intrinsic.DATA_FIELDS + UpdateRef.TAGS_NAME). */
+  private val protectedKeys: Set[String] = {
+    import graft.condition.Intrinsic
+    Set(Intrinsic.Id, Intrinsic.Table, Intrinsic.Version, Intrinsic.Signature,
+      Intrinsic.Deleted, Intrinsic.FirstUpdateAt, Intrinsic.LastUpdateAt,
+      Intrinsic.LastMutateAt, Intrinsic.Placement, "~tags")
+  }
+
+  /** Write-path delta sanitization (DefaultDataStore.update →
+    * SanitizeDeltaVisitor): a top-level value in the store must be a JSON
+    * object, so literal scalars/lists and top-level set-deltas are
+    * rejected; intrinsic data fields and `~tags` are silently stripped
+    * from top-level literal objects and map-delta entries, recursing
+    * through conditional branches. Nested values keep their keys — only
+    * the document's top level is protected. */
+  def sanitize(d: Delta): Delta = d match {
+    case NoopDelta | DeleteDelta => d
+    case Literal(JObj(fields)) => Literal(JObj(fields -- protectedKeys))
+    case Literal(_) => throw new IllegalArgumentException(
+      "Top-level values in the System of Record must be JSON objects.")
+    case MapDelta(entries, removeRest, deleteIfEmpty) =>
+      MapDelta(entries -- protectedKeys, removeRest, deleteIfEmpty)
+    case _: SetDelta => throw new IllegalArgumentException(
+      "Top-level values in the System of Record must be JSON objects.")
+    case ConditionalDelta(test, t, e) =>
+      ConditionalDelta(test, sanitize(t), sanitize(e))
+  }
+
   def fromString(text: String): Delta = DslParser.parseDelta(text)
 
   /** Parse a newline/whitespace-separated stream of delta expressions

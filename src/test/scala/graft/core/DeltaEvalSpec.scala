@@ -13,6 +13,40 @@ class DeltaEvalSpec extends AnyFunSuite {
 
   private def j(text: String): JValue = JsonCodec.parse(text)
 
+  // --- write-path sanitization (SanitizeDeltaVisitorTest parity) ---
+
+  test("sanitize rejects non-object top-level values") {
+    Seq("null", "false", "true", "1", "\"hello world\"", "[1,2]", """(..,"a")""")
+      .foreach { text =>
+        intercept[IllegalArgumentException](
+          Deltas.sanitize(Deltas.fromString(text)))
+      }
+  }
+
+  test("sanitize passes delete/noop/object literals; strips protected keys") {
+    assert(Deltas.sanitize(Deltas.fromString("~")) === Deltas.fromString("~"))
+    assert(Deltas.sanitize(Deltas.fromString("..")) === Deltas.fromString(".."))
+    assert(Deltas.sanitize(Deltas.fromString("""{"x":1}""")) ===
+      Deltas.fromString("""{"x":1}"""))
+    // intrinsic data fields and ~tags stripped; other ~-keys kept
+    assert(Deltas.sanitize(Deltas.fromString(
+      """{..,"~x":1,"~id":1,"~table":1,"~version":1,"~signature":1,"~deleted":1,"~firstUpdateAt":1,"~lastUpdateAt":1,"~lastMutateAt":1,"~placement":1,"~y":~}""")) ===
+      Deltas.fromString("""{..,"~x":1,"~y":~}"""))
+    assert(Deltas.sanitize(Deltas.fromString(
+      """{..,"name":"Bob","~tags":["tag0"]}""")) ===
+      Deltas.fromString("""{..,"name":"Bob"}"""))
+    assert(Deltas.sanitize(Deltas.fromString(
+      """{"name":"Bob","~version":9}""")) ===
+      Deltas.fromString("""{"name":"Bob"}"""))
+  }
+
+  test("sanitize recurses through conditional branches") {
+    val d = Deltas.fromString(
+      """if + then {..,"~x":1,"~version":1,"~y":~} else {..,"~x":~,"~version":2,"~y":2} end""")
+    assert(Deltas.sanitize(d) === Deltas.fromString(
+      """if + then {..,"~x":1,"~y":~} else {..,"~x":~,"~y":2} end"""))
+  }
+
   test("set list") {
     assert(eval("""{..,"tags":["NEWBIE"]}""", JUndefined) === j("""{"tags":["NEWBIE"]}"""))
   }
