@@ -69,6 +69,30 @@ object Compactor {
     * or above `threshold`, i.e. [[skewReport]]'s output), leaving cold logs
     * untouched — the incremental OPTIMIZE a deployment schedules, touching
     * a small fraction of the data instead of rewriting every log. */
+  /**
+   * Compaction keeping the audit trail: the prefix deltas a compaction
+   * replaces are archived to a history DataFrame with an expiry — the
+   * reference's delta history (AbstractCompactor archives deltas at
+   * compaction into a TTL'd history store; a document whose archive batch
+   * would exceed MAX_DELTA_ARCHIVE_SIZE = 2 MB gets NO history, the
+   * archive is discarded wholesale — AbstractCompactor.java:31,193-194,
+   * DeltaHistoryTest.testDeltaHistoryDisabledIfTooLarge). Returns
+   * (compacted log, archived rows + expire_ms); age the history out by
+   * filtering `expire_ms > now` wherever it is served.
+   */
+  def compactWithHistory(changes: DataFrame, cutoffMs: Long, historyTtlMs: Long,
+                         nowMs: Long,
+                         maxArchiveBytes: Long = 2L * 1024 * 1024): (DataFrame, DataFrame) = {
+    val prefix = changes.where(col("ms") <= cutoffMs)
+    val sizes = prefix.groupBy("table", "key")
+      .agg(sum(length(col("delta"))).as("archive_bytes"))
+    val history = prefix
+      .join(sizes.where(col("archive_bytes") <= maxArchiveBytes)
+        .select("table", "key"), Seq("table", "key"), "left_semi")
+      .withColumn("expire_ms", lit(nowMs + historyTtlMs))
+    (compact(changes, cutoffMs), history)
+  }
+
   def compactHot(changes: DataFrame, cutoffMs: Long, threshold: Long): DataFrame = {
     val hot = changes.groupBy(col("table"), col("key"))
       .agg(count(lit(1)).as("n")).where(col("n") >= threshold)

@@ -843,6 +843,31 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[String]("delta").startsWith("{")) // readable JSON literal
   }
 
+  test("compactWithHistory: archived prefix, oversized docs discarded, TTL stamped") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      graft.resolve.ChangeRow("t", "small", 1000L, 0L, "n", """{"x":1}""", Seq.empty),
+      graft.resolve.ChangeRow("t", "small", 2000L, 0L, "n", """{..,"x":2}""", Seq.empty),
+      graft.resolve.ChangeRow("t", "small", 9000L, 0L, "n", """{..,"x":3}""", Seq.empty),
+      graft.resolve.ChangeRow("t", "big", 1000L, 0L, "n",
+        s"""{"blob":"${"a" * 500}"}""", Seq.empty)).toDF()
+    val (compacted, history) = graft.resolve.Compactor.compactWithHistory(
+      changes, cutoffMs = 5000L, historyTtlMs = 60000L, nowMs = 100000L,
+      maxArchiveBytes = 100L)
+    // semantics unchanged by the compaction itself
+    val before = graft.resolve.ResolveEngine.resolve(changes).collect()
+      .map(d => (d.table, d.id, d.version, d.signature, d.body)).toSet
+    val after = graft.resolve.ResolveEngine.resolve(compacted).collect()
+      .map(d => (d.table, d.id, d.version, d.signature, d.body)).toSet
+    assert(after === before)
+    // small doc: both pre-cutoff deltas archived with the expiry stamped;
+    // big doc: archive exceeds the cap, history discarded wholesale
+    val h = history.select("key", "ms", "expire_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSet === Set(("small", 1000L, 160000L), ("small", 2000L, 160000L)))
+  }
+
   test("timelineResolved: per-version states end at the batch fold, incl. compacted") {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     val session = new EmoSession(spark, changes)
