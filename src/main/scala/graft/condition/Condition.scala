@@ -218,14 +218,42 @@ object Conditions {
     else AndCondition(flat)
   }
 
+  /** OR with the reference builder's normalization
+    * (OrConditionBuilderImpl.java:28-110): alwaysTrue short-circuits,
+    * alwaysFalse drops, equal/in branches merge into ONE in() (an O(n)
+    * scan becomes an O(1) set lookup), same-intrinsic branches merge into
+    * intrinsic(name: or(...)) — the optimization the reference calls out
+    * for large subscription conditions — nested ors flatten, and the
+    * merged parts print in the builder's order: values, then intrinsics
+    * by name, then everything else. */
   def or(cs: Seq[Condition]): Condition = {
-    val flat = cs.flatMap {
-      case OrCondition(inner) => inner
+    def flatten(xs: Seq[Condition]): Seq[Condition] = xs.flatMap {
+      case OrCondition(inner) => flatten(inner)
       case c                  => Seq(c)
     }
-    if (flat.isEmpty) alwaysFalse
-    else if (flat.size == 1) flat.head
-    else OrCondition(flat)
+    val flat = flatten(cs)
+    if (flat.contains(ConstantCondition(true))) return alwaysTrue
+    val values = scala.collection.mutable.LinkedHashSet.empty[JValue]
+    val intrinsics = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Condition]]
+    val others = Vector.newBuilder[Condition]
+    flat.foreach {
+      case ConstantCondition(false)      => ()
+      case EqualCondition(v)             => values += v
+      case InCondition(vs)               => values ++= vs
+      case IntrinsicCondition(name, sub) =>
+        intrinsics(name) = intrinsics.getOrElse(name, Vector.empty) :+ sub
+      case c                             => others += c
+    }
+    val parts = Vector.newBuilder[Condition]
+    if (values.nonEmpty) parts += in(values.toSeq)
+    intrinsics.toSeq.sortBy(_._1).foreach { case (name, subs) =>
+      parts += intrinsic(name, or(subs))
+    }
+    parts ++= others.result()
+    val out = parts.result()
+    if (out.isEmpty) alwaysFalse
+    else if (out.size == 1) out.head
+    else OrCondition(out)
   }
 
   def mapOf(entries: (String, Condition)*): Condition = MapCondition(entries.toMap)

@@ -23,6 +23,37 @@ class DslParserSpec extends AnyFunSuite {
     assert(Conditions.fromString(canonical) === c, s"reparse of $canonical")
   }
 
+  test("or builder normalization (OrConditionTest parity)") {
+    import graft.condition._
+    def ieq(n: String, v: String) = Conditions.intrinsic(n, Conditions.equal(JString(v)))
+    assert(Conditions.or(Seq.empty) === Conditions.alwaysFalse)
+    assert(Conditions.or(Seq(Conditions.equal(JLong(1)))) === Conditions.equal(JLong(1)))
+    // equal branches merge into ONE in()
+    assert(Conditions.or(Seq(Conditions.equal(JLong(1)),
+        Conditions.equal(JString("hello world")))) ===
+      Conditions.in(Seq(JLong(1), JString("hello world"))))
+    // same-intrinsic branches merge their sub-conditions
+    assert(Conditions.or(Seq(ieq(Intrinsic.Table, "foo"), ieq(Intrinsic.Table, "bar"))) ===
+      Conditions.intrinsic(Intrinsic.Table,
+        Conditions.in(Seq(JString("bar"), JString("foo")))))
+    // mixed: values, then intrinsics by name, then the rest
+    val mixed = Conditions.or(Seq(
+      Conditions.equal(JLong(1)), Conditions.equal(JLong(5)),
+      ieq(Intrinsic.Table, "foo"), ieq(Intrinsic.Id, "id"),
+      ieq(Intrinsic.Table, "bar"), Conditions.is(State.UNDEFINED)))
+    assert(mixed === OrCondition(Vector(
+      Conditions.in(Seq(JLong(1), JLong(5))),
+      Conditions.intrinsic(Intrinsic.Id, Conditions.equal(JString("id"))),
+      Conditions.intrinsic(Intrinsic.Table,
+        Conditions.in(Seq(JString("bar"), JString("foo")))),
+      Conditions.is(State.UNDEFINED))))
+    // constants short-circuit / drop
+    assert(Conditions.or(Seq(Conditions.alwaysFalse, Conditions.alwaysTrue)) ===
+      Conditions.alwaysTrue)
+    assert(Conditions.or(Seq(Conditions.alwaysFalse, Conditions.equal(JLong(1)))) ===
+      Conditions.equal(JLong(1)))
+  }
+
   test("basic deltas") {
     roundTrip("..", "..")
     roundTrip("~", "~")
@@ -101,9 +132,11 @@ class DslParserSpec extends AnyFunSuite {
     condRoundTrip("""like("re*iew")""", """like("re*iew")""")
     condRoundTrip("""like("review")""", "\"review\"") // no wildcard => equal
     condRoundTrip("""intrinsic("~table":"review")""", """intrinsic("~table":"review")""")
+    // the or-builder normalization puts merged values before other
+    // branches (OrConditionBuilderImpl.build order)
     condRoundTrip("""intrinsic("~table":like("review:*"),"a")""",
-      """intrinsic("~table":or(like("review:*"),"a"))""")
-    condRoundTrip("partition(8:1,2)", "partition(8:or(1,2))")
+      """intrinsic("~table":or("a",like("review:*")))""")
+    condRoundTrip("partition(8:1,2)", "partition(8:in(1,2))")
     condRoundTrip("""{..,"rating":ge(4),"about":{..,"author":"Bob"}}""",
       """{..,"about":{..,"author":"Bob"},"rating":ge(4)}""")
     condRoundTrip("""containsAny("do","re")""", """containsAny("do","re")""")
