@@ -357,6 +357,21 @@ class EngineSpec extends AnyFunSuite {
     assert(got.signature === expect.signature)
     assert(got.body === expect.body)
 
+    // periodic compaction: compacting an already-compacted log (checkpoint
+    // inside the new prefix) folds the checkpoint and re-checkpoints,
+    // preserving version/signature/content
+    val tail = Seq(
+      ChangeRow("t", "k2", 5000L, 0L, "n3", """{..,"z":3}""", Seq()),
+      ChangeRow("t", "k2", 9000L, 0L, "n4", """{..,"x":9}""", Seq())).toDF()
+    val full = base.unionByName(tail)
+    val twice = Compactor.compact(compacted.unionByName(tail), cutoffMs = 6000L)
+    assert(twice.count() === 2) // one new checkpoint + the 9000ms tail
+    val expectFull = ResolveEngine.resolve(full).collect().head
+    val gotTwice = ResolveEngine.resolve(twice).collect().head
+    assert(gotTwice.version === expectFull.version)
+    assert(gotTwice.signature === expectFull.signature)
+    assert(gotTwice.body === expectFull.body)
+
     // a checkpoint row with a corrupt node field fails loudly
     val corrupt = Seq(ChangeRow("t", "k3", 1000L, 0L, "not-a-checkpoint",
       ResolveEngine.CheckpointDeltaPrefix.toString + "{}", Seq())).toDF()
