@@ -215,6 +215,24 @@ object Databus {
     }
   }
 
+  /** Orphan handling at fanout (DefaultFanout.java:222-244,
+    * DefaultFanoutTest.testFanoutToDroppedTable): an event whose table the
+    * catalog does not know is NOT fanned out — it retries until the grace
+    * period from its change time passes (covering the race between a
+    * create and table-cache invalidation, so events to brand-new tables
+    * deliver once the catalog catches up), then drops. Returns (routable,
+    * retry, drop); feed `retry` back into the next batch and discard
+    * `drop`. The catalog side is tiny — the semi/anti joins broadcast. */
+  def splitOrphans(events: DataFrame, knownTables: DataFrame, nowMs: Long,
+                   graceMs: Long = 30000L): (DataFrame, DataFrame, DataFrame) = {
+    val known = broadcast(knownTables.select(col("table")).distinct())
+    val routable = events.join(known, Seq("table"), "left_semi")
+    val orphans = events.join(known, Seq("table"), "left_anti")
+    (routable,
+      orphans.where(col("ms") >= nowMs - graceMs),
+      orphans.where(col("ms") < nowMs - graceMs))
+  }
+
   /** Replay (Databus.java:94-112): re-deliver events from a timestamp
     * horizon through the same fanout — the batch analog of restarting a
     * stream from `startingOffsetsByTimestamp`. */

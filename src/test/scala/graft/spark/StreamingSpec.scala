@@ -484,6 +484,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSingle === counts(100))
   }
 
+  test("orphaned events: unknown tables retry within grace, drop after (DefaultFanoutTest parity)") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1000000L
+    val events = Seq(
+      ("known", "k1", t0),          // routable
+      ("dropped", "k2", t0),        // orphan, fresh
+      ("dropped", "k3", t0 - 60000L) // orphan, past grace
+    ).toDF("table", "key", "ms")
+    val catalog = Seq("known").toDF("table")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("key").collect().map(_.getString(0)).toSet
+
+    val (routable, retry, drop) = graft.streaming.Databus.splitOrphans(
+      events, catalog, nowMs = t0, graceMs = 30000L)
+    assert(keys(routable) === Set("k1"))
+    assert(keys(retry) === Set("k2"))
+    assert(keys(drop) === Set("k3"))
+
+    // 31s later the fresh orphan's grace has passed -> drop
+    val (_, retry2, drop2) = graft.streaming.Databus.splitOrphans(
+      events, catalog, nowMs = t0 + 31000L, graceMs = 30000L)
+    assert(keys(retry2) === Set.empty[String])
+    assert(keys(drop2) === Set("k2", "k3"))
+
+    // the table appears in the catalog (delayed cache invalidation):
+    // the retried event becomes routable
+    val catalog2 = Seq("known", "dropped").toDF("table")
+    val (routable3, retry3, _) = graft.streaming.Databus.splitOrphans(
+      events, catalog2, nowMs = t0, graceMs = 30000L)
+    assert(keys(routable3) === Set("k1", "k2", "k3"))
+    assert(keys(retry3) === Set.empty[String])
+  }
+
   test("databus move re-keys pending events without re-filtering; subscribe ANDs the default join filter") {
     import graft.streaming.Databus.{SubscriptionRecord => SR}
     val s = spark
