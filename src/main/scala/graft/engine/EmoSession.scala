@@ -48,6 +48,35 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
       .withColumnRenamed("id", "key")
   }
 
+  /** The reference read contract: reads never miss. An unknown coordinate
+    * resolves to the synthetic non-existent record — ~deleted=true,
+    * ~version=0, ~signature all zeros (the client-visible sentinel for
+    * "never written", distinct from a real delete whose version/signature
+    * reflect its history). */
+  def getOrDefault(table: String, key: String): DocRow =
+    get(table, key, includeDeleted = true).getOrElse(
+      DocRow(table, key, 0L, EmoSession.NonExistentSignature, deleted = true,
+        0L, 0L, 0L, placement, null, Seq.empty, 0L))
+
+  /** multiGet returning one row per REQUESTED coordinate, synthesizing the
+    * non-existent record for coordinates with no history. */
+  def multiGetAll(coords: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val keys = coords.toDF("table", "key")
+    keys.join(multiGet(coords, includeDeleted = true), Seq("table", "key"), "left")
+      .select(col("table"), col("key"),
+        coalesce(col("version"), lit(0L)).as("version"),
+        coalesce(col("signature"), lit(EmoSession.NonExistentSignature)).as("signature"),
+        coalesce(col("deleted"), lit(true)).as("deleted"),
+        coalesce(col("first_update_ms"), lit(0L)).as("first_update_ms"),
+        coalesce(col("last_update_ms"), lit(0L)).as("last_update_ms"),
+        coalesce(col("last_mutate_ms"), lit(0L)).as("last_mutate_ms"),
+        coalesce(col("placement"), lit(placement)).as("placement"),
+        col("body"),
+        coalesce(col("last_tags"), array()).as("last_tags"),
+        coalesce(col("redundant_changes"), lit(0L)).as("redundant_changes"))
+  }
+
   /** Scan-order key: (shard, table, key) like the reference's shard-prefixed
     * row keys — deterministic but not key-alphabetical (SURVEY §1.3). */
   def rowKey(table: Column, key: Column): Column = expressions.emoRowKey(table, key)
@@ -156,4 +185,10 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
         l("purge").as("node"), l("~").as("delta"),
         array(l("purge")).as("tags"))
   }
+}
+
+object EmoSession {
+  /** ~signature of a coordinate that was never written
+    * (the all-zeros sentinel the reference clients assert against). */
+  val NonExistentSignature: String = "0" * 32
 }

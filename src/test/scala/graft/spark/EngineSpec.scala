@@ -858,6 +858,31 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[String]("delta").startsWith("{")) // readable JSON literal
   }
 
+  test("reads never miss: non-existent record sentinel (DataStoreTest multiGet parity)") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      graft.resolve.ChangeRow("t", "real", 1000L, 0L, "n", """{"x":1}""", Seq.empty),
+      graft.resolve.ChangeRow("t", "gone", 1000L, 0L, "n", """{"y":2}""", Seq.empty),
+      graft.resolve.ChangeRow("t", "gone", 2000L, 0L, "n", "~", Seq.empty)).toDF()
+    val session = new EmoSession(spark, changes)
+    // unknown coordinate -> synthetic record: deleted, version 0, zero signature
+    val fake = session.getOrDefault("t", "never_written")
+    assert(fake.deleted && fake.version === 0L &&
+      fake.signature === EmoSession.NonExistentSignature && fake.body == null)
+    // multiGetAll: one row per requested coordinate; the real delete keeps
+    // its true version/signature (distinct from the never-written sentinel)
+    val rows = session.multiGetAll(Seq(("t", "real"), ("t", "gone"), ("t", "nope")))
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Boolean]("deleted"), r.getAs[Long]("version"), r.getAs[String]("signature"))))
+      .toMap
+    assert(rows.keySet === Set("real", "gone", "nope"))
+    assert(!rows("real")._1 && rows("real")._2 === 1L)
+    assert(rows("gone")._1 && rows("gone")._2 === 2L &&
+      rows("gone")._3 != EmoSession.NonExistentSignature)
+    assert(rows("nope") === ((true, 0L, EmoSession.NonExistentSignature)))
+  }
+
   test("compactWithHistory: archived prefix, oversized docs discarded, TTL stamped") {
     val s = spark
     import s.implicits._
