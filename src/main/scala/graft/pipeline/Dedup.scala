@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -191,18 +191,38 @@ object Dedup {
    * the component's minimum id (so the canonical representative is
    * `id === cluster_id`).
    *
-   * Algorithm: min-label propagation — each round every node takes the
-   * minimum label among itself and its neighbors; stops when a round
-   * changes nothing (one count per round) or at `maxIters`. Rounds needed
-   * = the component graph's diameter. Near-dup components are overwhelmingly
-   * dense (bucket joins emit cliques), so 2-4 rounds is typical; a
-   * pathological million-link chain needs the alternating star-contraction
-   * algorithm (Kiveris et al., "Connected Components in MapReduce") — at
-   * that point the pairs input itself was the scale problem. Each round is
-   * one equi-join + one aggregate, both on the id key; the edge list is
-   * persisted once and reused every round.
+   * Algorithm, two tiers (pair count decides — same reasoning as a
+   * broadcast join: the PAIR list is the output of capped bucket joins and
+   * is tiny relative to the corpus, so a 100 TB run typically still has a
+   * driver-sized pair list):
+   *
+   *  - pairs ≤ `collectThreshold`: exact union-find on the driver (path
+   *    compression, union-by-min so the root IS the component minimum) —
+   *    one `collect` job, zero shuffles, then the labels are re-distributed
+   *    with `createDataFrame`. A 1M-pair list is ~32 MB on the driver,
+   *    well inside broadcast-sized territory.
+   *  - larger: min-label propagation — each round every node takes the
+   *    minimum label among itself and its neighbors; stops when a round
+   *    changes nothing (one count per round) or at `maxIters`. Rounds
+   *    needed = the component graph's diameter. Near-dup components are
+   *    overwhelmingly dense (bucket joins emit cliques), so 2-4 rounds is
+   *    typical; a pathological million-link chain needs the alternating
+   *    star-contraction algorithm (Kiveris et al., "Connected Components
+   *    in MapReduce"). Each round is one equi-join + one aggregate, both
+   *    on the id key; the edge list is persisted once and reused.
+   *
+   * `maxIters` only bounds the iterative tier; pass `collectThreshold = 0`
+   * to force it (the partial-propagation contract is only observable there).
    */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        collectThreshold: Int = 1000000): DataFrame = {
+    val idType = pairs.schema("id1").dataType
+    if (collectThreshold > 0) {
+      val head = pairs.select(col("id1"), col("id2"))
+        .limit(collectThreshold + 1).collect()
+      if (head.length <= collectThreshold)
+        return unionFindLabels(pairs.sparkSession, head, idType)
+    }
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -216,20 +236,64 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // keep prev alongside so the convergence probe needs no extra join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
-        .where(col("cluster_id") =!= col("prev")).limit(1).count()
+      val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
       converged = changed == 0L
       it += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side exact connected components over a bounded pair list:
+    * union-find with path compression and union-by-min (the root of every
+    * set is its minimum member, so `find` directly yields the cluster id). */
+  private def unionFindLabels(spark: SparkSession, pairRows: Array[Row],
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = idOrdering(idType)
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairRows.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new java.util.ArrayList[Row](parent.size)
+    parent.keySet.forEach(id => out.add(Row(id, find(id))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    spark.createDataFrame(out, schema)
+  }
+
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case StringType  => Ordering.String.on[Any](_.asInstanceOf[String])
+      case DoubleType  => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+      case other => throw new IllegalArgumentException(
+        s"duplicateClusters: unsupported id type $other")
+    }
   }
 
   /** Drop near-duplicates: keep each cluster's canonical (min-id) member

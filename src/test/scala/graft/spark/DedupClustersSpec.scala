@@ -25,10 +25,16 @@ class DedupClustersSpec extends AnyFunSuite {
     Dedup.duplicateClusters(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // force the distributed min-label path (fast path disabled)
+  private def clustersIterative(df: DataFrame): Map[Long, Long] =
+    Dedup.duplicateClusters(df, collectThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("chain needs multi-hop propagation to one component") {
     // 5-4-3-2-1: label 1 must travel 4 hops
-    assert(clusters(pairs((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) ===
-      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    assert(clusters(pairs((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) === expect)
+    assert(clustersIterative(pairs((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) === expect)
   }
 
   test("star and disjoint components keep separate labels") {
@@ -48,7 +54,8 @@ class DedupClustersSpec extends AnyFunSuite {
 
   test("maxIters caps the rounds (partial labels, no hang)") {
     val chain = pairs((4L, 3L), (3L, 2L), (2L, 1L))
-    val partial = Dedup.duplicateClusters(chain, maxIters = 1).collect()
+    val partial = Dedup.duplicateClusters(chain, maxIters = 1, collectThreshold = 0)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // after one round, 4 has only seen 3's initial label
     assert(partial(4L) === 3L && partial(1L) === 1L)
@@ -75,7 +82,9 @@ class DedupClustersSpec extends AnyFunSuite {
           (0 until n).filter(u => find(u) == root)
             .filter(u => es.exists(e => e._1 == u || e._2 == u)).min.toLong
         }).toMap
-      assert(clusters(pairs(es: _*)) === expected, s"edges: $es")
+      // both tiers must agree with the driver oracle
+      assert(clustersIterative(pairs(es: _*)) === expected, s"edges: $es")
+      assert(clusters(pairs(es: _*)) === expected, s"edges (fast path): $es")
     }
   }
 
