@@ -198,9 +198,7 @@ object SparkEntry {
       val ch2 = Claims.ack(ch1, ch1.where(col("subscription") === "s_purchase" &&
         col("claim_until_ms") > t0 && col("msg_id") <= 300))
       val ch3 = Claims.renew(ch2, "s_all", nowMs = t0 + 50000L, claimTtlMs = ttl)
-      Claims.claimCounts(ch3, t0).withColumnRenamed("claim_count", "claimed_t0")
-        .join(Claims.claimCounts(ch3, t0 + 70000L)
-          .withColumnRenamed("claim_count", "claimed_t2"), Seq("subscription"))
+      Claims.claimCountsAt(ch3, Seq("claimed_t0" -> t0, "claimed_t2" -> (t0 + 70000L)))
         .orderBy("subscription")
     },
 

@@ -51,11 +51,14 @@ object ConditionCompiler {
 
   /** Compile a condition applied to a single typed column. */
   def compileField(cond: Condition, col: Column, dt: DataType,
-                   intrinsics: Map[String, Column] = Map.empty): Column = cond match {
+                   intrinsics: Map[String, Column] = Map.empty,
+                   mayBeUndefined: Boolean = false): Column = cond match {
 
     case ConstantCondition(b) => lit(b)
 
-    case EqualCondition(v) => equalTyped(col, dt, v)
+    case EqualCondition(v) =>
+      if (mayBeUndefined) col.isNotNull && equalTyped(col, dt, v)
+      else equalTyped(col, dt, v)
 
     case InCondition(vs) =>
       vs.toSeq.map(equalTyped(col, dt, _)).foldLeft(lit(false))(_ || _)
@@ -63,9 +66,14 @@ object ConditionCompiler {
     case IsCondition(state) =>
       import State._
       state match {
-        case UNDEFINED => lit(false) // a schema column is always present
-        case DEFINED   => lit(true)
-        case NULL      => col.isNull
+        // a schema column is always present — unless the caller marked it
+        // as possibly-undefined (NULL column value = absent field, e.g. the
+        // ~tags pseudo-field which only exists when an event carries tags)
+        case UNDEFINED => if (mayBeUndefined) col.isNull else lit(false)
+        case DEFINED   => if (mayBeUndefined) col.isNotNull else lit(true)
+        // with null-means-absent there is no representation of a present
+        // JSON null, so is(null) can never hold
+        case NULL      => if (mayBeUndefined) lit(false) else col.isNull
         case BOOL      => boolOf(dt == BooleanType, col)
         case NUM       => boolOf(isNumeric(dt), col)
         case STRING    => boolOf(dt == StringType, col)

@@ -18,19 +18,40 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  */
 object Stash {
 
+  /** Stash directory names are UTC timestamps (StashUtil.java
+    * STASH_DIRECTORY_DATE_FORMAT). */
+  val ScanIdFormat: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss")
+      .withZone(java.time.ZoneOffset.UTC)
+
+  /** `:` is legal in table names but problematic in URLs/object keys;
+    * since table names are lowercase, `~` substitutes without collision
+    * (StashUtil.java encodeStashTable). The encoded charset [a-z0-9-._~]
+    * is also inert to Spark's partition-path escaping, so the directory
+    * on disk is exactly `table=<encoded>`. */
+  def encodeStashTable(table: String): String = table.replace(':', '~')
+  def decodeStashTable(dir: String): String = dir.replace('~', ':')
+
   /** Export resolved docs (tombstones excluded) as canonical content JSON
-    * lines under stashRoot/<scanId>/, one directory per table. */
+    * lines under stashRoot/<scanId>/, one directory per table. Writes the
+    * reference's `_SUCCESS` payload (start time, completion time, scan id —
+    * StashReaderTest.testGetStashStartTime's three lines) and the `_LATEST`
+    * pointer. */
   def export(docs: Dataset[DocRow], stashRoot: String, scanId: String): String = {
     import docs.sparkSession.implicits._
+    val startedAt = java.time.Instant.now()
     val outDir = s"$stashRoot/$scanId"
     val lines = docs.filter(d => !d.deleted)
-      .map(d => (d.table, d.contentJson))
+      .map(d => (Stash.encodeStashTable(d.table), d.contentJson))
       .toDF("table", "json")
     lines.write
       .partitionBy("table")
       .option("compression", "gzip")
       .mode("overwrite")
       .text(outDir)
+    val success = s"$startedAt\n${java.time.Instant.now()}\n$scanId"
+    Files.write(Paths.get(outDir, "_SUCCESS"), success.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // _LATEST pointer (StashUtil.java:21-23 analog)
     Files.write(Paths.get(stashRoot, "_LATEST"), scanId.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -62,24 +83,26 @@ object Stash {
   }
 
   /** Read back one table (or all tables) of an export as a JSON DataFrame.
-    * Splits are files — Spark parallelizes per file natively. */
+    * Splits are files — Spark parallelizes per file natively. `table` is
+    * the REAL table name; the path encoding is internal. */
   def read(spark: SparkSession, exportDir: String, table: Option[String] = None): DataFrame = {
-    val path = table.map(t => s"$exportDir/table=$t").getOrElse(exportDir)
+    val path = table.map(t => s"$exportDir/table=${encodeStashTable(t)}").getOrElse(exportDir)
     spark.read.json(path)
   }
 
-  /** List exported tables (the split listing of StandardStashReader). */
+  /** List exported tables (the split listing of StandardStashReader),
+    * decoded back to real table names (`table~three/` -> `table:three`). */
   def listTables(spark: SparkSession, exportDir: String): Seq[String] = {
     val dir = new java.io.File(exportDir)
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("table="))
-      .map(_.getName.stripPrefix("table=")).sorted
+      .map(f => decodeStashTable(f.getName.stripPrefix("table="))).sorted
   }
 
   /** A table's splits: its data files (StashReader.getSplits:310 — a split
     * = one gzip file, consumed independently by parallel readers). */
   def getSplits(spark: SparkSession, exportDir: String, table: String): Seq[String] = {
-    val dir = new java.io.File(s"$exportDir/table=$table")
+    val dir = new java.io.File(s"$exportDir/table=${encodeStashTable(table)}")
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(_.getPath).sorted
@@ -95,4 +118,50 @@ object Stash {
     val splits = getSplits(spark, exportDir, table)
     (table, splits.size, splits.map(p => new java.io.File(p).length()).sum)
   }
+
+  /** The export's creation time, from the first line of its `_SUCCESS`
+    * payload (StashUtil.getStashCreationTimeStamp). */
+  def stashCreationTime(exportDir: String): java.time.Instant = {
+    val lines = new String(Files.readAllBytes(Paths.get(exportDir, "_SUCCESS")),
+      StandardCharsets.UTF_8).split('\n')
+    java.time.Instant.parse(lines(0).trim)
+  }
+
+  /** Creation time encoded in a timestamp-format scan id
+    * (StashUtil.getStashCreationTime: `2015-01-01-00-00-00` -> instant). */
+  def creationTimeFromScanId(scanId: String): java.time.Instant =
+    java.time.Instant.from(ScanIdFormat.parse(scanId))
+
+  /** Scan id for a creation time (StashUtil.getStashDirectoryForCreationTime). */
+  def scanIdForCreationTime(t: java.time.Instant): String = ScanIdFormat.format(t)
+}
+
+/**
+ * A stateful stash reader over one stash root (StandardStashReader):
+ * `getLatest` follows the `_LATEST` pointer unless `lockToLatest` pinned a
+ * snapshot — the lock is how a multi-step consumer keeps every read on ONE
+ * consistent export while new exports land (StashReaderTest
+ * .testGetLatestCreationTime).
+ */
+final class StashReader(val spark: SparkSession, val stashRoot: String) {
+  @volatile private var locked: Option[String] = None
+
+  /** The current scan id: the pinned one if locked, else `_LATEST`. */
+  def getLatest: String = locked.getOrElse(readLatestPointer())
+
+  def getLatestCreationTime: java.time.Instant =
+    Stash.creationTimeFromScanId(getLatest)
+
+  /** Pin all subsequent reads to the export that is latest NOW. */
+  def lockToLatest(): Unit = locked = Some(readLatestPointer())
+  def unlock(): Unit = locked = None
+
+  def latestDir: String = s"$stashRoot/$getLatest"
+  def listTables(): Seq[String] = Stash.listTables(spark, latestDir)
+  def readTable(table: String): DataFrame = Stash.read(spark, latestDir, Some(table))
+  def getSplits(table: String): Seq[String] = Stash.getSplits(spark, latestDir, table)
+
+  private def readLatestPointer(): String =
+    new String(Files.readAllBytes(Paths.get(stashRoot, "_LATEST")),
+      StandardCharsets.UTF_8).trim
 }

@@ -32,18 +32,37 @@ object TableCatalog {
     }
 
   /** A createTable(name, placement, template) metadata delta
-    * (DataStore.java:48; template is arbitrary JSON metadata). */
+    * (DataStore.java:48; template is arbitrary JSON metadata). Rejects
+    * illegal table names and `~`-prefixed template attributes — the
+    * intrinsic namespace is reserved (DefaultDataStore.java:991,1006). */
   def createTable(name: String, placement: String, templateJson: String,
-                  ms: Long, node: String = "catalog"): ChangeRow =
+                  ms: Long, node: String = "catalog"): ChangeRow = {
+    require(Names.isLegalTableName(name),
+      s"Table name must be a lowercase ASCII string, 1-255 characters: $name")
+    val template = canonicalJson("template", templateJson)
+    requireLegalAttributes(template)
     ChangeRow(SystemTable, name, ms, 0L, node,
-      s"""{"placement":${JsonCodec.render(JString(placement))},"template":${canonicalJson("template", templateJson)}}""",
+      s"""{"placement":${JsonCodec.render(JString(placement))},"template":$template}""",
       Seq("catalog"))
+  }
+
+  private def requireLegalAttributes(templateJson: String): Unit =
+    JsonCodec.parse(templateJson) match {
+      case graft.json.JObj(fields) => fields.keys.foreach { k =>
+        require(Names.isLegalTableAttributeName(k),
+          s"Table attribute names cannot start with '~': $k")
+      }
+      case _ => ()
+    }
 
   /** setTableTemplate (DataStore.java:89): replaces the template only. */
   def setTemplate(name: String, templateJson: String, ms: Long,
-                  node: String = "catalog"): ChangeRow =
+                  node: String = "catalog"): ChangeRow = {
+    val template = canonicalJson("template", templateJson)
+    requireLegalAttributes(template)
     ChangeRow(SystemTable, name, ms, 1L, node,
-      s"""{..,"template":${canonicalJson("template", templateJson)}}""", Seq("catalog"))
+      s"""{..,"template":$template}""", Seq("catalog"))
+  }
 
   /** dropTable (DataStore.java:54): a tombstone on the metadata doc. */
   def dropTable(name: String, ms: Long, node: String = "catalog"): ChangeRow =

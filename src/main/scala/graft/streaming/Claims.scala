@@ -113,4 +113,16 @@ object Claims {
     channel.groupBy("subscription")
       .agg(sum(when(col("claim_until_ms") > nowMs, 1L).otherwise(0L))
         .cast("long").as("claim_count"))
+
+  /** Claim counts at several instants in ONE pass (the monitoring shape:
+    * "claims now vs after the next TTL window"). `instants` maps an output
+    * column name to its probe time; the channel lineage is evaluated once
+    * instead of once per instant. */
+  def claimCountsAt(channel: DataFrame, instants: Seq[(String, Long)]): DataFrame =
+    channel.groupBy("subscription")
+      .agg(instants.head match { case (name, t) =>
+        sum(when(col("claim_until_ms") > t, 1L).otherwise(0L)).cast("long").as(name)
+      }, instants.tail.map { case (name, t) =>
+        sum(when(col("claim_until_ms") > t, 1L).otherwise(0L)).cast("long").as(name)
+      }: _*)
 }

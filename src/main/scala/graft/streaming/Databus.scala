@@ -25,7 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * condition accepts the event's (attrs, tags, table, key).
  *
  * children: attrsJson (string, nullable), tags (array<string>), table, key,
- * ms (long).
+ * ms (long), placement (string, nullable — the ~placement intrinsic, one of
+ * the three intrinsics available at fanout per SubscriptionIntrinsics.java).
+ *
+ * A condition that throws during evaluation (e.g. referencing an intrinsic
+ * unavailable at fanout, like ~signature) does NOT match — the reference
+ * logs and skips (SubscriptionEvaluator.java:88-92) rather than failing the
+ * fanout pass.
  */
 case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
                                   children: Seq[Expression])
@@ -52,17 +58,22 @@ case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
         val ad = tagsV.asInstanceOf[ArrayData]
         (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
       }
+    val placementV = if (children.size > 5) children(5).eval(input) else null
     val json = Databus.eventMatchJson(attrs, tags)
     val intr = IntrinsicsView(
       if (keyV == null) null else keyV.toString,
       if (tableV == null) null else tableV.toString,
-      null, deleted = false, null, null, null, null)
+      null, deleted = false, null, null, null,
+      if (placementV == null) null else placementV.toString)
     val ms = if (msV == null) Long.MaxValue else msV.asInstanceOf[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i < compiled.length) {
       val (name, cond, minMs) = compiled(i)
-      if (ms >= minMs && ConditionEvaluator.eval(cond, json, intr)) out += name
+      val matched = ms >= minMs &&
+        (try ConditionEvaluator.eval(cond, json, intr)
+         catch { case _: Exception => false })
+      if (matched) out += name
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -100,7 +111,11 @@ object Databus {
       case JObj(fields) => fields
       case _            => Map.empty[String, JValue]
     }
-    JObj(base + ("~tags" -> JArr(tags.map(JString(_)).toVector)))
+    // the ~tags pseudo-field only EXISTS when the event carries tags
+    // (SubscriptionEvaluator.java:70-75 puts it conditionally), so
+    // is(defined)/equal([]) on ~tags are false for untagged events
+    if (tags.isEmpty) JObj(base)
+    else JObj(base + ("~tags" -> JArr(tags.map(JString(_)).toVector)))
   }
 
   /**
@@ -121,27 +136,31 @@ object Databus {
    */
   def fanout(events: DataFrame, subs: Seq[Subscription],
              attrsCol: Option[String] = None,
-             unionPathMaxSubs: Int = 16): DataFrame = {
+             unionPathMaxSubs: Int = 16,
+             placementCol: Option[String] = None): DataFrame = {
     if (subs.size <= unionPathMaxSubs) {
       val branches = subs.map { sub =>
-        events.where(matchColumn(sub, events, attrsCol))
+        events.where(matchColumn(sub, events, attrsCol, placementCol))
           .withColumn("subscription", lit(sub.name))
       }
       branches.reduce(_.unionByName(_))
     } else
-      fanoutSinglePass(events, subs.map(s => (s.name, s.condition, Long.MinValue)), attrsCol)
+      fanoutSinglePass(events, subs.map(s => (s.name, s.condition, Long.MinValue)),
+        attrsCol, placementCol)
   }
 
   /** The large-N fanout shape: one scan, matched-subscription array, explode.
     * Empty match arrays drop the event (explode, not explode_outer) — parity
     * with the union path, which emits nothing for unmatched events. */
   private def fanoutSinglePass(events: DataFrame, subs: Seq[(String, String, Long)],
-                               attrsCol: Option[String]): DataFrame = {
+                               attrsCol: Option[String],
+                               placementCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val attrs = attrsCol.map(col).getOrElse(lit(null).cast("string"))
+    val placement = placementCol.map(col).getOrElse(lit(null).cast("string"))
     val matchArr = GraftBridge.column(MultiSubscriptionMatch(subs,
-      Seq(attrs, col("tags"), col("table"), col("key"), col("ms").cast("long"))
-        .map(GraftBridge.expression)))
+      Seq(attrs, col("tags"), col("table"), col("key"), col("ms").cast("long"),
+        placement).map(GraftBridge.expression)))
     events.withColumn("subscription", explode(matchArr))
   }
 
@@ -149,51 +168,68 @@ object Databus {
     * only reference `~tags` and intrinsics (the common case) compile to
     * native Catalyst predicates — pushdown + codegen; anything touching
     * table-template attributes falls back to the parity evaluator. */
-  def matchColumn(sub: Subscription, events: DataFrame, attrsCol: Option[String]): Column =
-    tryCompileNative(sub.parsed).getOrElse {
+  def matchColumn(sub: Subscription, events: DataFrame, attrsCol: Option[String],
+                  placementCol: Option[String] = None): Column =
+    tryCompileNative(sub.parsed, placementCol).getOrElse {
       val attrs = attrsCol.map(col).getOrElse(lit(null).cast("string"))
-      matchUdf(sub.condition)(attrs, col("tags"), col("table"), col("key"))
+      val placement = placementCol.map(col).getOrElse(lit(null).cast("string"))
+      matchUdf(sub.condition)(attrs, col("tags"), col("table"), col("key"), placement)
     }
 
   import graft.condition._
   import graft.engine.ConditionCompiler
   import org.apache.spark.sql.types.{ArrayType, StringType}
 
-  private def tryCompileNative(cond: Condition): Option[Column] = cond match {
+  private def tryCompileNative(cond: Condition,
+                               placementCol: Option[String] = None): Option[Column] = cond match {
     case ConstantCondition(b) => Some(lit(b))
     case MapCondition(entries) if entries.keySet.subsetOf(Set("~tags")) =>
+      // ~tags is ABSENT (undefined), not empty, for an untagged event —
+      // null-out empty arrays and compile in null-means-absent mode so
+      // is(defined)/equal([]) agree with the parity evaluator
       Some(entries.get("~tags")
-        .map(sub => ConditionCompiler.compileField(sub, col("tags"), ArrayType(StringType)))
+        .map { sub =>
+          val tagsOrAbsent = when(col("tags").isNull || size(col("tags")) === 0,
+            lit(null).cast(ArrayType(StringType))).otherwise(col("tags"))
+          ConditionCompiler.compileField(sub, tagsOrAbsent, ArrayType(StringType),
+            mayBeUndefined = true)
+        }
         .getOrElse(lit(true)))
     case IntrinsicCondition(name, sub) =>
       val target = name match {
-        case Intrinsic.Table => Some(col("table"))
-        case Intrinsic.Id    => Some(col("key"))
-        case _               => None
+        case Intrinsic.Table     => Some(col("table"))
+        case Intrinsic.Id        => Some(col("key"))
+        case Intrinsic.Placement => placementCol.map(col)
+        case _                   => None
       }
       target.map(c => ConditionCompiler.compileField(sub, c, StringType))
     case AndCondition(cs) =>
-      val parts = cs.map(tryCompileNative)
+      val parts = cs.map(tryCompileNative(_, placementCol))
       if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(_ && _)) else None
     case OrCondition(cs) =>
-      val parts = cs.map(tryCompileNative)
+      val parts = cs.map(tryCompileNative(_, placementCol))
       if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(_ || _)) else None
     case NotCondition(c) =>
       // null-coalesce under NOT (parity with ConditionCompiler and the UDF
       // path): for e.g. not({..,"~tags":containsAny(..)}) on a null tags
       // column, arrays_overlap yields SQL NULL and !NULL would stay NULL,
       // silently dropping an event the condition semantics deliver
-      tryCompileNative(c).map(inner => !coalesce(inner, lit(false)))
+      tryCompileNative(c, placementCol).map(inner => !coalesce(inner, lit(false)))
     case _ => None
   }
 
   private def matchUdf(condText: String) = {
     val cond = Conditions.fromString(condText)
-    udf((attrsJson: String, tags: Seq[String], table: String, key: String) => {
+    udf((attrsJson: String, tags: Seq[String], table: String, key: String,
+         placement: String) => {
       val attrs = if (attrsJson == null) JObj(Map.empty) else JsonCodec.parse(attrsJson)
       val json = eventMatchJson(attrs, if (tags == null) Seq.empty else tags)
-      val intr = IntrinsicsView(key, table, null, deleted = false, null, null, null, null)
-      ConditionEvaluator.eval(cond, json, intr)
+      val intr = IntrinsicsView(key, table, null, deleted = false, null, null, null,
+        placement)
+      // a condition that cannot be evaluated at fanout does not match
+      // (SubscriptionEvaluator.java:88-92 logs and returns false)
+      try ConditionEvaluator.eval(cond, json, intr)
+      catch { case _: Exception => false }
     })
   }
 
@@ -270,6 +306,8 @@ object Databus {
                 nowMs: Long, subscriptionTtlMs: Long, eventTtlMs: Long,
                 defaultJoinFilter: Option[String] = None,
                 includeDefaultJoinFilter: Boolean = true): Seq[SubscriptionRecord] = {
+    require(graft.engine.Names.isLegalSubscriptionName(name),
+      s"Subscription name must be a lowercase ASCII string, 1-255 characters: $name")
     val effective = defaultJoinFilter.filter(_ => includeDefaultJoinFilter) match {
       case None => condition
       case Some(d) =>

@@ -53,3 +53,40 @@ object Queues {
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCol)
 }
+
+/**
+ * Channel-naming scheme of a dedup queue (reference event/api
+ * DedupEventStoreChannels.java): each queue has a WRITE channel (raw
+ * appends land here) and a READ channel (the sorted, dedup'd side), named
+ * by prefixing the queue name. `sharedWriteChannel` uses the bare queue
+ * name as the write channel so that a plain event store and a dedup queue
+ * can interoperate on the same underlying channel. Reverse lookups return
+ * None for a channel of the other kind; when one prefix is a prefix of the
+ * other, the LONGER prefix wins.
+ */
+final case class DedupChannels(writePrefix: String, readPrefix: String) {
+  require(writePrefix != readPrefix, "write and read prefixes must differ")
+
+  def writeChannel(queue: String): String = writePrefix + queue
+  def readChannel(queue: String): String = readPrefix + queue
+
+  def queueFromWriteChannel(channel: String): Option[String] =
+    queueFromChannel(channel, writePrefix, readPrefix)
+  def queueFromReadChannel(channel: String): Option[String] =
+    queueFromChannel(channel, readPrefix, writePrefix)
+
+  private def queueFromChannel(channel: String, required: String,
+                               disallowed: String): Option[String] =
+    if (channel.startsWith(disallowed) && disallowed.length > required.length) None
+    else if (channel.startsWith(required)) Some(channel.substring(required.length))
+    else None
+}
+
+object DedupChannels {
+  /** Separate namespaces for raw and dedup'd events. */
+  def isolated(writePrefix: String, readPrefix: String): DedupChannels =
+    DedupChannels(writePrefix, readPrefix)
+  /** Write channel IS the plain queue channel (migration-compatible). */
+  def sharedWriteChannel(readPrefix: String): DedupChannels =
+    DedupChannels("", readPrefix)
+}

@@ -746,6 +746,82 @@ class EngineSpec extends AnyFunSuite {
     assert(tbl === "events" && nSplits === splits.size && bytes > 0)
   }
 
+  test("table move lifecycle: mirror writes, promote, complete, cancel (TableLifeCycleTest parity)") {
+    import graft.engine.{TableCatalog, TableMove}
+    def route(log: Seq[graft.resolve.ChangeRow]): (String, Seq[String], String) = {
+      val r = TableMove.routing(spark, log).where(col("tbl") === "my:table")
+        .select("read_placement", "write_placements", "move_state").collect()(0)
+      (r.getString(0), r.getSeq[String](1), Option(r.getString(2)).orNull)
+    }
+    val created = Seq(TableCatalog.createTable("my:table", "ugc_us", "{}", 1000L))
+    assert(route(created) === (("ugc_us", Seq("ugc_us"), null)))
+
+    // moveStart: reads stay on source, writes mirror to both (testMoveStart)
+    val started = created :+ TableMove.moveStart("my:table", "ugc_global", 2000L)
+    assert(route(started) === (("ugc_us", Seq("ugc_global", "ugc_us"), "mirror_activated")))
+
+    // the copy step is the resolved snapshot of just that table
+    val docs = ResolveEngine.resolve(EventLog.changes(spark, "/root/testdata/sf0.001")).toDF()
+    assert(TableMove.copySnapshot(docs, "events").count() === docs.where(col("table") === "events").count())
+
+    // promote: placement swaps, source demotes but still receives writes
+    // (testMoveCopyPromoteDrop mid-state)
+    val promoted = started :+ TableMove.movePromote("my:table", "ugc_us", "ugc_global", 3000L)
+    assert(route(promoted) === (("ugc_global", Seq("ugc_global", "ugc_us"), "demoted")))
+
+    // complete: source mirror dropped
+    val completed = promoted :+ TableMove.moveComplete("my:table", 4000L)
+    assert(route(completed) === (("ugc_global", Seq("ugc_global"), null)))
+
+    // cancel before promote: destination mirror dropped, all traffic on source
+    val canceled = started :+ TableMove.moveCancel("my:table", 3000L)
+    assert(route(canceled) === (("ugc_us", Seq("ugc_us"), null)))
+
+    // drops and promotes are the UNPUBLISHED databus events, window-filtered
+    // (testListUnpublishedDatabusEvents)
+    val log = promoted :+ TableCatalog.dropTable("gone:table", 3500L)
+    val events = TableMove.listUnpublishedDatabusEvents(spark, log, 2500L, 4000L)
+      .orderBy("event_ms").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(events.toSeq === Seq((3000L, "my:table", "promote"), (3500L, "gone:table", "drop")))
+    assert(TableMove.listUnpublishedDatabusEvents(spark, log, 0L, 2500L).count() === 0)
+  }
+
+  test("stash: ':' table encoding, _SUCCESS payload, locked reader (StashReaderTest parity)") {
+    import org.apache.spark.sql.functions.lit
+    // a table whose name needs path encoding (':' -> '~', StashUtil.java)
+    val docs = ResolveEngine.resolve(
+        EventLog.changes(spark, "/root/testdata/sf0.001"))
+      .withColumn("table", lit("review:testcustomer"))
+      .as[graft.resolve.DocRow](org.apache.spark.sql.Encoders.product[graft.resolve.DocRow])
+    val root = java.nio.file.Files.createTempDirectory("stash_enc").toString
+    val scan1 = "2015-01-01-00-00-00"
+    val out = Stash.export(docs, root, scan1)
+    // directory on disk is the ENCODED form; the API round-trips real names
+    assert(new java.io.File(s"$out/table=review~testcustomer").isDirectory)
+    assert(Stash.listTables(spark, out) === Seq("review:testcustomer"))
+    assert(Stash.read(spark, out, Some("review:testcustomer")).count() === docs.count())
+    assert(Stash.getSplits(spark, out, "review:testcustomer").nonEmpty)
+    // _SUCCESS carries start/complete/scanId; creation time parses from line 1
+    assert(!Stash.stashCreationTime(out)
+      .isAfter(java.time.Instant.now()))
+    // timestamp-format scan ids encode their creation time
+    assert(Stash.creationTimeFromScanId(scan1) ===
+      java.time.Instant.parse("2015-01-01T00:00:00Z"))
+    assert(Stash.scanIdForCreationTime(java.time.Instant.parse("2015-01-02T00:00:00Z"))
+      === "2015-01-02-00-00-00")
+    // locked reader pins the snapshot while a new export lands
+    val reader = new StashReader(spark, root)
+    assert(reader.getLatest === scan1)
+    assert(reader.getLatestCreationTime === java.time.Instant.parse("2015-01-01T00:00:00Z"))
+    reader.lockToLatest()
+    Stash.export(docs, root, "2015-01-02-00-00-00")
+    assert(reader.getLatest === scan1, "locked reader still sees the pinned export")
+    assert(reader.listTables() === Seq("review:testcustomer"))
+    reader.unlock()
+    assert(reader.getLatest === "2015-01-02-00-00-00")
+    assert(reader.getLatestCreationTime === java.time.Instant.parse("2015-01-02T00:00:00Z"))
+  }
+
   test("as-of snapshot: cutoff excludes later deltas from resolve and stash export") {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     // pick a cutoff between the min and max change times

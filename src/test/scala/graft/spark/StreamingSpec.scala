@@ -188,6 +188,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(subs.map(_.name).toSet === out.map(_._1).toSet)
   }
 
+  test("fanout match semantics: absent ~tags, ~placement intrinsic, unevaluable conditions (SubscriptionEvaluatorTest parity)") {
+    val s = spark
+    import s.implicits._
+    // k_tagged carries tags; k_untagged has an EMPTY tag set; k_null a null column
+    val events = Seq(
+      ("table1", "k_tagged", 1000L, 1L, "n", Seq("ignore", "ETL"), "app_global:ugc"),
+      ("table1", "k_untagged", 2000L, 2L, "n", Seq.empty[String], "app_global:ugc"),
+      ("table1", "k_null", 3000L, 3L, "n", null.asInstanceOf[Seq[String]], "ugc_other"))
+      .toDF("table", "key", "ms", "seq", "node", "tags", "placement")
+    val subs = Seq(
+      // SubscriptionEvaluatorTest.testSubscriptionEvaluator: skip-ignore vs get-ignore
+      Subscription("skip_ignore", """not({..,"~tags":containsAny("ignore")})"""),
+      Subscription("get_ignore", """{..,"~tags":containsAny("ignore")}"""),
+      // ~tags is ABSENT (not []) for untagged events
+      Subscription("tags_defined", """{..,"~tags":is(defined)}"""),
+      Subscription("tags_empty", """{..,"~tags":[]}"""),
+      // ~placement is one of the three fanout intrinsics
+      Subscription("ugc_placement", """intrinsic("~placement":"app_global:ugc")"""),
+      // ~version is unsupported in conditions: evaluation throws, which at
+      // fanout means NO MATCH, not a failed pass
+      Subscription("broken", """intrinsic("~version":5)"""))
+    def routed(unionMax: Int): Set[(String, String)] =
+      Databus.fanout(events, subs, unionPathMaxSubs = unionMax,
+          placementCol = Some("placement"))
+        .select("subscription", "key").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(
+      "skip_ignore" -> "k_untagged", "skip_ignore" -> "k_null",
+      "get_ignore" -> "k_tagged",
+      "tags_defined" -> "k_tagged",
+      "ugc_placement" -> "k_tagged", "ugc_placement" -> "k_untagged")
+    assert(routed(unionMax = 16) === expected, "union path")
+    assert(routed(unionMax = 1) === expected, "single-pass path")
+  }
+
   test("subscription lifecycle: TTL expiry, renewal, event TTL in fanout") {
     import graft.streaming.Databus.{SubscriptionRecord => SR}
     val s = spark
