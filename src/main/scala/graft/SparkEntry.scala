@@ -319,6 +319,72 @@ object SparkEntry {
         .groupBy("tbl").agg(count(lit(1)).as("n"))
     },
 
+    // blob store surface: distributed put of one object per document, then
+    // a binaryFile metadata scan with put-time digests (DefaultBlobStore
+    // stores MD5/SHA-1 in the StorageSummary)
+    "blob_meta" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+        .where(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val store = Blobs.putAll(docs, "doc_id", "text",
+        s"${System.getProperty("java.io.tmpdir")}/graft_blobs_${new java.io.File(dir).getName}")
+      Blobs.withDigests(Blobs.read(s, store, "*.txt"))
+        .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("blob_id"),
+          col("n_bytes"), col("md5"))
+        .orderBy("blob_id")
+    },
+
+    // ranged blob gets: offset+length and suffix range specifications
+    // (blob-api Offset/SuffixRangeSpecification; unsatisfiable rows drop).
+    // ascii-only docs so the DuckDB varchar oracle is exact byte-wise
+    "blob_ranged" -> { (s, dir) =>
+      val blobs = Tables.read(s, dir, "documents")
+        .where(col("doc_id") < 50 &&
+          length(col("text")) === length(encode(col("text"), "UTF-8")) &&
+          length(col("text")) > 5)
+        .select(col("doc_id").as("blob_id"), encode(col("text"), "UTF-8").as("content"))
+      val mid = Blobs.rangeOffset(blobs, offset = 5, len = Some(20))
+        .select(col("blob_id"), col("range").cast("string").as("mid20"))
+      val tail = Blobs.rangeSuffix(blobs, 10)
+        .select(col("blob_id"), col("range").cast("string").as("last10"))
+      mid.join(tail, Seq("blob_id")).orderBy("blob_id")
+    },
+
+    // staged placement move: mirror-activated start (writes fan to both),
+    // promote (placement swaps, source demoted), complete, cancel — the
+    // routing at every stage, VALUES-pinned in the oracle
+    // (TableLifeCycleTest.testMoveStart/testMoveCopyPromoteDrop)
+    "catalog_move_routing" -> { (s, dir) =>
+      val created = Seq(TableCatalog.createTable("my:table", "ugc_us", "{}", 1000L))
+      val started = created :+ TableMove.moveStart("my:table", "ugc_global", 2000L)
+      val promoted = started :+ TableMove.movePromote("my:table", "ugc_us", "ugc_global", 3000L)
+      val completed = promoted :+ TableMove.moveComplete("my:table", 4000L)
+      val canceled = started :+ TableMove.moveCancel("my:table", 3000L)
+      Seq("1_created" -> created, "2_started" -> started, "3_promoted" -> promoted,
+        "4_completed" -> completed, "5_canceled" -> canceled)
+        .map { case (stage, log) =>
+          TableMove.routing(s, log).withColumn("stage", lit(stage))
+        }
+        .reduce(_.unionByName(_))
+        .select(col("stage"), col("read_placement"),
+          concat_ws(",", col("write_placements")).as("write_placements"),
+          coalesce(col("move_state"), lit("none")).as("move_state"))
+        .orderBy("stage")
+    },
+
+    // drop/promote reconciliation feed: the events databus consumers never
+    // see, window-filtered from the metadata log
+    // (AstyanaxTableDAO.listUnpublishedDatabusEvents)
+    "catalog_unpublished" -> { (s, dir) =>
+      val log = Seq(
+        TableCatalog.createTable("my:table", "ugc_us", "{}", 1000L),
+        TableMove.moveStart("my:table", "ugc_global", 2000L),
+        TableMove.movePromote("my:table", "ugc_us", "ugc_global", 3000L),
+        TableCatalog.dropTable("gone:table", 3500L),
+        TableCatalog.dropTable("late:table", 4200L)) // outside the window
+      TableMove.listUnpublishedDatabusEvents(s, log, 2500L, 4000L)
+        .orderBy("event_ms")
+    },
+
     // partitioned store: each branch prunes to (table=orders, part subset);
     // the 4-way union must re-cover every orders doc exactly once — checked
     // against the DuckDB oracle over the raw orders table
@@ -870,6 +936,38 @@ object SparkEntry {
 
     "stash_roundtrip" ->
       """SELECT 'events' AS tbl, CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events""".stripMargin,
+
+    "blob_meta" ->
+      """SELECT doc_id AS blob_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS md5
+        |FROM documents WHERE doc_id < 100 ORDER BY blob_id""".stripMargin,
+
+    "blob_ranged" ->
+      """SELECT doc_id AS blob_id,
+        |       substr(text, 6, 20) AS mid20,
+        |       CASE WHEN length(text) >= 10 THEN substr(text, length(text) - 9, 10)
+        |            ELSE text END AS last10
+        |FROM documents
+        |WHERE doc_id < 50 AND length(text) = octet_length(encode(text)) AND length(text) > 5
+        |ORDER BY blob_id""".stripMargin,
+
+    "catalog_move_routing" ->
+      """SELECT * FROM (VALUES
+        |  ('1_created',   'ugc_us',     'ugc_us',            'none'),
+        |  ('2_started',   'ugc_us',     'ugc_global,ugc_us', 'mirror_activated'),
+        |  ('3_promoted',  'ugc_global', 'ugc_global,ugc_us', 'demoted'),
+        |  ('4_completed', 'ugc_global', 'ugc_global',        'none'),
+        |  ('5_canceled',  'ugc_us',     'ugc_us',            'none'))
+        |AS t(stage, read_placement, write_placements, move_state)
+        |ORDER BY stage""".stripMargin,
+
+    "catalog_unpublished" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3000 AS BIGINT), 'my:table',   'promote'),
+        |  (CAST(3500 AS BIGINT), 'gone:table', 'drop'))
+        |AS t(event_ms, tbl, event)
+        |ORDER BY event_ms""".stripMargin,
 
     "compaction_skew_report" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,

@@ -27,4 +27,63 @@ object Blobs {
   def ranged(blobs: DataFrame, offset: Int, len: Int): DataFrame =
     blobs.withColumn("range", substring(col("content"), offset + 1, len))
       .select(col("path"), col("length"), col("range"))
+
+  /** Distributed put: one object per row (`idCol` names the blob, `textCol`
+    * is the payload, UTF-8) — the blob store put path as a partitioned
+    * write, each task writing its own partition's objects (no driver
+    * collect). Returns the store dir. */
+  def putAll(docs: DataFrame, idCol: String, textCol: String, dir: String): String = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.select(col(idCol).cast("string"), col(textCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    dir
+  }
+
+  /** Blob metadata digests: the reference computes MD5 and SHA-1 while
+    * streaming chunks at put time and stores them in the blob's
+    * StorageSummary (DefaultBlobStore.putObject — the `X-BV-Hash-*`
+    * attributes). Here they are one codegen'd pass over the content. */
+  def withDigests(blobs: DataFrame, contentCol: String = "content"): DataFrame =
+    blobs
+      .withColumn("md5", md5(col(contentCol)))
+      .withColumn("sha1", sha1(col(contentCol)))
+      .withColumn("n_bytes", length(col(contentCol)).cast("long"))
+
+  /** Offset range spec (blob-api OffsetRangeSpecification): bytes
+    * `[offset, offset + min(len, blobLength - offset))`. Rows whose range
+    * is unsatisfiable (offset at/past end, or zero-length result) are
+    * dropped — the scan analog of RangeNotSatisfiableException. */
+  def rangeOffset(blobs: DataFrame, offset: Long, len: Option[Long] = None,
+                  contentCol: String = "content"): DataFrame = {
+    require(offset >= 0, "Range offset must be >=0")
+    len.foreach(l => require(l > 0, "Range length must be >0"))
+    val blobLen = length(col(contentCol)).cast("long")
+    val effLen = len.map(l => least(lit(l), blobLen - offset))
+      .getOrElse(blobLen - offset)
+    blobs
+      .withColumn("range",
+        col(contentCol).substr(lit((offset + 1).toInt), effLen.cast("int")))
+      .where(blobLen > offset && effLen > 0)
+  }
+
+  /** Suffix range spec (blob-api SuffixRangeSpecification): the LAST
+    * `min(n, blobLength)` bytes; a zero-length suffix is always
+    * unsatisfiable (the HTTP spec quirk the reference preserves). */
+  def rangeSuffix(blobs: DataFrame, n: Long,
+                  contentCol: String = "content"): DataFrame = {
+    require(n >= 0, "Suffix length must be >= 0")
+    val blobLen = length(col(contentCol)).cast("long")
+    val effLen = least(lit(n), blobLen)
+    blobs
+      .withColumn("range",
+        col(contentCol).substr(greatest(lit(1), (blobLen - n + 1).cast("int")),
+          effLen.cast("int")))
+      .where(effLen > 0)
+  }
 }
