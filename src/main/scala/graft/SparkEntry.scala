@@ -489,6 +489,26 @@ object SparkEntry {
         .orderBy("subscription")
     },
 
+    // cross-DC replication routing (DefaultFanout.java:246-258): every event
+    // copies to each NON-local datacenter of its table on channel
+    // __system_bus:out:<dc>[abs(murmur3_32(key)) % 8]; the oracle recomputes
+    // the routing relationally, with ONLY the hash pinned as VALUES from the
+    // independently-golden-tested murmur3 vectors (HashesSpec)
+    "databus_replication" -> { (s, dir) =>
+      import s.implicits._
+      val topo = Seq(
+        ("events", "us-east"), ("events", "eu-west"), ("events", "ap-south"),
+        ("orders", "us-east"), ("orders", "eu-west"))
+        .toDF("table", "datacenter")
+      val events = EventLog.placementChanges(s, dir)
+        .where(col("key").isin((0 to 7).map(_.toString): _*))
+      Databus.replicationFanout(events, topo, currentDc = "us-east",
+          outboundPartitions = 8)
+        .groupBy(col("table").as("tbl"), col("key"), col("channel"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("tbl", "key", "channel")
+    },
+
     "join_enrich" -> { (s, dir) =>
       val o = Tables.read(s, dir, "orders")
       val cust = Tables.read(s, dir, "customer")
@@ -1029,6 +1049,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 's_all', count(*) FROM events)
         |ORDER BY subscription""".stripMargin,
+
+    // routing recomputed relationally; ONLY the murmur3 partition is pinned
+    // (from the Guava-parity vectors golden-tested in HashesSpec)
+    "databus_replication" ->
+      """WITH ev(tbl, key) AS (
+        |  SELECT 'events', CAST(user_id AS VARCHAR) FROM events WHERE user_id BETWEEN 0 AND 7
+        |  UNION ALL
+        |  SELECT 'orders', CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey BETWEEN 0 AND 7),
+        |topo(tbl, dc) AS (VALUES ('events','eu-west'),('events','ap-south'),('orders','eu-west')),
+        |part(key, p) AS (VALUES ('0',1),('1',5),('2',7),('3',4),('4',0),('5',4),('6',0),('7',0))
+        |SELECT ev.tbl AS tbl, ev.key AS key,
+        |       '__system_bus:out:' || topo.dc || '[' || CAST(part.p AS VARCHAR) || ']' AS channel,
+        |       count(*) AS n_events
+        |FROM ev JOIN topo ON ev.tbl = topo.tbl JOIN part ON ev.key = part.key
+        |GROUP BY 1, 2, 3 ORDER BY tbl, key, channel""".stripMargin,
 
     "join_enrich" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,

@@ -35,11 +35,13 @@ object ConditionAlgebra {
     // subset of a negation iff provably disjoint from the negated condition
     case (_, NotCondition(b)) => isDisjoint(l, b)
 
-    // negation on the left: exact complements substitute directly; otherwise
-    // push through De Morgan — not(A or B) implies not(A) (and not(B)),
-    // not(A and B) = not(A) or not(B) needs every branch to imply r
+    // negation on the left: the constructive inverse substitutes directly
+    // (the reference's SubsetEvaluator does exactly this via
+    // InverseEvaluator); otherwise push through De Morgan — not(A or B)
+    // implies not(A) (and not(B)), not(A and B) = not(A) or not(B) needs
+    // every branch to imply r
     case (NotCondition(la), rr) =>
-      complementOf(la).map(isSubset(_, rr)).getOrElse(la match {
+      inverseOf(la).map(isSubset(_, rr)).getOrElse(la match {
         case OrCondition(as)  => as.exists(a => isSubset(Conditions.not(a), rr))
         case AndCondition(as) => as.forall(a => isSubset(Conditions.not(a), rr))
         case _                => false
@@ -170,8 +172,60 @@ object ConditionAlgebra {
     case (a, NotCondition(b)) => a == b
     case (OrCondition(ls), AndCondition(rs)) => deMorgan(ls, rs)
     case (AndCondition(ls), OrCondition(rs)) => deMorgan(ls, rs)
-    case _ => false
+    case _ => inverseOf(l).contains(r)
   }
+
+  /**
+   * The constructive inverse (InverseEvaluator.java:42-216): a condition `i`
+   * guaranteeing `eval(c, v, intr) != eval(i, v, intr)` for EVERY value and
+   * intrinsics, or None when no well-defined inverse exists as a Condition
+   * (equal / in / contains / like — InverseEvaluator.java:195-215 returns
+   * null for these rather than not(condition)).
+   *
+   * Key reference choices preserved: a typed is() inverts to the OR of every
+   * OTHER concrete state (never DEFINED, which overlaps all of them); a
+   * comparison inverts to (wrong-kind OR flipped-comparison), because the
+   * evaluator returns false on kind mismatch so the inverse must return true
+   * there; and/or/map push through De Morgan with not(sub) standing in for
+   * non-invertible branches (InverseEvaluator.java:148-161,169-185).
+   */
+  def inverseOf(c: Condition): Option[Condition] = c match {
+    case ConstantCondition(b) => Some(ConstantCondition(!b))
+    case NotCondition(inner)  => Some(inner)
+    case IsCondition(State.DEFINED)   => Some(IsCondition(State.UNDEFINED))
+    case IsCondition(State.UNDEFINED) => Some(IsCondition(State.DEFINED))
+    case IsCondition(s) =>
+      Some(Conditions.or(State.values.toSeq.sorted
+        .filter(v => v != s && v != State.DEFINED).map(IsCondition(_): Condition)))
+    case ComparisonCondition(op, v) =>
+      import Comparison._
+      val flipped: Condition = op match {
+        case GT => ComparisonCondition(LE, v)
+        case GE => ComparisonCondition(LT, v)
+        case LT => ComparisonCondition(GE, v)
+        case LE => ComparisonCondition(GT, v)
+      }
+      val kind = if (JValue.isNumber(v)) State.NUM else State.STRING
+      inverseOf(IsCondition(kind)).map(notKind => Conditions.or(Seq(notKind, flipped)))
+    case IntrinsicCondition(name, inner) =>
+      inverseOf(inner).map(IntrinsicCondition(name, _))
+    case PartitionCondition(n, inner) =>
+      inverseOf(inner).map(PartitionCondition(n, _))
+    case AndCondition(cs) => Some(Conditions.or(cs.map(inverseOrNot)))
+    case OrCondition(cs)  => Some(Conditions.and(cs.map(inverseOrNot)))
+    case MapCondition(entries) =>
+      // or(one single-key map per inverted entry, not-a-map): a map condition
+      // is the AND of its key conditions plus is(object)
+      val perKey = entries.toSeq.map { case (k, kc) =>
+        MapCondition(Map(k -> inverseOrNot(kc))): Condition
+      }
+      inverseOf(IsCondition(State.OBJECT)).map(notMap =>
+        Conditions.or(perKey :+ notMap))
+    case _ => None // Equal, In, Contains, Like
+  }
+
+  private def inverseOrNot(c: Condition): Condition =
+    inverseOf(c).getOrElse(Conditions.not(c))
 
   private def deMorgan(ls: Seq[Condition], rs: Seq[Condition]): Boolean =
     ls.size == rs.size && ls.zip(rs).forall { case (a, b) => isInverse(a, b) }
@@ -240,15 +294,6 @@ object ConditionAlgebra {
 
   private def evalSafe(c: Condition, v: JValue): Option[Boolean] =
     try Some(ConditionEvaluator.eval(c, v)) catch { case _: Exception => None }
-
-  /** Exact complement where one is known (beyond not(x) itself). */
-  private def complementOf(c: Condition): Option[Condition] = c match {
-    case IsCondition(State.UNDEFINED) => Some(IsCondition(State.DEFINED))
-    case IsCondition(State.DEFINED)   => Some(IsCondition(State.UNDEFINED))
-    case ConstantCondition(b)         => Some(ConstantCondition(!b))
-    case NotCondition(inner)          => Some(inner)
-    case _                            => None
-  }
 
   /** Contains-family implication over value SETS (ConditionEvaluator
     * semantics: ALL = condValues within the list's set, ANY = intersection,

@@ -369,6 +369,54 @@ object Databus {
         live.map(r => (r.name, r.condition, nowMs - r.eventTtlMs)), attrsCol)
   }
 
+  // ------------------------------------------- cross-DC replication routing
+
+  /** System channel names (databus/ChannelNames.java:29-35). */
+  def masterChannel(partition: Int): String = s"__system_bus:master[$partition]"
+  def replicationChannel(dc: String, partition: Int): String =
+    s"__system_bus:out:$dc[$partition]"
+
+  /** HashingPartitionSelector parity: abs(murmur3_32(utf8(key))) % n with
+    * Java int-abs semantics; a null key routes to partition 0
+    * (PartitionSelector.java:17-19). */
+  def partitionFor(key: String, numPartitions: Int): Int =
+    if (key == null) 0 else Math.abs(graft.json.Hashes.murmur3_32(key)) % numPartitions
+
+  private def partitionColumn(key: Column, numPartitions: Int): Column =
+    when(key.isNull, lit(0)).otherwise(
+      abs(graft.engine.expressions.emoHash32(key)) % numPartitions)
+
+  /**
+   * Outbound cross-DC replication routing (DefaultFanout.java:246-258): each
+   * event is copied, once per NON-local datacenter of its table, onto the
+   * replication fanout channel `__system_bus:out:<dc>[<partition>]`, where
+   * partition = abs(murmur3_32(key)) % outboundPartitions (the
+   * HashingPartitionSelector). `tableDataCenters` is the relational form of
+   * `table.getDataCenters()` (Table.java:24): one (table, datacenter) row per
+   * replica — it is catalog-sized, so the join broadcasts; the event batch is
+   * scanned once and never shuffles (the channel column is a pure projection).
+   */
+  def replicationFanout(events: DataFrame, tableDataCenters: DataFrame,
+                        currentDc: String, outboundPartitions: Int = 8): DataFrame = {
+    val remote = broadcast(
+      tableDataCenters.where(col("datacenter") =!= currentDc)
+        .select("table", "datacenter").distinct())
+    events.join(remote, Seq("table"))
+      .withColumn("partition", partitionColumn(col("key"), outboundPartitions))
+      .withColumn("channel",
+        concat(lit("__system_bus:out:"), col("datacenter"),
+          lit("["), col("partition").cast("string"), lit("]")))
+  }
+
+  /** Inbound write-side partitioning (DefaultDatabus.java:400-407): events
+    * land on the partitioned master fanout channel by key hash, so one
+    * leader per partition fans out independently. Same hash family as the
+    * outbound selector. */
+  def masterChannels(events: DataFrame, masterPartitions: Int = 8): DataFrame =
+    events.withColumn("partition", partitionColumn(col("key"), masterPartitions))
+      .withColumn("channel",
+        concat(lit("__system_bus:master["), col("partition").cast("string"), lit("]")))
+
   /**
    * Consolidate events per coordinate within a batch: keep the max-changeId
    * (winning) payload column values, union + sort tags, count collapsed

@@ -151,6 +151,44 @@ class ConditionAlgebraSpec extends AnyFunSuite {
     assert(!ConditionAlgebra.isInverse(c("gt(5)"), c("le(5)"))) // strings fail both
   }
 
+  test("constructive inverse matches the reference's InverseEvaluator shapes") {
+    import ConditionAlgebra.inverseOf
+    // invertible forms (InverseEvaluator.java:51-128)
+    assert(inverseOf(c("alwaysTrue()")) === Some(c("alwaysFalse()")))
+    assert(inverseOf(c("not(\"a\")")) === Some(c("\"a\"")))
+    assert(inverseOf(c("+")) === Some(c("~")))
+    assert(inverseOf(c("~")) === Some(c("+")))
+    // typed is(): OR of every OTHER concrete state, never DEFINED
+    val notString = inverseOf(c("is(string)")).get
+    for (v <- Seq[JValue](JNull, JBool(true), JLong(1), JDouble(1.5),
+        JArr(Vector()), JObj(Map.empty), JUndefined))
+      assert(ConditionEvaluator.eval(notString, v), s"$notString should accept $v")
+    assert(!ConditionEvaluator.eval(notString, JString("s")))
+    // comparisons invert to (wrong kind OR flipped comparison)
+    val notGt5 = inverseOf(c("gt(5)")).get
+    assert(ConditionEvaluator.eval(notGt5, JLong(5)))
+    assert(ConditionEvaluator.eval(notGt5, JString("zebra")))
+    assert(!ConditionEvaluator.eval(notGt5, JLong(6)))
+    // no well-defined inverse (InverseEvaluator.java:195-215)
+    assert(inverseOf(c("\"test\"")).isEmpty)
+    assert(inverseOf(c("in(1,2)")).isEmpty)
+    assert(inverseOf(c("contains(\"a\")")).isEmpty)
+    assert(inverseOf(c("like(\"t*\")")).isEmpty)
+    // and/or/map push through with not() standing in for non-invertible subs
+    assert(inverseOf(c("""and(is(string),like("t*"))""")).isDefined)
+    assert(inverseOf(c("""{..,"k":gt(1)}""")).isDefined)
+  }
+
+  test("SOUNDNESS: inverseOf(c) disagrees with c on EVERY value") {
+    val conds = condTexts.map(c)
+    forAll(valueGen) { v =>
+      for (a <- conds; inv <- ConditionAlgebra.inverseOf(a)) {
+        assert(ConditionEvaluator.eval(a, v) !== ConditionEvaluator.eval(inv, v),
+          s"inverseOf($a) = $inv agrees with it on $v")
+      }
+    }
+  }
+
   test("simplify drops subsumed branches and conjuncts") {
     assert(ConditionAlgebra.simplify(c("""and(is(string),like("ab*"))""")) === c("""like("ab*")"""))
     assert(ConditionAlgebra.simplify(c("""or("a",in("a","b"))""")) === c("""in("a","b")"""))

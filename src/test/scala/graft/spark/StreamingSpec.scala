@@ -223,6 +223,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(routed(unionMax = 1) === expected, "single-pass path")
   }
 
+  test("cross-DC replication routing: non-local DCs only, murmur3 partition parity, no event shuffle (DefaultFanout.java:246-258)") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ("t_global", "alpha", 1000L, 1L, "n", Seq("x")),
+      ("t_global", "beta", 2000L, 2L, "n", Seq("x")),
+      ("t_local", "alpha", 3000L, 3L, "n", Seq("x")),
+      ("t_unknown", "gamma", 4000L, 4L, "n", Seq("x")))
+      .toDF("table", "key", "ms", "seq", "node", "tags")
+    // t_global replicates to all three DCs; t_local lives only here;
+    // t_unknown is not in the topology (no replicas -> no outbound copies)
+    val topo = Seq(
+      ("t_global", "us-east"), ("t_global", "eu-west"), ("t_global", "ap-south"),
+      ("t_local", "us-east"))
+      .toDF("table", "datacenter")
+    val out = Databus.replicationFanout(events, topo, currentDc = "us-east",
+      outboundPartitions = 8)
+    val got = out.select("table", "key", "channel").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    def ch(dc: String, key: String) =
+      Databus.replicationChannel(dc, Databus.partitionFor(key, 8))
+    val expected = Set(
+      ("t_global", "alpha", ch("eu-west", "alpha")),
+      ("t_global", "alpha", ch("ap-south", "alpha")),
+      ("t_global", "beta", ch("eu-west", "beta")),
+      ("t_global", "beta", ch("ap-south", "beta")))
+    assert(got === expected)
+    // channel partition is in range and matches the scalar selector
+    out.select("key", "partition").collect().foreach { r =>
+      val p = r.getInt(1)
+      assert(p >= 0 && p < 8 && p === Databus.partitionFor(r.getString(0), 8))
+    }
+    // the event side is scanned once and never shuffles: the only exchange
+    // in the plan is the broadcast of the (tiny) topology
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+    // inbound master-channel partitioning (DefaultDatabus.java:400-407)
+    val master = Databus.masterChannels(events, masterPartitions = 4)
+      .select("key", "channel").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(master === events.select("key").collect().map(_.getString(0)).toSet
+      .map((k: String) => (k, Databus.masterChannel(Databus.partitionFor(k, 4)))))
+  }
+
   test("subscription lifecycle: TTL expiry, renewal, event TTL in fanout") {
     import graft.streaming.Databus.{SubscriptionRecord => SR}
     val s = spark
