@@ -664,6 +664,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // same planted-copy construction again: identical vectors encode to
+    // identical PQ codes, so the copy's ADC score is cosine(q, q̂) — far above
+    // every natural neighbor's (max natural cosine ≈ 0.51) — and it survives
+    // candidate generation with rerank to spare; exact re-rank then returns
+    // it at cosine 1.0, matching the oracle's exact top-1
+    "sim_pq" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.unionByName(
+        queries.withColumn("vec_id", col("vec_id") + 1000000L))
+      val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val index = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
+      Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 1, rerank = 32)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
     // ========================================================== pipeline: text
     "text_tokens" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
@@ -1202,6 +1219,20 @@ object SparkEntry {
         |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ivf" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v WHERE vec_id < 10)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_pq" ->
       """WITH all_v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         |  UNION ALL

@@ -202,6 +202,111 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
   }
 
+  /**
+   * Product-quantization codebook training (Jégou et al., TPAMI 2011 — the
+   * standard billion-scale ANN compression): the D-dim space is split into
+   * `m` equal coordinate blocks and each block gets its own `k`-centroid
+   * codebook trained by Lloyd steps. Deterministic throughout: seeds are the
+   * k corpus rows with smallest id-hash (same protocol as [[ivfBuild]]), and
+   * each Lloyd step is one distributed pass — encode via [[sketches.pqEncode]]
+   * then per-(subspace, code, dim) means. Collected state is m*k*subDim
+   * doubles (tiny); the corpus is never collected.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dims = base.select(size(col("vec"))).head().getInt(0)
+    require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    // seed sub-codebooks from the k smallest-id-hash rows, sliced per block
+    val seeds = base.withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(k)
+      .select("vec").collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seeds.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim).toSeq))
+    var it = 0
+    while (it < iters) {
+      // one pass: explode (pos, x), derive (subspace, dim-in-block, code), mean
+      val assigned = base.withColumn("codes", sketches.pqEncode(col("vec"), books))
+      val means = assigned
+        .select(col("codes"), posexplode(col("vec")))
+        .withColumn("sub", (col("pos") / subDim).cast("int"))
+        .withColumn("d", col("pos") % subDim)
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "code", "d").agg(avg(col("col").cast("double")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      books = (0 until m).map { s =>
+        (0 until k).map { c =>
+          val old = books(s)(c)
+          (0 until subDim).map(d => means.getOrElse((s, c, d), old(d)))
+        }
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** Encode every corpus vector to its PQ codes — the compressed index.
+    * At m=8 the 64-float payload becomes 8 small ints; the raw vector is kept
+    * alongside only for the exact re-rank join (drop it to scan pure codes). */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sketches.pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /**
+   * PQ ANN top-k with asymmetric-distance (ADC) candidate generation and
+   * exact-cosine re-rank. Queries are collected (they are the bounded side —
+   * same plan-literal budget as IVF centroids) and their per-subspace
+   * lookup tables ride in a single [[sketches.pqAdcScores]] expression, so
+   * candidate scoring is ONE pass over the compressed codes: M adds per
+   * (row, query) instead of D multiplies against raw floats. The top
+   * `rerank` ADC candidates per query are re-scored with exact cosine, which
+   * restores exactness whenever the true neighbor survives candidate
+   * generation.
+   */
+  def pqTopK(codebooks: Seq[Seq[Seq[Double]]], index: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, rerank: Int = 32): DataFrame = {
+    val m = codebooks.size
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue).toArray)
+    val subDim = codebooks.head.head.size
+    // luts(q)(s)(c) = dot(q's block s, codebook s centroid c)
+    val luts: Seq[Seq[Seq[Double]]] = qVecs.toSeq.map { qv =>
+      (0 until m).map { s =>
+        codebooks(s).map { cent =>
+          var dot = 0.0
+          var d = 0
+          while (d < subDim) { dot += qv(s * subDim + d) * cent(d); d += 1 }
+          dot
+        }
+      }
+    }
+    val norm2: Seq[Seq[Double]] = codebooks.map(_.map(_.map(x => x * x).sum))
+    val qNorms: Seq[Double] = qVecs.toSeq.map(v => math.sqrt(v.map(x => x * x).sum))
+    val qIdLit = array(qIds.map(lit(_)).toIndexedSeq: _*)
+    val scored = index
+      .withColumn("adc", sketches.pqAdcScores(col("codes"), luts, norm2, qNorms))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"), posexplode(col("adc")))
+      .withColumn("query_id", element_at(qIdLit, col("pos") + 1))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("col").desc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select("query_id", "neighbor_id", "cv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = candidates.join(broadcast(q), Seq("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** One band's bucket key via builtins (cross-check formulation):
     * planes [band*planes, (band+1)*planes). */
   def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {

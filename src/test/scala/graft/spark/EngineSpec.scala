@@ -254,6 +254,39 @@ class EngineSpec extends AnyFunSuite {
     assert(pairs === Set((0L, 100000L), (1L, 100001L), (2L, 100002L)))
   }
 
+  test("PQ index: planted copies recalled exactly; ADC rerank recalls most exact top-k") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    // planted-copy exactness: each query's identical copy encodes to identical
+    // codes, survives ADC candidate generation, and exact re-rank returns it
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.unionByName(queries.withColumn("vec_id", col("vec_id") + 1000000L))
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    assert(books.size === 8 && books.forall(_.size === 16) &&
+      books.forall(_.forall(_.size === 8)))
+    val index = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
+    // codes are in-range small ints
+    val codes = index.select("codes").limit(20).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    val top1 = Similarity.pqTopK(books, index, queries, "vec_id", "embedding",
+        k = 1, rerank = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 === (0 until 5).map(i => (i.toLong, i + 1000000L)).toSet)
+
+    // recall against brute force on the natural corpus
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val natBooks = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val natIndex = Similarity.pqIndex(emb, "vec_id", "embedding", natBooks)
+    val approx = Similarity.pqTopK(natBooks, natIndex, queries, "vec_id", "embedding",
+        k = 5, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+
   test("fanout: native-compiled predicates agree with the parity evaluator") {
     val changes = EventLog.changes(spark, "/root/testdata/sf0.001")
     val subs = Seq(
