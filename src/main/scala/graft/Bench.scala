@@ -52,7 +52,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // The per-query line above grows with the query count and can outrun a
+    // log tail window; this compact line is printed LAST so any tail of
+    // stdout always contains one complete, parseable JSON record.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -676,7 +676,9 @@ object SparkEntry {
         queries.withColumn("vec_id", col("vec_id") + 1000000L))
       val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
       val index = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
-      Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 1, rerank = 32)
+      // rerank=64 (the operator default): ample headroom for the planted
+      // copy to survive ADC candidate generation even at denser SFs
+      Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 1, rerank = 64)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     },

@@ -31,6 +31,28 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** Scale-safe per-query top-k rank. A plain
+    * `Window.partitionBy(query)` funnels every corpus row for a query
+    * through ONE reducer — a corpus-sized sort per query at scale. Instead:
+    * rank within (query, arriving partition), keep `k` per sub-partition,
+    * then rank the k × numPartitions survivors globally. The global top-k is
+    * invariant (any global top-k row is top-k of its own sub-partition);
+    * ties are broken by `tieCol` asc so both phases are deterministic.
+    * Adds a `rank` column and filters to rank <= k. */
+  private[pipeline] def rankTopKPerQuery(df: DataFrame, queryCol: String,
+                                         scoreCol: String, tieCol: String,
+                                         k: Int): DataFrame = {
+    val local = df.withColumn("__part", spark_partition_id())
+    val w1 = Window.partitionBy(col(queryCol), col("__part"))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val survivors = local.withColumn("__lrank", row_number().over(w1))
+      .where(col("__lrank") <= k)
+      .drop("__part", "__lrank")
+    val w2 = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    survivors.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * Returns (queryIdCol, rank, neighbor id, score). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -40,9 +62,8 @@ object Similarity {
     val qSide = if (broadcastQueries) broadcast(q) else q
     val scored = c.join(qSide, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
@@ -86,9 +107,8 @@ object Similarity {
       .select("query_id", "qv", "neighbor_id", "cv")
       .distinct()
     val scored = candidates.withColumn("score", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
@@ -161,7 +181,7 @@ object Similarity {
     // deterministic seed centroids: the nCells corpus rows with smallest id-hash
     var centroids: Seq[Seq[Double]] = base
       .withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(nCells)
+      .orderBy(col("h"), col("id")).limit(nCells)
       .select("vec").collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toSeq)
       .toSeq
@@ -170,7 +190,12 @@ object Similarity {
       val assigned = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
-        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        // decimal accumulation: exact and associative, so the mean (and hence
+        // every centroid) is identical under ANY partitioning — double `avg`
+        // wobbles with float summation order across hosts
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cell"), transform(col("dims"), d => d.getField("m")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
@@ -196,35 +221,49 @@ object Similarity {
     val scored = probed.join(index, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .withColumn("score", cosine(col("qv"), col("vec")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
+      .select("query_id", "rank", "neighbor_id", "score")
   }
 
   /**
    * Product-quantization codebook training (Jégou et al., TPAMI 2011 — the
    * standard billion-scale ANN compression): the D-dim space is split into
    * `m` equal coordinate blocks and each block gets its own `k`-centroid
-   * codebook trained by Lloyd steps. Deterministic throughout: seeds are the
-   * k corpus rows with smallest id-hash (same protocol as [[ivfBuild]]), and
-   * each Lloyd step is one distributed pass — encode via [[sketches.pqEncode]]
-   * then per-(subspace, code, dim) means. Collected state is m*k*subDim
-   * doubles (tiny); the corpus is never collected.
+   * codebook trained by Lloyd steps.
+   *
+   * Deterministic throughout, under ANY partitioning:
+   *  - seeds: `seedSample*k` hash-sampled rows are collected (tiny — driver
+   *    state is seedSample*k vectors) and each subspace picks k seeds by
+   *    farthest-point traversal (Gonzalez 1985 k-center init) — spread-out
+   *    seeds, no RNG, no dependence on row order;
+   *  - Lloyd means accumulate in decimal (exact, associative), so float
+   *    summation order across partitions cannot wobble the centroids.
+   * Each Lloyd step is one distributed pass — encode via
+   * [[sketches.pqEncode]] then per-(subspace, code, dim) means. Collected
+   * state is m*k*subDim doubles (tiny); the corpus is never collected.
+   *
+   * Quality knobs: `iters` (Lloyd steps; 2 suffices for planted-copy
+   * exactness, 3-4 lift natural-corpus recall) and `seedSample` (seed
+   * candidate pool multiplier for the farthest-point init).
    */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              m: Int = 8, k: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+              m: Int = 8, k: Int = 16, iters: Int = 2,
+              seedSample: Int = 8): Seq[Seq[Seq[Double]]] = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dims = base.select(size(col("vec"))).head().getInt(0)
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    // seed sub-codebooks from the k smallest-id-hash rows, sliced per block
-    val seeds = base.withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(k)
+    // candidate seed pool: the seedSample*k smallest-id-hash rows (id as a
+    // tie-break makes the order total even on hash collisions)
+    val pool = base.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(math.max(k, seedSample * k))
       .select("vec").collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
-    var books: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(s => seeds.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim).toSeq))
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val blocks = pool.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      farthestPointSeeds(blocks, k).map(_.toSeq).toSeq
+    }
     var it = 0
     while (it < iters) {
       // one pass: explode (pos, x), derive (subspace, dim-in-block, code), mean
@@ -234,7 +273,9 @@ object Similarity {
         .withColumn("sub", (col("pos") / subDim).cast("int"))
         .withColumn("d", col("pos") % subDim)
         .withColumn("code", element_at(col("codes"), col("sub") + 1))
-        .groupBy("sub", "code", "d").agg(avg(col("col").cast("double")).as("mean"))
+        .groupBy("sub", "code", "d")
+        .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+          .cast("double").as("mean"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
         .toMap
@@ -249,13 +290,52 @@ object Similarity {
     books
   }
 
+  /** Deterministic farthest-point (Gonzalez) seed selection: start from the
+    * pool's first point, then repeatedly add the candidate farthest from the
+    * chosen set (squared L2; ties → lowest index). Driver-local over a
+    * bounded pool. Duplicates in the pool collapse to distinct picks as long
+    * as the pool has k distinct points; otherwise remaining slots reuse the
+    * last pick (harmless — Lloyd reassigns). */
+  private def farthestPointSeeds(pool: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    require(pool.nonEmpty, "empty seed pool")
+    val chosen = new Array[Array[Double]](k)
+    chosen(0) = pool(0)
+    val minD = Array.fill(pool.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var bestI = 0
+      var bestD = -1.0
+      var i = 0
+      while (i < pool.length) {
+        val prev = chosen(c - 1)
+        var d2 = 0.0
+        var d = 0
+        while (d < prev.length) { val diff = pool(i)(d) - prev(d); d2 += diff * diff; d += 1 }
+        if (d2 < minD(i)) minD(i) = d2
+        if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+        i += 1
+      }
+      chosen(c) = pool(bestI)
+      c += 1
+    }
+    chosen
+  }
+
   /** Encode every corpus vector to its PQ codes — the compressed index.
     * At m=8 the 64-float payload becomes 8 small ints; the raw vector is kept
     * alongside only for the exact re-rank join (drop it to scan pure codes). */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-              codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+              codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    // same guard as pqTrain — externally supplied codebooks with mismatched
+    // block width would otherwise silently drop trailing dimensions
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val m = codebooks.size
+    require(dims % m == 0, s"vector dims $dims not divisible by m=$m codebooks")
+    require(codebooks.forall(_.forall(_.size == dims / m)),
+      s"codebook centroid width != dims/m = ${dims / m}")
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sketches.pqEncode(col(vecCol), codebooks).as("codes"))
+  }
 
   /**
    * PQ ANN top-k with asymmetric-distance (ADC) candidate generation and
@@ -266,17 +346,27 @@ object Similarity {
    * (row, query) instead of D multiplies against raw floats. The top
    * `rerank` ADC candidates per query are re-scored with exact cosine, which
    * restores exactness whenever the true neighbor survives candidate
-   * generation.
+   * generation — with rerank >= corpus size the result EQUALS
+   * [[bruteForceTopK]] (every row survives and the re-rank is exact), which
+   * is the operator's hard guarantee independent of codebook quality.
+   *
+   * Scale shape: only (query_id, neighbor_id, adc) flows through candidate
+   * ranking — raw vectors re-join by neighbor_id for the <= rerank
+   * survivors — and ranking is the two-phase [[rankTopKPerQuery]], so no
+   * reducer ever sorts the whole corpus for one query. Query ids may be any
+   * orderable type (int/long/string/...), not just long.
    */
   def pqTopK(codebooks: Seq[Seq[Seq[Double]]], index: DataFrame, queries: DataFrame,
-             idCol: String, vecCol: String, k: Int, rerank: Int = 32): DataFrame = {
+             idCol: String, vecCol: String, k: Int, rerank: Int = 64): DataFrame = {
     val m = codebooks.size
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).collect()
-    val qIds = qRows.map(_.getLong(0))
+    val qIds = qRows.map(_.get(0))
     val qVecs = qRows.map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue).toArray)
     val subDim = codebooks.head.head.size
     // luts(q)(s)(c) = dot(q's block s, codebook s centroid c)
     val luts: Seq[Seq[Seq[Double]]] = qVecs.toSeq.map { qv =>
+      require(qv.length == m * subDim,
+        s"query dims ${qv.length} != codebook dims ${m * subDim}")
       (0 until m).map { s =>
         codebooks(s).map { cent =>
           var dot = 0.0
@@ -289,21 +379,24 @@ object Similarity {
     val norm2: Seq[Seq[Double]] = codebooks.map(_.map(_.map(x => x * x).sum))
     val qNorms: Seq[Double] = qVecs.toSeq.map(v => math.sqrt(v.map(x => x * x).sum))
     val qIdLit = array(qIds.map(lit(_)).toIndexedSeq: _*)
+    // ids-only through the N×Q explode and both rank shuffles: the wide raw
+    // vector stays out of the candidate stream entirely
     val scored = index
       .withColumn("adc", sketches.pqAdcScores(col("codes"), luts, norm2, qNorms))
-      .select(col("id").as("neighbor_id"), col("vec").as("cv"), posexplode(col("adc")))
+      .select(col("id").as("neighbor_id"), posexplode(col("adc")))
       .withColumn("query_id", element_at(qIdLit, col("pos") + 1))
       .where(col("query_id") =!= col("neighbor_id"))
-    val wAdc = Window.partitionBy("query_id").orderBy(col("col").desc, col("neighbor_id").asc)
-    val candidates = scored.withColumn("arank", row_number().over(wAdc))
-      .where(col("arank") <= rerank)
-      .select("query_id", "neighbor_id", "cv")
+      .select(col("query_id"), col("neighbor_id"), col("col").as("adc"))
+    val candidates = rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
+      .select("query_id", "neighbor_id")
+    // raw vectors re-join for the <= Q*rerank survivors only
+    val withVec = candidates.join(
+      index.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val exact = candidates.join(broadcast(q), Seq("query_id"))
+    val exact = withVec.join(broadcast(q), Seq("query_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(exact, "query_id", "score", "neighbor_id", k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
 

@@ -273,18 +273,60 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(top1 === (0 until 5).map(i => (i.toLong, i + 1000000L)).toSet)
 
-    // recall against brute force on the natural corpus
+    // hard guarantee, independent of codebook quality: with rerank >= corpus
+    // size every row survives ADC candidate generation and the exact re-rank
+    // makes pqTopK IDENTICAL to brute force — deterministic on any host
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val natBooks = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val natBooks = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 3)
     val natIndex = Similarity.pqIndex(emb, "vec_id", "embedding", natBooks)
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(natBooks, natIndex, queries, "vec_id", "embedding",
+        k = 5, rerank = n)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "pqTopK with rerank=corpus must equal brute force")
+
+    // natural-corpus recall with a bounded rerank: training is deterministic
+    // under any partitioning (decimal Lloyd means + farthest-point seeding),
+    // so this number is stable across hosts
     val approx = Similarity.pqTopK(natBooks, natIndex, queries, "vec_id", "embedding",
-        k = 5, rerank = 20)
+        k = 5, rerank = 64)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+
+  test("plan contract: ANN top-k ranks per (query, input-partition) first — no corpus-wide single-reducer sort") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where(col("vec_id") < 3)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val index = Similarity.pqIndex(emb, "vec_id", "embedding", books)
+    val pq = Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 3, rerank = 8)
+    pq.collect()
+    // (string match: AQE wraps the plan, hiding the tree from collect)
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    // phase 1 windows partition by (query_id, __part): the corpus-sized ADC
+    // stream is ranked within each arriving partition, so no reducer sorts
+    // the whole corpus for one query; the query-only window ranks only the
+    // <= rerank×numPartitions survivors of the __lrank filter
+    assert(pqPlan.contains("__part"), s"pqTopK lost the local pre-rank phase:\n$pqPlan")
+    assert(pqPlan.contains("__lrank"), s"pqTopK lost the survivor filter:\n$pqPlan")
+    // raw vectors are NOT in the candidate rank stream — they re-join by id
+    // after pruning, so the N×Q explode and both rank shuffles carry only
+    // (query_id, neighbor_id, adc): no Generate node outputs the vec column
+    val explodeLines = pqPlan.linesIterator.filter(_.contains("posexplode")).toSeq
+    assert(explodeLines.nonEmpty && explodeLines.forall(l => !l.contains("vec#")),
+      s"raw vectors leaked into the ADC explode stream:\n$pqPlan")
+
+    val (centroids, ivfIdx) = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8, iters = 1)
+    val ivf = Similarity.ivfTopK(centroids, ivfIdx, queries, "vec_id", "embedding", 3, nProbe = 2)
+    ivf.collect()
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("__part"), s"ivfTopK lost the local pre-rank phase:\n$ivfPlan")
+    assert(ivfPlan.contains("__lrank"), s"ivfTopK lost the survivor filter:\n$ivfPlan")
   }
 
   test("fanout: native-compiled predicates agree with the parity evaluator") {
