@@ -93,6 +93,34 @@ object SparkEntry {
         .orderBy("key")
     },
 
+    // the write facade under the oracle gate: a log built purely through
+    // EmoSession.updateAll (create + overwrite-merge per part row) resolves
+    // to the state the oracle computes directly from the source table
+    "write_updateall" -> { (s, dir) =>
+      import graft.delta.{Deltas, DslParser}
+      import graft.json.{JLong, JObj, JString}
+      import s.implicits._
+      val parts = Tables.read(s, dir, "part").where(col("p_partkey") <= 50)
+        .select("p_partkey", "p_name", "p_size").collect()
+      val empty = Seq.empty[(String, String, Long, Long, String, String, Seq[String])]
+        .toDF("table", "key", "ms", "seq", "node", "delta", "tags")
+      val creates = parts.map { r =>
+        EmoSession.Update("parts", r.getLong(0).toString, Deltas.literal(JObj(Map(
+          "name" -> JString(r.getString(1)), "size" -> JLong(r.getInt(2))))))
+      }.toSeq
+      val r1 = new EmoSession(s, empty).updateAll(creates, atMs = 1000L)
+      val bumps = parts.map { r =>
+        EmoSession.Update("parts", r.getLong(0).toString,
+          DslParser.parseDelta(s"""{..,"size":${r.getInt(2) + 1}}"""))
+      }.toSeq
+      val r2 = r1.session.updateAll(bumps, atMs = 2000L)
+      r2.session.docs.toDF().select(
+          col("id").as("key"), col("version"),
+          jget("body", "name").as("name"),
+          jget("body", "size").cast("long").as("size"))
+        .orderBy("key")
+    },
+
     "resolve_map_merge" -> { (s, dir) =>
       docsOf(s, dir).select(
           col("id").as("key"),
@@ -800,6 +828,13 @@ object SparkEntry {
         |       arg_max(value, event_id) AS last_value,
         |       CAST(arg_max(CAST(props->>'k' AS BIGINT), event_id) AS BIGINT) AS last_k
         |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "write_updateall" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS key,
+        |       CAST(2 AS BIGINT) AS version,
+        |       p_name AS name,
+        |       CAST(p_size + 1 AS BIGINT) AS size
+        |FROM part WHERE p_partkey <= 50 ORDER BY key""".stripMargin,
 
     "resolve_map_merge" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,

@@ -173,6 +173,71 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
     limit.map(n => df.limit(n).count()).getOrElse(df.count())
   }
 
+  /** The reference's canonical write path in one call
+    * (DefaultDataStore.updateAll, DefaultDataStore.java:678-770): tag/name
+    * legality checks → [[graft.delta.Deltas.sanitize]] (strip intrinsics,
+    * reject non-object top-level literals) → TimeUUID changeId assignment →
+    * ChangeRow append → databus UpdateRef emission. Functional over the
+    * immutable log: returns the post-write session plus the UpdateRef rows.
+    *
+    * The refs carry (table, key, ms, seq, node, tags) — the fanout event
+    * schema — and the reference writes them to the databus BEFORE the store
+    * so listeners never lose updates (beforeWrite algorithm note,
+    * DefaultDataStore.java:744-760); feed them to [[graft.streaming.Databus.fanout]]
+    * or a Kafka sink accordingly.
+    *
+    * `atMs`/`node` seed auto-assigned changeIds (consecutive seq per call —
+    * the fabricated-UUID protocol of TimeUUIDs.uuidForTimeMillis); an
+    * explicit `Update.changeId` wins. Writes at or before
+    * `fullConsistencyMs` are rejected like the reference's far-past guard
+    * (conflict resolution cannot be trusted below the compaction horizon,
+    * DefaultDataStore.java:732-737). */
+  def updateAll(updates: Seq[EmoSession.Update], atMs: Long,
+                tags: Set[String] = Set.empty, node: String = "local",
+                fullConsistencyMs: Long = Long.MinValue): EmoSession.UpdateResult = {
+    import graft.delta.{DeltaPrinter, Deltas}
+    import graft.resolve.ChangeRow
+    // tag budget guard (DefaultDataStore.checkLegalTags:995-1003)
+    require(tags.size <= 3, "Maximum of 3 tags are allowed")
+    tags.foreach(t => require(t.length < 9,
+      s"Tag $t is of more than the allowed length of 8 characters."))
+    val tagSeq = tags.toSeq.sorted
+    var autoSeq = -1L
+    val rows = updates.map { u =>
+      require(Names.isLegalTableName(u.table), s"illegal table name: ${u.table}")
+      val sanitized = Deltas.sanitize(u.delta)
+      val cid = u.changeId.getOrElse { autoSeq += 1; graft.json.TimeUuid(atMs, autoSeq, node) }
+      require(cid.ms > fullConsistencyMs,
+        s"The 'changeId' UUID is from too far in the past: ${cid.ms}")
+      (ChangeRow(u.table, u.key, cid.ms, cid.seq, cid.node,
+        DeltaPrinter.print(sanitized), tagSeq), u.audit)
+    }
+    import spark.implicits._
+    // audit rides as an extra column only when the base log carries one
+    // (Change.java:25-46 pairs an optional Audit with each delta)
+    val newRows = rows.map { case (c, a) =>
+      (c.table, c.key, c.ms, c.seq, c.node, c.delta, c.tags, a.orNull)
+    }.toDF("table", "key", "ms", "seq", "node", "delta", "tags", "audit")
+    val appended = changes.unionByName(
+      newRows.select(changes.columns.map(col).toIndexedSeq: _*))
+    val refs = newRows.select("table", "key", "ms", "seq", "node", "tags")
+    EmoSession.UpdateResult(
+      new EmoSession(spark, appended, placement, resolvedView = None), refs)
+  }
+
+  /** Single-document write (DataStore.update → updateAll singleton). */
+  def update(table: String, key: String, delta: graft.delta.Delta, atMs: Long,
+             tags: Set[String] = Set.empty, node: String = "local",
+             audit: Option[String] = None): EmoSession.UpdateResult =
+    updateAll(Seq(EmoSession.Update(table, key, delta, audit = audit)), atMs,
+      tags, node)
+
+  /** Document delete: a tombstone delta through the same write path. */
+  def delete(table: String, key: String, atMs: Long,
+             tags: Set[String] = Set.empty, node: String = "local",
+             audit: Option[String] = None): EmoSession.UpdateResult =
+    update(table, key, graft.delta.Deltas.delete, atMs, tags, node, audit)
+
   /** Purge/drop control events (SURVEY §2.9 table control): one delete delta
     * per live key of the table at `atMs`, tombstoning every document
     * downstream (the RefType.DELETED batch analog). Union the result onto
@@ -191,4 +256,15 @@ object EmoSession {
   /** ~signature of a coordinate that was never written
     * (the all-zeros sentinel the reference clients assert against). */
   val NonExistentSignature: String = "0" * 32
+
+  /** One write intent (Update.java): coordinate + delta, with an optional
+    * explicit changeId (else assigned from the session's atMs/node) and an
+    * optional audit JSON string. */
+  final case class Update(table: String, key: String, delta: graft.delta.Delta,
+                          changeId: Option[graft.json.TimeUuid] = None,
+                          audit: Option[String] = None)
+
+  /** Write result: the post-write session (immutable-log append) and the
+    * databus UpdateRef rows in the fanout event schema. */
+  final case class UpdateResult(session: EmoSession, refs: DataFrame)
 }

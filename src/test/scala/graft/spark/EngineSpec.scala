@@ -1080,4 +1080,60 @@ class EngineSpec extends AnyFunSuite {
     assert(cv.head.getAs[String]("signature") === doc.signature)
     assert(cv.head.getAs[String]("body") === doc.body)
   }
+
+  test("updateAll round-trip: write -> resolve -> databus event visible (DataStoreTest.testUpdate)") {
+    import graft.delta.{Deltas, DslParser}
+    import graft.json.{JLong, JObj, JString}
+    val empty = changesDf(Seq.empty)
+    val s0 = new EmoSession(spark, empty)
+
+    // write: sanitize strips intrinsics/~tags from the top-level literal
+    val body = JObj(Map("name" -> JString("Bob"), "rating" -> JLong(5),
+      "~id" -> JString("spoofed"), "~tags" -> JString("spoofed")))
+    val r1 = s0.update("review:testcustomer", "k1", Deltas.literal(body),
+      atMs = 1000L, tags = Set("re"), audit = Some("""{"program":"test"}"""))
+    // the databus ref precedes the store write and carries the changeId + tags
+    val ref = r1.refs.collect()
+    assert(ref.length === 1)
+    assert(ref.head.getAs[String]("table") === "review:testcustomer")
+    assert(ref.head.getAs[Long]("ms") === 1000L)
+    assert(ref.head.getAs[Seq[String]]("tags") === Seq("re"))
+    // resolve: the written doc comes back, intrinsics stripped, version 1
+    val doc1 = r1.session.get("review:testcustomer", "k1").get
+    assert(doc1.version === 1L)
+    assert(doc1.body.contains("\"name\":\"Bob\"") && !doc1.body.contains("spoofed"))
+
+    // second write via a parsed delta; seq assignment keeps changeIds ordered
+    val r2 = r1.session.update("review:testcustomer", "k1",
+      DslParser.parseDelta("""{..,"rating":4}"""), atMs = 2000L)
+    val doc2 = r2.session.get("review:testcustomer", "k1").get
+    assert(doc2.version === 2L && doc2.body.contains("\"rating\":4"))
+
+    // the refs drive fanout like any event batch
+    val matched = Databus.fanout(r1.refs,
+      Seq(Subscription("all", """{..,"~tags":contains("re")}""")))
+    assert(matched.count() === 1)
+
+    // delete tombstones through the same path; read honors includeDeleted
+    val r3 = r2.session.delete("review:testcustomer", "k1", atMs = 3000L)
+    assert(r3.session.get("review:testcustomer", "k1").isEmpty)
+    val tomb = r3.session.get("review:testcustomer", "k1", includeDeleted = true).get
+    assert(tomb.deleted && tomb.version === 3L)
+
+    // guard rails: far-past changeId, illegal table name, oversized tags,
+    // non-object top-level literal
+    intercept[IllegalArgumentException] {
+      r3.session.updateAll(Seq(EmoSession.Update("t", "k", Deltas.noop)),
+        atMs = 10L, fullConsistencyMs = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      s0.update("_Illegal Name", "k", Deltas.noop, atMs = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      s0.update("t", "k", Deltas.noop, atMs = 1L, tags = Set("waytoolongtag"))
+    }
+    intercept[IllegalArgumentException] {
+      s0.update("t", "k", Deltas.literal(JString("scalar")), atMs = 1L)
+    }
+  }
 }
