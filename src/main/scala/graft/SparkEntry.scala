@@ -816,6 +816,18 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"))
         .orderBy("media_id")
+    },
+
+    // honest codec under the oracle gate: real BMP/WAV files are encoded
+    // deterministically from the documents table, then the pure-JVM decoder
+    // parses headers and walks pixels/samples; every reported field is
+    // recomputed by the oracle from (id, utf8 byte length) formulas
+    "multimodal_decode" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("mime"), col("width"), col("height"),
+          col("sample_rate"), col("duration_ms"), col("n_bytes"))
+        .orderBy("media_id")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -1344,6 +1356,18 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + octet_length(encode(text)) % 32 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (100 + octet_length(encode(text)) % 500) * 1000 // 8000 ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN 54 + (1 + doc_id % 16) * (((1 + octet_length(encode(text)) % 32) * 3 + 3) // 4 * 4)
+        |       ELSE 44 + (100 + octet_length(encode(text)) % 500) * 2 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "pipeline_curation" ->

@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -9,34 +12,213 @@ final case class MediaRow(
     mime: String,
     media: Array[Byte])
 
-/** Decoded features for one media item. */
+/** Decoded features for one media item. Image fields are zero for audio and
+  * vice versa; the fallback (unknown format) fills only n_bytes + histogram. */
 final case class MediaFeatures(
     media_id: Long,
     mime: String,
     n_bytes: Long,
     width: Int,
     height: Int,
+    sample_rate: Int,
+    channels: Int,
+    duration_ms: Long,
+    mean_level: Double,
     histogram: Array[Double])
 
 /**
  * Multimodal column plumbing: image/audio/video as opaque binary columns
- * with typed metadata, processed in per-partition batches.
+ * with typed metadata, processed in per-partition batches — the Spark-side
+ * schema/partitioning/batch shape a 100 TB media pipeline needs, with an
+ * HONEST pure-JVM codec for two public formats:
  *
- * The Spark-side shape is real and tested — schema, partition-parallel
- * batch processing (mapPartitions over Dataset[MediaRow], the Scala analog
- * of mapInPandas batches), feature schema — while the codec itself is a
- * clearly-marked deterministic STUB: the image/audio libraries are not in
- * this container. Swap [[decodeStub]]'s body for a real decoder (JNI/ffmpeg/
- * ImageIO) without touching the pipeline shape.
+ *  - BMP (Windows BITMAPINFOHEADER, 24-bpp uncompressed): header parse
+ *    (width/height/bpp/compression) + real pixel walk (mean luminance,
+ *    16-bin luminance histogram, bottom-up and top-down row orders).
+ *  - WAV (RIFF PCM): fmt/data chunk walk (channels/sample rate/bits) +
+ *    real sample scan (duration, RMS level, 16-bin amplitude histogram).
+ *
+ * Anything else degrades to byte-level features (n_bytes + byte histogram)
+ * rather than failing — the behavior a curation pipeline wants for the
+ * long tail of unparseable payloads. Heavier codecs (JPEG/PNG/ffmpeg) slot
+ * into [[decode]]'s dispatch without touching the pipeline shape.
  */
 object Multimodal {
 
-  /** STUB decode: deterministic fake "decoder". Real implementation would
-    * decode pixels/samples; this derives stable pseudo-dimensions and a
-    * 16-bin byte histogram so downstream plumbing is exercised honestly. */
-  def decodeStub(row: MediaRow): MediaFeatures = {
+  /** Magic-dispatching decode: BMP / WAV get a real parse; unknown payloads
+    * degrade to byte-level features. Never throws on malformed bytes —
+    * a truncated header falls through to the byte-level path. */
+  def decode(row: MediaRow): MediaFeatures = {
     val bytes = if (row.media == null) Array.emptyByteArray else row.media
-    val h = graft.json.Hashes.murmur3_32(bytes)
+    decodeBmp(row.media_id, row.mime, bytes)
+      .orElse(decodeWav(row.media_id, row.mime, bytes))
+      .getOrElse(byteFeatures(row.media_id, row.mime, bytes))
+  }
+
+  /** Partition-parallel feature extraction: batches flow through the codec
+    * without ever collecting to the driver. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decode))
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** 24-bpp uncompressed BMP parse: BITMAPFILEHEADER (2B magic, 4B size,
+    * 4B reserved, 4B pixel offset) + BITMAPINFOHEADER (4B size, 4B width,
+    * 4B height — negative = top-down, 2B planes, 2B bpp, 4B compression).
+    * Luminance = ITU-R BT.601 integer approx (77R + 150G + 29B) >> 8. */
+  private def decodeBmp(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    val height = math.abs(rawHeight)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length) return None
+    val hist = new Array[Double](16)
+    var lumSum = 0.0
+    var y = 0
+    while (y < height) {
+      // bottom-up storage unless height was negative (top-down)
+      val srcRow = if (rawHeight > 0) height - 1 - y else y
+      var x = 0
+      val base = pixelOffset + srcRow * rowSize
+      while (x < width) {
+        val blue = b(base + x * 3) & 0xff
+        val green = b(base + x * 3 + 1) & 0xff
+        val red = b(base + x * 3 + 2) & 0xff
+        val lum = (77 * red + 150 * green + 29 * blue) >> 8
+        hist(lum >> 4) += 1
+        lumSum += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(MediaFeatures(id, mime, b.length.toLong, width, height,
+      sample_rate = 0, channels = 0, duration_ms = 0L,
+      mean_level = lumSum / n, histogram = hist.map(_ / n)))
+  }
+
+  /** Build a 24-bpp bottom-up BMP from a pixel function (x, y) => (r, g, b).
+    * A real, spec-conformant file — Java ImageIO reads it. */
+  def encodeBmp(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * height
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, no palette
+    var y = 0
+    while (y < height) {
+      val imgY = height - 1 - y // bottom-up row order
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pixel(x, imgY)
+        buf.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** RIFF/WAVE PCM parse: chunk walk to `fmt ` (format 1, channels, sample
+    * rate, bits/sample) and `data` (payload). 16-bit samples only (the
+    * canonical PCM form); level = RMS over normalized [-1, 1] samples. */
+  private def decodeWav(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataStart = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val tag = new String(b, pos, 4, StandardCharsets.US_ASCII)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      tag match {
+        case "fmt " =>
+          if (len < 16 || buf.getShort(pos + 8) != 1) return None // PCM only
+          channels = buf.getShort(pos + 10) & 0xffff
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+        case "data" =>
+          dataStart = pos + 8
+          dataLen = len
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataStart < 0) return None
+    val frameBytes = channels * 2
+    val nFrames = dataLen / frameBytes
+    val hist = new Array[Double](16)
+    var sumSq = 0.0
+    var i = 0
+    val nSamples = dataLen / 2
+    while (i < nSamples) {
+      val s = buf.getShort(dataStart + i * 2) / 32768.0
+      sumSq += s * s
+      // amplitude bin over [-1, 1): (s+1)/2 * 16
+      val bin = math.min(15, ((s + 1.0) * 8).toInt)
+      hist(bin) += 1
+      i += 1
+    }
+    Some(MediaFeatures(id, mime, b.length.toLong, width = 0, height = 0,
+      sample_rate = sampleRate, channels = channels,
+      duration_ms = nFrames.toLong * 1000L / sampleRate,
+      mean_level = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+      histogram = if (nSamples == 0) hist else hist.map(_ / nSamples)))
+  }
+
+  /** Build a 16-bit PCM RIFF/WAVE file from a sample function (frame index,
+    * channel) => [-1, 1]. */
+  def encodeWav(nFrames: Int, sampleRate: Int, channels: Int,
+                sample: (Int, Int) => Double): Array[Byte] = {
+    require(nFrames >= 0 && sampleRate > 0 && channels > 0)
+    val dataLen = nFrames * channels * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)           // byte rate
+      .putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = math.max(-1.0, math.min(1.0, sample(f, c)))
+        buf.putShort(math.round(v * 32767.0).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  // ------------------------------------------------------------- fallback
+
+  /** Byte-level degradation for unknown/malformed payloads: n_bytes + raw
+    * byte histogram. Keeps the long tail flowing instead of failing. */
+  private def byteFeatures(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < bytes.length) {
@@ -44,24 +226,14 @@ object Multimodal {
       i += 1
     }
     val total = math.max(1, bytes.length)
-    MediaFeatures(
-      media_id = row.media_id,
-      mime = row.mime,
-      n_bytes = bytes.length,
-      width = 16 + (math.abs(h) % 1024),        // STUB: pretend-decoded dims
-      height = 16 + (math.abs(h >> 10) % 1024), // STUB
-      histogram = hist.map(_ / total))
+    MediaFeatures(id, mime, bytes.length.toLong, 0, 0, 0, 0, 0L, 0.0,
+      hist.map(_ / total))
   }
 
-  /** Partition-parallel feature extraction: batches flow through the stub
-    * codec without ever collecting to the driver. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
-  }
+  // ------------------------------------------------------------ pipelines
 
-  /** "Resize" stub: a metadata-level operation (target dims recorded; a real
-    * impl would re-encode the payload). */
+  /** Resize planning: a metadata-level operation (target dims recorded; a
+    * real impl would re-encode the payload through the codec). */
   def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
     val f = features.toDF()
     val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
@@ -69,7 +241,7 @@ object Multimodal {
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
   }
 
-  /** Frame sampling stub for video-like payloads: every nth chunk index. */
+  /** Frame sampling for video-like payloads: every nth chunk index. */
   def frameSample(media: Dataset[MediaRow], chunkBytes: Int, everyN: Int): DataFrame = {
     val df = media.toDF()
     val nChunks = ceil(length(col("media")).cast("double") / chunkBytes).cast("int")
@@ -79,13 +251,43 @@ object Multimodal {
       .where(pmod(col("chunk"), lit(everyN)) === 0)
   }
 
-  /** Fixture builder: wrap a text column as fake binary media (UTF-8 bytes),
-    * so the pipeline runs on the driver-provided documents table. */
+  /** Fixture builder: wrap a text column as opaque binary media (UTF-8
+    * bytes), so the pipeline runs on the driver-provided documents table. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("media_id"),
         lit("text/plain").as("mime"),
         encode(col(textCol), "UTF-8").as("media"))
       .as[MediaRow]
+  }
+
+  /** Fixture builder producing REAL media files deterministically from a
+    * text column: even ids encode a 24-bpp BMP (dims derived from the UTF-8
+    * byte length, pixels from the text bytes tiled), odd ids a 16-bit PCM
+    * WAV (sample count from the byte length, samples from the text bytes).
+    * Everything the decoder reports is therefore predictable from
+    * (id, byte length) — the oracle recomputes it in SQL while the pixels/
+    * samples exercise the full parse path. */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(textCol), "UTF-8").as("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, textBytes) =>
+        val len = textBytes.length
+        def tb(i: Int): Int = if (len == 0) 0 else textBytes(i % len) & 0xff
+        if (id % 2 == 0) {
+          val width = 1 + len % 32
+          val height = 1 + (id % 16).toInt
+          val bmp = encodeBmp(width, height,
+            (x, y) => (tb(x + y), tb(x + 2 * y + 1), tb(2 * x + y + 2)))
+          MediaRow(id, "image/bmp", bmp)
+        } else {
+          val nFrames = 100 + len % 500
+          val wav = encodeWav(nFrames, 8000, 1,
+            (f, _) => (tb(f) - 128) / 128.0)
+          MediaRow(id, "audio/wav", wav)
+        }
+      }
   }
 }
