@@ -201,28 +201,38 @@ object Dedup {
    *    one `collect` job, zero shuffles, then the labels are re-distributed
    *    with `createDataFrame`. A 1M-pair list is ~32 MB on the driver,
    *    well inside broadcast-sized territory.
-   *  - larger: min-label propagation — each round every node takes the
-   *    minimum label among itself and its neighbors; stops when a round
-   *    changes nothing (one count per round) or at `maxIters`. Rounds
-   *    needed = the component graph's diameter. Near-dup components are
-   *    overwhelmingly dense (bucket joins emit cliques), so 2-4 rounds is
-   *    typical; a pathological million-link chain needs the alternating
-   *    star-contraction algorithm (Kiveris et al., "Connected Components
-   *    in MapReduce"). Each round is one equi-join + one aggregate, both
-   *    on the id key; the edge list is persisted once and reused.
+   *  - larger: alternating star contraction (Kiveris et al., "Connected
+   *    Components in MapReduce and Beyond", Alg. 3) — O(log d) rounds on
+   *    ANY topology, including the pathological million-link chain. Each
+   *    round is two groupBy+join passes over the edge list, all keyed by
+   *    id.
    *
-   * `maxIters` only bounds the iterative tier; pass `collectThreshold = 0`
-   * to force it (the partial-propagation contract is only observable there).
+   * `method` overrides the choice: "auto" (above), "unionfind" (force the
+   * driver tier), "star" (force star contraction), or "propagate" —
+   * min-label propagation, where each round every node takes the minimum
+   * label among itself and its neighbors (one equi-join + one aggregate
+   * per round). Propagation needs diameter-many rounds, so it only wins
+   * for known-dense components (bucket joins emit cliques: 2-4 rounds)
+   * where its cheaper round beats star's two passes.
+   *
+   * `maxIters` only bounds the iterative tiers; stopping early leaves
+   * partial labels (observable with `method = "propagate"`).
    */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-                        collectThreshold: Int = 1000000): DataFrame = {
+                        collectThreshold: Int = 1000000,
+                        method: String = "auto"): DataFrame = {
+    require(Set("auto", "unionfind", "star", "propagate")(method),
+      s"unknown method $method")
     val idType = pairs.schema("id1").dataType
-    if (collectThreshold > 0) {
+    if (method == "unionfind" ||
+        (method == "auto" && collectThreshold > 0)) {
       val head = pairs.select(col("id1"), col("id2"))
-        .limit(collectThreshold + 1).collect()
-      if (head.length <= collectThreshold)
+        .limit(if (method == "unionfind") Int.MaxValue else collectThreshold + 1)
+        .collect()
+      if (method == "unionfind" || head.length <= collectThreshold)
         return unionFindLabels(pairs.sparkSession, head, idType)
     }
+    if (method != "propagate") return starContraction(pairs, maxIters)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,21 +246,103 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      // keep prev alongside so the convergence probe needs no extra join
+      // keep prev alongside so the convergence probe needs no extra join;
+      // eager localCheckpoint materializes the round AND truncates the
+      // lineage — plain persist leaves a per-round-compounding logical plan
+      // whose analysis/printing alone can exhaust the driver heap
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"),
           col("cluster_id").as("prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
-      labels.unpersist()
+      labels.unpersist() // prior round: next is materialized, blocks now dead
       labels = next.drop("prev")
       converged = changed == 0L
       it += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /** Distributed connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", Alg. 3 "Alternating"):
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node attaches its smaller neighbors (and itself)
+    *    to the minimum of its smaller neighborhood.
+    *
+    * Both operations preserve connectivity, and alternating them converges
+    * to per-component stars rooted at the minimum id in O(log d) rounds —
+    * the tier for high-diameter graphs, where min-label propagation needs
+    * diameter-many rounds. Each round is two groupBy+join passes over the
+    * edge list, all keyed by id; convergence is detected by an edge-set
+    * fingerprint (count + hash sum), one tiny aggregate per round. */
+  private def starContraction(pairs: DataFrame, maxIters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nodes = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical edge form (u, v) with u > v
+    var edges = pairs.select(
+        greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // count + order-independent hash sum: equal fingerprints across a round
+    // mean (modulo a vanishing hash-collision chance) the edge set is stable
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // decimal sum: exact, order-independent, and cannot overflow ANSI longs
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // large-star from each endpoint x of each edge: m = min(N(x) ∪ {x}),
+      // re-attach neighbors y > x to m. Every edge is emitted exactly once
+      // (from its smaller endpoint's perspective).
+      val bidir = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = bidir.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = bidir.join(mins, Seq("x"))
+        .where(col("y") > col("x"))
+        .select(greatest(col("y"), col("m")).as("u"), least(col("y"), col("m")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star on the (u > v) form: m = min of u's smaller neighborhood;
+      // u and each smaller neighbor v != m re-attach to m
+      val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = ls.join(smins, Seq("u"))
+      // eager localCheckpoint: materializes the round AND truncates the
+      // logical plan — without it the per-round join/union/distinct lineage
+      // compounds and Catalyst analysis alone exhausts the driver heap
+      val ss = withM.select(col("v").as("y"), col("m"))
+        .unionByName(withM.select(col("u").as("y"), col("m")))
+        .where(col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v")) // y > m by construction
+        .distinct()
+        .localCheckpoint(true)
+      val nfp = fingerprint(ss)
+      edges.unpersist()
+      edges = ss
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+    // at convergence each component is a star: every non-root node carries
+    // exactly one (node, root) edge; the root (component min) carries none
+    // NOTE: the final edges are a localCheckpoint labels still reads from —
+    // unpersisting here would delete non-recomputable blocks. The context
+    // cleaner reclaims them once the caller drops the result.
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .groupBy("id").agg(min(col("lbl")).as("mn"))
+      .select(col("id"), coalesce(col("mn"), col("id")).as("cluster_id"))
   }
 
   /** Driver-side exact connected components over a bounded pair list:

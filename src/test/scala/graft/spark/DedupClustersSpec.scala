@@ -25,10 +25,14 @@ class DedupClustersSpec extends AnyFunSuite {
     Dedup.duplicateClusters(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  // force the distributed min-label path (fast path disabled)
+  // force the distributed star-contraction path (fast path disabled)
   private def clustersIterative(df: DataFrame): Map[Long, Long] =
     Dedup.duplicateClusters(df, collectThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def clustersBy(df: DataFrame, method: String, iters: Int = 20): Map[Long, Long] =
+    Dedup.duplicateClusters(df, maxIters = iters, collectThreshold = 0, method = method)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain needs multi-hop propagation to one component") {
     // 5-4-3-2-1: label 1 must travel 4 hops
@@ -54,11 +58,26 @@ class DedupClustersSpec extends AnyFunSuite {
 
   test("maxIters caps the rounds (partial labels, no hang)") {
     val chain = pairs((4L, 3L), (3L, 2L), (2L, 1L))
-    val partial = Dedup.duplicateClusters(chain, maxIters = 1, collectThreshold = 0)
+    val partial = Dedup.duplicateClusters(chain, maxIters = 1, collectThreshold = 0,
+        method = "propagate")
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // after one round, 4 has only seen 3's initial label
+    // after one propagation round, 4 has only seen 3's initial label
     assert(partial(4L) === 3L && partial(1L) === 1L)
+  }
+
+  test("star contraction solves a high-diameter chain in O(log d) rounds") {
+    // a 256-link chain: diameter 255. Star contraction converges within 12
+    // alternating rounds; min-label propagation capped at the same 12
+    // rounds is still far from done — the reason the high-diameter tier
+    // exists (Kiveris et al., Alg. 3).
+    val chain = pairs((1L to 255L).map(i => (i, i + 1)): _*)
+    val expect = (1L to 256L).map(_ -> 1L).toMap
+    assert(clustersBy(chain, "star", iters = 12) === expect)
+    val partial = clustersBy(chain, "propagate", iters = 12)
+    assert(partial !== expect, "propagation should not finish a 255-hop chain in 12 rounds")
+    // and with enough rounds propagation agrees (differential on the same graph)
+    assert(clustersBy(chain, "propagate", iters = 300) === expect)
   }
 
   test("randomized differential: propagation equals union-find on random graphs") {
@@ -82,8 +101,9 @@ class DedupClustersSpec extends AnyFunSuite {
           (0 until n).filter(u => find(u) == root)
             .filter(u => es.exists(e => e._1 == u || e._2 == u)).min.toLong
         }).toMap
-      // both tiers must agree with the driver oracle
-      assert(clustersIterative(pairs(es: _*)) === expected, s"edges: $es")
+      // all tiers must agree with the driver oracle
+      assert(clustersIterative(pairs(es: _*)) === expected, s"edges (star): $es")
+      assert(clustersBy(pairs(es: _*), "propagate") === expected, s"edges (propagate): $es")
       assert(clusters(pairs(es: _*)) === expected, s"edges (fast path): $es")
     }
   }
