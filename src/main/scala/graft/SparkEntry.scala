@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -810,6 +810,62 @@ object SparkEntry {
         .orderBy("split")
     },
 
+    // benchmark decontamination: training docs sharing any word 5-gram with
+    // the eval set (docs 0..19) are flagged — planted full copies guarantee
+    // hits, natural boilerplate overlap adds the rest. The distinct eval
+    // n-gram hash set broadcasts; corpus text never shuffles.
+    "decon_ngram" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 20).select(col("text"))
+      val corpus = docs.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Decontaminate.contaminatedIds(corpus, "doc_id", "text", evalSet, "text", n = 5)
+        .orderBy("contaminated_id")
+    },
+
+    // Gopher-style repetition signals (dup segments, most-frequent 2-/3-gram
+    // mass) — integer numerators/denominators so the oracle compare never
+    // hashes engine-formatted doubles; the fraction forms are library API
+    "text_repetition" -> { (s, dir) =>
+      val segs = TextAnalysis.segments(col("text"))
+      val top2 = TextAnalysis.topNgram(col("text"), 2)
+      val top3 = TextAnalysis.topNgram(col("text"), 3)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          size(segs).cast("int").as("n_segs"),
+          (size(segs) - size(array_distinct(segs))).cast("int").as("n_dup_segs"),
+          top2.getField("cnt").cast("int").as("top2_cnt"),
+          length(top2.getField("gram")).cast("int").as("top2_len"),
+          top3.getField("cnt").cast("int").as("top3_cnt"),
+          length(top3.getField("gram")).cast("int").as("top3_len"))
+        .orderBy("doc_id")
+    },
+
+    // concat-then-chunk sequence packing via the distributed two-phase
+    // prefix sum (no global-window single reducer); the oracle recomputes
+    // the same chunking with a window cumsum, fine at oracle scale
+    "pipeline_pack" -> { (s, dir) =>
+      val tok = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 512L)
+        .orderBy("seq_id")
+    },
+
+    // SemDeDup: cluster-scoped semantic dedup; the sign-signature clusterer
+    // keeps the assignment engine-portable so the oracle reproduces it
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          Dedup.signCluster(col("embedding"), 6), tau = 0.995)
+        .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
+          col("kept"))
+        .orderBy("vec_id")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -1353,6 +1409,75 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decon_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(len(toks)-4),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]))
+        |        ELSE [] END AS grams FROM t),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id >= 20
+        |           UNION ALL SELECT doc_id + 1000000, grams FROM g WHERE doc_id < 20),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM corpus)
+        |SELECT DISTINCT x.doc_id AS contaminated_id FROM x JOIN e USING (gram)
+        |ORDER BY contaminated_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |seg AS (SELECT doc_id,
+        |         list_filter(list_transform(string_split_regex(text, '[.!?]'), s -> trim(s)), s -> s <> '') AS segs
+        |        FROM t),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |         list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2]) ELSE [] END) AS gram FROM t),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |         list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]) ELSE [] END) AS gram FROM t),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT t.doc_id AS doc_id,
+        |  CAST(len(seg.segs) AS INT) AS n_segs,
+        |  CAST(len(seg.segs) - len(list_distinct(seg.segs)) AS INT) AS n_dup_segs,
+        |  CAST(coalesce(m2.cnt, 0) AS INT) AS top2_cnt,
+        |  CAST(coalesce(length(m2.gram), 0) AS INT) AS top2_len,
+        |  CAST(coalesce(m3.cnt, 0) AS INT) AS top3_cnt,
+        |  CAST(coalesce(length(m3.gram), 0) AS INT) AS top3_len
+        |FROM t JOIN seg ON t.doc_id = seg.doc_id
+        |LEFT JOIN m2 ON t.doc_id = m2.doc_id
+        |LEFT JOIN m3 ON t.doc_id = m3.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |  sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+        |  FROM t)
+        |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, e,
+        |    (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN e[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN e[6] >= 0 THEN 32 ELSE 0 END) AS cluster
+        |  FROM v),
+        |d AS (SELECT DISTINCT r.vec_id FROM c l JOIN c r
+        |      ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        |      AND list_cosine_similarity(l.e, r.e) >= 0.995)
+        |SELECT c.vec_id AS vec_id, CAST(c.cluster AS INT) AS cluster,
+        |       d.vec_id IS NULL AS kept
+        |FROM c LEFT JOIN d ON c.vec_id = d.vec_id ORDER BY vec_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes

@@ -183,6 +183,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Deterministic coarse clusters from the signs of the first `bits`
+    * embedding dimensions, packed into an int. Engine-portable (the same
+    * clusters fall out of any SQL engine), used where k-means cell ids
+    * would make results depend on training internals. */
+  def signCluster(vecCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      when(element_at(vecCol, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * to coarse clusters — within each cluster, a member is DROPPED when a
+    * lower-id member sits within cosine >= `tau`; cross-cluster near-dups
+    * are ignored by design (that approximation is what removes the
+    * all-pairs cost). Cluster assignment is pluggable: IVF/k-means cell
+    * ids in production ([[Similarity.ivfBuild]]), [[signCluster]] where
+    * engine-portable determinism matters.
+    *
+    * Scale shape: the self-join is an equi-join on the cluster key, and
+    * only (id, cluster) pairs travel through it — vectors re-join by id for
+    * the within-cluster candidate pairs (ids-only-through-the-shuffle, as
+    * in [[Dedup.minhashNearDuplicates]] / embeddingNearDuplicates).
+    * Clusters above `maxClusterSize` are excluded from pairwise scoring
+    * (their members keep `kept = true`) — size the cluster count so cells
+    * stay bounded, exactly the IVF nCells-grows-with-corpus rule.
+    *
+    * Returns (id, cluster, kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: Column, tau: Double,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      clusterCol.as("cluster"))
+    val keys = base.select(col("id"), col("cluster"))
+    val sized = keys.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    val capped = keys.join(
+      sized.where(col("cluster_n") <= maxClusterSize).select("cluster"),
+      Seq("cluster"), "left_semi")
+    val idPairs = capped.as("l").join(capped.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val vecs = base.select(col("id"), col("vec"))
+    val dropped = idPairs
+      .join(vecs.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .where(Similarity.cosine(col("v1"), col("v2")) >= tau)
+      .select(col("id2").as("id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    base.join(dropped, Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"),
+        (coalesce(col("is_dropped"), lit(false)) === false).as("kept"))
+  }
+
   /**
    * Duplicate-cluster assignment: connected components over a near-dup
    * pair list (`id1`, `id2` columns) — the dedup endgame, turning pairwise

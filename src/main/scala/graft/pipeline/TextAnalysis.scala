@@ -93,4 +93,80 @@ object TextAnalysis {
     * sensitive, unlike [[fingerprint]]): h = h*31 + xxhash64(token). */
   def rollingHash(textCol: Column): Column =
     aggregate(tokens(textCol), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+
+  // ------------------------------------------------------------------
+  // Repetition signals (the Gopher repetition filters, Rae et al. 2021
+  // §A1.1): repetitious text is the strongest single low-quality marker
+  // in web corpora. All single-pass column expressions — no explode, no
+  // shuffle; the per-doc n-gram mode is a fold over the sorted gram list.
+
+  /** Word n-grams in order, NON-distinct (unlike Dedup.wordShingles —
+    * repetition counting needs the multiplicity). */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    val lastStart = size(toks) - n
+    val idxs = when(lastStart >= 0, sequence(lit(0), lastStart))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Trimmed non-empty segments after splitting on a separator regex
+    * (sentences by default; pass "\\n" for lines). */
+  def segments(textCol: Column, sepRegex: String = "[.!?]"): Column =
+    filter(transform(split(textCol, sepRegex), s => trim(s)), s => s =!= "")
+
+  /** Fraction of segments that are repeats of an earlier segment. */
+  def duplicateSegmentFraction(textCol: Column, sepRegex: String = "[.!?]"): Column = {
+    val segs = segments(textCol, sepRegex)
+    (size(segs) - size(array_distinct(segs))).cast("double") /
+      greatest(size(segs), lit(1))
+  }
+
+  /** (cnt, gram) of the most frequent word n-gram; ties resolve to the
+    * lexicographically smallest gram. One fold over the sorted gram list:
+    * run lengths of equal adjacent grams ARE the gram counts, and strict >
+    * keeps the first (smallest) gram reaching the max. */
+  def topNgram(textCol: Column, n: Int): Column = {
+    val sorted = array_sort(wordNgrams(textCol, n))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best_cnt"), lit("").as("best_gram"))
+    aggregate(sorted, init,
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val better = run > st.getField("best_cnt")
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(st.getField("best_cnt")).as("best_cnt"),
+          when(better, g).otherwise(st.getField("best_gram")).as("best_gram"))
+      },
+      st => struct(st.getField("best_cnt").as("cnt"),
+        st.getField("best_gram").as("gram")))
+  }
+
+  /** Fraction of the document's characters covered by occurrences of its
+    * most frequent word n-gram (cnt * len(gram) / len(text)). */
+  def topNgramCharFraction(textCol: Column, n: Int): Column = {
+    val t = topNgram(textCol, n)
+    (t.getField("cnt") * length(t.getField("gram"))).cast("double") /
+      greatest(length(textCol), lit(1))
+  }
+
+  /** [[topNgramCharFraction]] but 0 unless the gram actually REPEATS
+    * (cnt >= 2): in a short doc every gram is unique and the "most
+    * frequent" one can cover >20% of the text without any repetition. */
+  def repeatedNgramCharFraction(textCol: Column, n: Int): Column = {
+    val t = topNgram(textCol, n)
+    when(t.getField("cnt") >= 2,
+      (t.getField("cnt") * length(t.getField("gram"))).cast("double") /
+        greatest(length(textCol), lit(1)))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite repetition gate with Gopher-style default thresholds. */
+  def repetitionOk(textCol: Column, maxTop2GramFrac: Double = 0.20,
+                   maxTop3GramFrac: Double = 0.18,
+                   maxDupSegmentFrac: Double = 0.30): Column =
+    (repeatedNgramCharFraction(textCol, 2) <= maxTop2GramFrac) &&
+      (repeatedNgramCharFraction(textCol, 3) <= maxTop3GramFrac) &&
+      (duplicateSegmentFraction(textCol) <= maxDupSegmentFrac)
 }

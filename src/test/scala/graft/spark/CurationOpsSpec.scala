@@ -1,0 +1,200 @@
+package graft.spark
+
+import graft.pipeline.{Decontaminate, Dedup, Packing, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 curation operators: n-gram decontamination, sequence packing
+  * (distributed prefix sum), repetition quality signals, SemDeDup. */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "text")
+  }
+
+  // ------------------------------------------------------------ decontaminate
+
+  test("decontaminate flags docs sharing an n-gram with the eval set") {
+    val evalSet = docs((0L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docs(
+      (1L, "totally unrelated text about spark partitions and shuffles"),
+      (2L, "he saw the quick brown fox jumps over it"), // shares a 5-gram run
+      (3L, "quick brown fox sprints high"),             // shares only "quick brown fox"
+      (4L, "nothing in common here at all"))
+    val got3 = Decontaminate.contaminatedIds(corpus, "id", "text", evalSet, "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got3 === Set(2L, 3L))
+    val got5 = Decontaminate.contaminatedIds(corpus, "id", "text", evalSet, "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got5 === Set(2L)) // only doc 2 shares a full 5-gram
+    val kept = Decontaminate.decontaminate(corpus, "id", "text", evalSet, "text", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("decontaminate minHits requires that many distinct shared n-grams") {
+    val evalSet = docs((0L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = docs(
+      (1L, "alpha beta gamma then unrelated then delta epsilon zeta"), // 2 disjoint 3-gram hits (+1 overlap)
+      (2L, "alpha beta gamma only"))                                   // 1 hit
+    val hits1 = Decontaminate.contaminatedIds(corpus, "id", "text", evalSet, "text",
+      n = 3, minHits = 1).collect().map(_.getLong(0)).toSet
+    assert(hits1 === Set(1L, 2L))
+    val hits2 = Decontaminate.contaminatedIds(corpus, "id", "text", evalSet, "text",
+      n = 3, minHits = 2).collect().map(_.getLong(0)).toSet
+    assert(hits2 === Set(1L))
+  }
+
+  test("decontamination test is a broadcast join (corpus never shuffles)") {
+    val evalSet = docs((0L, "a b c d e"))
+    val corpus = docs((1L, "x y z a b c"), (2L, "p q r s t u"))
+    val plan = Decontaminate.contaminatedIds(corpus, "id", "text", evalSet, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // ----------------------------------------------------------------- packing
+
+  test("withStartOffsets equals the sequential prefix sum, any partitioning") {
+    val s = spark
+    import s.implicits._
+    val n = 1000
+    val rows = (0 until n).map(i => (i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "nt").repartition(7) // scrambled input partitions
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Packing.withStartOffsets(df, "id", "nt", numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      var acc = 0L
+      rows.foreach { case (id, nt) =>
+        assert(got(id) === acc, s"id=$id parts=$parts")
+        acc += nt
+      }
+    }
+  }
+
+  test("packSequences: chunk = floor(start/budget); doc straddling the edge " +
+       "belongs to the chunk containing its first token") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 6L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id", "nt")
+    // starts: 0, 6, 9, 13; budget 5 -> seqs 0, 1, 1, 2
+    val got = Packing.packSequences(df, "id", "nt", budget = 5L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("seq_id")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val stats = Packing.sequenceStats(df, "id", "nt", budget = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats === Set((0L, 1L, 6L), (1L, 2L, 7L), (2L, 1L, 1L)))
+  }
+
+  test("packing handles empty input and null token counts") {
+    val s = spark
+    import s.implicits._
+    assert(Packing.sequenceStats(Seq.empty[(Long, Long)].toDF("id", "nt"),
+      "id", "nt", budget = 10L).count() === 0L)
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "nt")
+    val got = Packing.withStartOffsets(withNull, "id", "nt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 5L)) // null counts as 0
+  }
+
+  // -------------------------------------------------------------- repetition
+
+  test("topNgram finds the most frequent n-gram; ties go lexicographically") {
+    val df = docs((1L, "spam spam spam eggs spam spam"))
+    val r = df.select(TextAnalysis.topNgram(col("text"), 2)).collect()(0).getStruct(0)
+    // 2-grams: [spam spam, spam spam, spam eggs, eggs spam, spam spam] -> "spam spam" x3
+    assert(r.getLong(0) === 3L && r.getString(1) === "spam spam")
+    // tie case: "a b" and "b a" both appear twice -> smallest gram wins
+    val tie = docs((1L, "a b a b a"))
+    val t = tie.select(TextAnalysis.topNgram(col("text"), 2)).collect()(0).getStruct(0)
+    assert(t.getLong(0) === 2L && t.getString(1) === "a b")
+  }
+
+  test("repetition signals: duplicate segments and n-gram char mass") {
+    val df = docs((1L, "Buy now. Buy now. Buy now. Limited offer."),
+                  (2L, "One sentence. Another sentence. A third one."))
+    val got = df.select(col("id"),
+        TextAnalysis.duplicateSegmentFraction(col("text")).as("dup"),
+        TextAnalysis.topNgramCharFraction(col("text"), 2).as("g2"),
+        TextAnalysis.repetitionOk(col("text")).as("ok"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // doc 1: 4 segments, "buy now" x3 duplicated -> dup frac 2/4
+    assert(got(1L)._1 === 0.5)
+    // "buy now." x3: gram "buy now." (8 chars incl '.') -- tokens are
+    // whitespace-split so the dot stays attached; 3 * 8 / 41 chars
+    assert(got(1L)._2 > 0.5 && !got(1L)._3)
+    assert(got(2L)._1 === 0.0 && got(2L)._3)
+  }
+
+  test("topNgram on short/empty text returns zero counts") {
+    val df = docs((1L, "single"), (2L, ""))
+    val got = df.select(col("id"), TextAnalysis.topNgram(col("text"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).getLong(0)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  // ---------------------------------------------------------------- semdedup
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "vec")
+  }
+
+  test("semanticDedup drops higher-id in-cluster near-dups, keeps the rest") {
+    val v = vecs(
+      (1L, Seq(1.0f, 0.5f, 0.0f)),
+      (2L, Seq(1.0f, 0.5f, 0.0f)),    // copy of 1 -> dropped
+      (3L, Seq(1.0f, 0.51f, 0.01f)),  // near-dup of 1 -> dropped at tau=0.999
+      (4L, Seq(-1.0f, 0.5f, 0.0f)),   // different sign cluster
+      (5L, Seq(0.0f, 1.0f, 0.0f)))    // same cluster as 1, far away
+    val got = Dedup.semanticDedup(v, "id", "vec", Dedup.signCluster(col("vec"), 1),
+        tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+  }
+
+  test("semanticDedup ignores cross-cluster near-dups (the SemDeDup approximation)") {
+    // identical up to a sign flip in dim 1 -> different clusters, both kept
+    val v = vecs(
+      (1L, Seq(0.001f, 1.0f, 1.0f)),
+      (2L, Seq(-0.001f, 1.0f, 1.0f)))
+    val got = Dedup.semanticDedup(v, "id", "vec", Dedup.signCluster(col("vec"), 1),
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true))
+  }
+
+  test("semanticDedup skips clusters above maxClusterSize (members kept)") {
+    val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+    val got = Dedup.semanticDedup(v, "id", "vec", Dedup.signCluster(col("vec"), 1),
+        tau = 0.99, maxClusterSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
+  test("semanticDedup cluster self-join carries ids only (no vectors)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)))
+    val df = Dedup.semanticDedup(v, "id", "vec", Dedup.signCluster(col("vec"), 1),
+      tau = 0.99)
+    // the within-cluster pair join (the one with the id1 < id2 condition)
+    // must see bare (id, cluster) inputs; vectors re-join by id afterwards
+    val pairJoins = df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.condition.exists(_.toString.contains("<")) => j
+    }
+    assert(pairJoins.nonEmpty, "pair self-join not found in the plan")
+    assert(pairJoins.forall(j => !j.inputSet.exists(_.name == "vec")),
+      "raw vectors leaked into the within-cluster pair join")
+  }
+}
