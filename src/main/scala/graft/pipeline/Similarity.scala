@@ -33,24 +33,53 @@ object Similarity {
 
   /** Scale-safe per-query top-k rank. A plain
     * `Window.partitionBy(query)` funnels every corpus row for a query
-    * through ONE reducer — a corpus-sized sort per query at scale. Instead:
-    * rank within (query, arriving partition), keep `k` per sub-partition,
-    * then rank the k × numPartitions survivors globally. The global top-k is
-    * invariant (any global top-k row is top-k of its own sub-partition);
-    * ties are broken by `tieCol` asc so both phases are deterministic.
+    * through ONE reducer — a corpus-sized sort per query at scale — and
+    * even a (query, partition) pre-rank window still EXCHANGES the whole
+    * scored stream once to group it. Instead phase 1 is a shuffle-free
+    * bounded selection: a size-`k` worst-first heap per query inside each
+    * arriving partition (mapPartitions — genuine per-partition imperative
+    * state, the documented last-resort case), so nothing leaves the scan
+    * stage except <= k rows per (query, partition). The global rank then
+    * windows only the k × numPartitions survivors. The result is invariant
+    * (any global top-k row is top-k of its own partition); ties break by
+    * `tieCol` asc in both phases so the output is deterministic under any
+    * partitioning. Per-partition memory is (#queries seen × k) rows —
+    * bounded by the same "queries are the small side" budget that lets the
+    * ANN paths collect/broadcast the query set.
     * Adds a `rank` column and filters to rank <= k. */
   private[pipeline] def rankTopKPerQuery(df: DataFrame, queryCol: String,
                                          scoreCol: String, tieCol: String,
                                          k: Int): DataFrame = {
-    val local = df.withColumn("__part", spark_partition_id())
-    val w1 = Window.partitionBy(col(queryCol), col("__part"))
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema
+    val qi = schema.fieldIndex(queryCol)
+    val si = schema.fieldIndex(scoreCol)
+    val ti = schema.fieldIndex(tieCol)
+    // worst-first so the heap head is the eviction candidate: lowest score
+    // first, and among equal scores the LARGEST tie value (so the kept set
+    // prefers small tie values, matching the (score desc, tie asc) rank)
+    val worstFirst = new java.util.Comparator[Row] with Serializable {
+      private def cmpTie(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(a.getDouble(si), b.getDouble(si))
+        if (c != 0) c else cmpTie(b.get(ti), a.get(ti))
+      }
+    }
+    val survivors = df.mapPartitions { it =>
+      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Row]]()
+      it.foreach { r =>
+        val h = heaps.computeIfAbsent(r.get(qi),
+          _ => new java.util.PriorityQueue[Row](k + 1, worstFirst))
+        h.add(r)
+        if (h.size > k) h.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col(queryCol))
       .orderBy(col(scoreCol).desc, col(tieCol).asc)
-    val survivors = local.withColumn("__lrank", row_number().over(w1))
-      .where(col("__lrank") <= k)
-      .drop("__part", "__lrank")
-    val w2 = Window.partitionBy(col(queryCol))
-      .orderBy(col(scoreCol).desc, col(tieCol).asc)
-    survivors.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+    survivors.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Exact top-k cosine neighbors of each query vector.

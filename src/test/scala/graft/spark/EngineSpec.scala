@@ -308,12 +308,12 @@ class EngineSpec extends AnyFunSuite {
     pq.collect()
     // (string match: AQE wraps the plan, hiding the tree from collect)
     val pqPlan = pq.queryExecution.executedPlan.toString
-    // phase 1 windows partition by (query_id, __part): the corpus-sized ADC
-    // stream is ranked within each arriving partition, so no reducer sorts
-    // the whole corpus for one query; the query-only window ranks only the
-    // <= rerank×numPartitions survivors of the __lrank filter
-    assert(pqPlan.contains("__part"), s"pqTopK lost the local pre-rank phase:\n$pqPlan")
-    assert(pqPlan.contains("__lrank"), s"pqTopK lost the survivor filter:\n$pqPlan")
+    // phase 1 is the shuffle-free per-partition bounded heap (MapPartitions
+    // node): the corpus-sized ADC stream is pruned to <= k rows per (query,
+    // partition) with NO exchange; the per-query window then ranks only the
+    // survivors
+    assert(pqPlan.contains("MapPartitions"),
+      s"pqTopK lost the shuffle-free local top-k phase:\n$pqPlan")
     // raw vectors are NOT in the candidate rank stream — they re-join by id
     // after pruning, so the N×Q explode and both rank shuffles carry only
     // (query_id, neighbor_id, adc): no Generate node outputs the vec column
@@ -325,8 +325,8 @@ class EngineSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(centroids, ivfIdx, queries, "vec_id", "embedding", 3, nProbe = 2)
     ivf.collect()
     val ivfPlan = ivf.queryExecution.executedPlan.toString
-    assert(ivfPlan.contains("__part"), s"ivfTopK lost the local pre-rank phase:\n$ivfPlan")
-    assert(ivfPlan.contains("__lrank"), s"ivfTopK lost the survivor filter:\n$ivfPlan")
+    assert(ivfPlan.contains("MapPartitions"),
+      s"ivfTopK lost the shuffle-free local top-k phase:\n$ivfPlan")
   }
 
   test("fanout: native-compiled predicates agree with the parity evaluator") {
