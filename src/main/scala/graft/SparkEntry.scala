@@ -866,6 +866,25 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // the round-5 composed curation job: exact dedup -> quality + repetition
+    // gates -> benchmark decontamination -> token counting -> sequence
+    // packing; the end-to-end "raw corpus to training sequences" shape, all
+    // stages scan-local or keyed on doc_id except the one packing scan
+    "pipeline_curation2" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 100 === 0).select(col("text"))
+      val train = docs.where(col("doc_id") % 100 =!= 0)
+      val deduped = Dedup.dropExactDuplicates(train, "text", "doc_id")
+      val filtered = deduped.where(
+        TextAnalysis.qualityOk(col("text")) && TextAnalysis.repetitionOk(col("text")))
+      val clean = Decontaminate.decontaminate(filtered, "doc_id", "text",
+        evalSet, "text", n = 5)
+      val tok = clean.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 256L)
+        .orderBy("seq_id")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -1461,6 +1480,63 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "pipeline_curation2" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+        |dedup AS (SELECT doc_id, text FROM train
+        |          WHERE doc_id IN (SELECT min(doc_id) FROM train GROUP BY text)),
+        |q AS (SELECT doc_id, text FROM dedup WHERE
+        |        len(string_split_regex(trim(lower(text)), '\s+')) >= 10
+        |    AND (CAST(list_aggregate(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> length(t)), 'sum') AS DOUBLE)
+        |         / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)) <= 12.0
+        |    AND (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1)) <= 0.2),
+        |tk AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM q),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |         list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2]) ELSE [] END) AS gram FROM tk),
+        |m2 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |         FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |         list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]) ELSE [] END) AS gram FROM tk),
+        |m3 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |         FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        |rep AS (SELECT tk.doc_id, tk.text FROM tk
+        |        LEFT JOIN m2 ON tk.doc_id = m2.doc_id
+        |        LEFT JOIN m3 ON tk.doc_id = m3.doc_id
+        |        LEFT JOIN (SELECT doc_id,
+        |                     list_filter(list_transform(string_split_regex(text, '[.!?]'), x -> trim(x)), x -> x <> '') AS segs
+        |                   FROM tk) sg ON tk.doc_id = sg.doc_id
+        |        WHERE (CASE WHEN coalesce(m2.cnt, 0) >= 2
+        |                    THEN CAST(m2.cnt * length(m2.gram) AS DOUBLE) / greatest(length(tk.text), 1)
+        |                    ELSE 0.0 END) <= 0.20
+        |          AND (CASE WHEN coalesce(m3.cnt, 0) >= 2
+        |                    THEN CAST(m3.cnt * length(m3.gram) AS DOUBLE) / greatest(length(tk.text), 1)
+        |                    ELSE 0.0 END) <= 0.18
+        |          AND (CAST(len(sg.segs) - len(list_distinct(sg.segs)) AS DOUBLE)
+        |               / greatest(len(sg.segs), 1)) <= 0.30),
+        |evg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+        |          list_transform(range(len(toks)-4),
+        |            i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]) ELSE [] END) AS gram
+        |        FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |              FROM documents WHERE doc_id % 100 = 0)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM (
+        |          SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |            list_transform(range(len(toks)-4),
+        |              i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]) ELSE [] END) AS gram
+        |          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM rep)) x
+        |        JOIN evg USING (gram)),
+        |clean AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+        |          FROM rep WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |packed AS (SELECT doc_id, nt,
+        |  sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+        |  FROM clean)
+        |SELECT CAST(floor(st / 256.0) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "dedup_semantic" ->
       """WITH v AS (
