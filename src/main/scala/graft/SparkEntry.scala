@@ -828,17 +828,15 @@ object SparkEntry {
     // mass) — integer numerators/denominators so the oracle compare never
     // hashes engine-formatted doubles; the fraction forms are library API
     "text_repetition" -> { (s, dir) =>
-      val segs = TextAnalysis.segments(col("text"))
-      val top2 = TextAnalysis.topNgram(col("text"), 2)
-      val top3 = TextAnalysis.topNgram(col("text"), 3)
       Tables.read(s, dir, "documents")
+        .withColumn("st", TextAnalysis.repetitionStats(col("text")))
         .select(col("doc_id"),
-          size(segs).cast("int").as("n_segs"),
-          (size(segs) - size(array_distinct(segs))).cast("int").as("n_dup_segs"),
-          top2.getField("cnt").cast("int").as("top2_cnt"),
-          length(top2.getField("gram")).cast("int").as("top2_len"),
-          top3.getField("cnt").cast("int").as("top3_cnt"),
-          length(top3.getField("gram")).cast("int").as("top3_len"))
+          col("st.n_segs").as("n_segs"),
+          col("st.n_dup_segs").as("n_dup_segs"),
+          col("st.top2_cnt").cast("int").as("top2_cnt"),
+          col("st.top2_len").as("top2_len"),
+          col("st.top3_cnt").cast("int").as("top3_cnt"),
+          col("st.top3_len").as("top3_len"))
         .orderBy("doc_id")
     },
 

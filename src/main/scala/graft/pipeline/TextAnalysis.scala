@@ -162,10 +162,25 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Composite repetition gate with Gopher-style default thresholds. */
+  /** All repetition signals in ONE tokenization pass ([[RepetitionStatsExpr]]):
+    * struct<n_segs, n_dup_segs, top2_cnt, top2_len, top3_cnt, top3_len>.
+    * The builtin formulations above re-tokenize per metric and are kept as
+    * cross-checks (parity asserted in CurationOpsSpec). */
+  def repetitionStats(textCol: Column): Column =
+    textExpressions.repetitionStats(textCol)
+
+  /** Composite repetition gate with Gopher-style default thresholds —
+    * single-pass ([[RepetitionOkExpr]]); [[repetitionOkBuiltin]] is the
+    * builtin cross-check. */
   def repetitionOk(textCol: Column, maxTop2GramFrac: Double = 0.20,
                    maxTop3GramFrac: Double = 0.18,
                    maxDupSegmentFrac: Double = 0.30): Column =
+    textExpressions.repetitionOk(textCol, maxTop2GramFrac, maxTop3GramFrac,
+      maxDupSegmentFrac)
+
+  def repetitionOkBuiltin(textCol: Column, maxTop2GramFrac: Double = 0.20,
+                          maxTop3GramFrac: Double = 0.18,
+                          maxDupSegmentFrac: Double = 0.30): Column =
     (repeatedNgramCharFraction(textCol, 2) <= maxTop2GramFrac) &&
       (repeatedNgramCharFraction(textCol, 3) <= maxTop3GramFrac) &&
       (duplicateSegmentFraction(textCol) <= maxDupSegmentFrac)

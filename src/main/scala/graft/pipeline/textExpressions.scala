@@ -107,6 +107,114 @@ case class QualityOkExpr(child: Expression, minTokens: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared single-pass computation for the repetition signals: segment
+  * duplicate counts and the most-frequent 2-/3-gram (count, code-point
+  * length). Semantics are pinned to the builtin formulations in
+  * [[TextAnalysis]] (trim = ASCII space only, tokens over lower(trim),
+  * gram tie-break = UTF8-binary-smallest among max-count, lengths in code
+  * points) — parity is asserted in CurationOpsSpec. */
+private[pipeline] object RepetitionCore {
+  final case class Stats(nSegs: Int, nDupSegs: Int, top2Cnt: Long,
+                         top2Len: Int, top3Cnt: Long, top3Len: Int)
+
+  private def stripSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  private def topNgram(tokens: Array[String], n: Int): (Long, Int) = {
+    if (tokens.length < n) return (0L, 0)
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var bestCnt = 0L
+    var bestGram: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val better = e.getValue > bestCnt ||
+        (e.getValue == bestCnt && bestGram != null &&
+          UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(bestGram)) < 0)
+      if (better) { bestCnt = e.getValue; bestGram = e.getKey }
+    }
+    (bestCnt, if (bestGram == null) 0 else bestGram.codePointCount(0, bestGram.length))
+  }
+
+  def compute(raw: UTF8String): Stats = {
+    val parts = raw.toString.split("[.!?]", -1)
+    var nSegs = 0
+    var dups = 0
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < parts.length) {
+      val t = stripSpaces(parts(i))
+      if (t.nonEmpty) { nSegs += 1; if (!seen.add(t)) dups += 1 }
+      i += 1
+    }
+    val tokens = SketchHash.tokenize(raw)
+    val (c2, l2) = topNgram(tokens, 2)
+    val (c3, l3) = topNgram(tokens, 3)
+    Stats(nSegs, dups, c2, l2, c3, l3)
+  }
+}
+
+/** All repetition signals in one tokenization pass — struct<n_segs,
+  * n_dup_segs, top2_cnt, top2_len, top3_cnt, top3_len>. The builtin chain
+  * re-tokenizes per metric (two sorted-gram folds + a segment split). */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_segs", IntegerType, nullable = false),
+    StructField("n_dup_segs", IntegerType, nullable = false),
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("top2_len", IntegerType, nullable = false),
+    StructField("top3_cnt", LongType, nullable = false),
+    StructField("top3_len", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val st = RepetitionCore.compute(input.asInstanceOf[UTF8String])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st.nSegs, st.nDupSegs, st.top2Cnt, st.top2Len, st.top3Cnt, st.top3Len))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Single-pass repetition acceptance gate (same thresholds semantics as
+  * the builtin [[TextAnalysis.repetitionOkBuiltin]]: repeated-gram mass
+  * only counts grams with cnt >= 2; fractions over code-point length). */
+case class RepetitionOkExpr(child: Expression, maxTop2GramFrac: Double,
+                            maxTop3GramFrac: Double, maxDupSegmentFrac: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String]
+    val st = RepetitionCore.compute(raw)
+    val chars = math.max(raw.numChars(), 1).toDouble
+    val f2 = if (st.top2Cnt >= 2) st.top2Cnt * st.top2Len / chars else 0.0
+    val f3 = if (st.top3Cnt >= 2) st.top3Cnt * st.top3Len / chars else 0.0
+    val fSeg = st.nDupSegs.toDouble / math.max(st.nSegs, 1)
+    f2 <= maxTop2GramFrac && f3 <= maxTop3GramFrac && fSeg <= maxDupSegmentFrac
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textExpressions {
   def langId(text: Column, stopwords: Map[String, Seq[String]]): Column =
     GraftBridge.column(LangIdExpr(GraftBridge.expression(text), stopwords))
@@ -115,4 +223,12 @@ object textExpressions {
                 maxPunctRatio: Double): Column =
     GraftBridge.column(QualityOkExpr(GraftBridge.expression(text),
       minTokens, maxMeanTokenLen, maxPunctRatio))
+
+  def repetitionStats(text: Column): Column =
+    GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(text)))
+
+  def repetitionOk(text: Column, maxTop2GramFrac: Double, maxTop3GramFrac: Double,
+                   maxDupSegmentFrac: Double): Column =
+    GraftBridge.column(RepetitionOkExpr(GraftBridge.expression(text),
+      maxTop2GramFrac, maxTop3GramFrac, maxDupSegmentFrac))
 }

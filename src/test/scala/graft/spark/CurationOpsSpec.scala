@@ -143,6 +143,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("single-pass repetition expressions match the builtin formulations " +
+       "on real corpus text") {
+    val docs = graft.engine.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs
+      .withColumn("st", TextAnalysis.repetitionStats(col("text")))
+      .select(col("doc_id"),
+        col("st.n_segs"),
+        col("st.n_dup_segs"),
+        col("st.top2_cnt"),
+        col("st.top2_len"),
+        col("st.top3_cnt"),
+        col("st.top3_len"),
+        size(TextAnalysis.segments(col("text"))).as("b_segs"),
+        (size(TextAnalysis.segments(col("text"))) -
+          size(array_distinct(TextAnalysis.segments(col("text"))))).as("b_dup"),
+        TextAnalysis.topNgram(col("text"), 2).as("b2"),
+        TextAnalysis.topNgram(col("text"), 3).as("b3"),
+        TextAnalysis.repetitionOk(col("text")).as("ok_expr"),
+        TextAnalysis.repetitionOkBuiltin(col("text")).as("ok_builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === r.getInt(7), s"n_segs doc $id")
+      assert(r.getInt(2) === r.getInt(8), s"n_dup_segs doc $id")
+      val b2 = r.getStruct(9); val b3 = r.getStruct(10)
+      assert(r.getLong(3) === b2.getLong(0), s"top2_cnt doc $id")
+      assert(r.getInt(4) === b2.getString(1).codePointCount(0, b2.getString(1).length),
+        s"top2_len doc $id")
+      assert(r.getLong(5) === b3.getLong(0), s"top3_cnt doc $id")
+      assert(r.getInt(6) === b3.getString(1).codePointCount(0, b3.getString(1).length),
+        s"top3_len doc $id")
+      assert(r.getBoolean(11) === r.getBoolean(12), s"repetitionOk doc $id")
+    }
+  }
+
   // ---------------------------------------------------------------- semdedup
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
