@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, Sources, TextAnalysis}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -864,6 +864,15 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // source/domain-level curation: aggregate a per-source quality profile
+    // (one hash-aggregate; #sources << #docs), to be broadcast back as a
+    // keep-filter — the domain-level filtering stage of web corpora
+    "source_quality" -> { (s, dir) =>
+      Sources.sourceProfile(Tables.read(s, dir, "documents"), "source", "text",
+          c => TextAnalysis.qualityOk(c))
+        .orderBy("source")
+    },
+
     // the round-5 composed curation job: exact dedup -> quality + repetition
     // gates -> benchmark decontamination -> token counting -> sequence
     // packing; the end-to-end "raw corpus to training sequences" shape, all
@@ -1478,6 +1487,18 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "source_quality" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |        len(string_split_regex(trim(lower(text)), '\s+')) >= 10
+        |    AND (CAST(list_aggregate(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> length(t)), 'sum') AS DOUBLE)
+        |         / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)) <= 12.0
+        |    AND (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1)) <= 0.2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_curation2" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),

@@ -179,6 +179,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- sources
+
+  test("filterBySourceQuality drops whole low-quality sources, spares small ones") {
+    val s = spark
+    import s.implicits._
+    val good = "a solid readable sentence with plenty of ordinary words in it"
+    val bad = "x" * 30 // one giant token: fails mean-token-length
+    val rows =
+      (1 to 10).map(i => (i.toLong, s"$good number $i", "clean.example")) ++
+      (11 to 20).map(i => (i.toLong, bad, "spam.example")) ++
+      Seq((21L, bad, "tiny.example")) // below minDocs: kept despite quality
+    val df = rows.toDF("id", "text", "src")
+    val kept = graft.pipeline.Sources
+      .filterBySourceQuality(df, "src", "text", minQualityRate = 0.5, minDocs = 5L)
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === Set("clean.example", "tiny.example"))
+    val plan = graft.pipeline.Sources
+      .filterBySourceQuality(df, "src", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "keep-filter should broadcast")
+  }
+
   // ---------------------------------------------------------------- semdedup
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
