@@ -328,6 +328,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation: quality/repetition/langid gates + watermark dedup run in one streaming pipeline") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    import graft.streaming.Queues
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then the " +
+      "dog wanders off to sleep in the shade of a tall tree"
+    val spammy = ("buy now. " * 20).trim // repetition gate kills it
+    val input = MemoryStream[(Long, String)]
+    // the batch curation gates are stateless column expressions, so the
+    // SAME exprs drop into readStream; dedup is the watermark-state variant
+    val stream = input.toDS().toDF("doc_id", "text")
+      .withColumn("eventTime", timestamp_millis(col("doc_id") * 1000))
+      .withColumn("text_hash", md5(col("text")))
+      .where(TextAnalysis.qualityOk(col("text")) &&
+        TextAnalysis.repetitionOk(col("text")) &&
+        TextAnalysis.langId(col("text")) === "en")
+    val query = Queues.streamingDedup(stream, "text_hash", "eventTime", "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_cur").toString)
+      .start()
+    try {
+      input.addData((1L, good), (2L, spammy), (3L, "kurz")) // 3: too few tokens
+      query.processAllAvailable()
+      input.addData((4L, good), (5L, good + " entirely new ending here"))
+      query.processAllAvailable()
+      val kept = spark.table("curation_stream_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // 1 passes; 2 fails repetition; 3 fails quality; 4 is an exact dup of
+      // 1 across batches (watermark dedup); 5 passes as distinct content
+      assert(kept === Set(1L, 5L))
+      // sanity: the same gate set in batch agrees with the streamed verdicts
+      val batchKept = Seq((1L, good), (2L, spammy), (3L, "kurz"), (4L, good),
+          (5L, good + " entirely new ending here"))
+        .toDF("doc_id", "text")
+        .where(TextAnalysis.qualityOk(col("text")) &&
+          TextAnalysis.repetitionOk(col("text")) &&
+          TextAnalysis.langId(col("text")) === "en")
+      val batchDeduped = Dedup.dropExactDuplicates(batchKept, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchDeduped === kept)
+    } finally query.stop()
+  }
+
   test("ref resolution classifies pending refs into the retry channel") {
     import graft.streaming.RefResolver
     val s = spark
