@@ -850,6 +850,16 @@ object SparkEntry {
         .orderBy("seq_id")
     },
 
+    // token-budget carving: keep docs in deterministic md5 order until the
+    // running token total hits the budget — "give me exactly ~20k tokens";
+    // only (id, n_tokens, hash) go through the prefix-sum exchange
+    "pipeline_budget" -> { (s, dir) =>
+      val tok = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.tokenBudgetSample(tok, "doc_id", "n_tokens", budget = 20000L)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    },
+
     // SemDeDup: cluster-scoped semantic dedup; the sign-signature clusterer
     // keeps the assignment engine-portable so the oracle reproduces it
     "dedup_semantic" -> { (s, dir) =>
@@ -1556,6 +1566,16 @@ object SparkEntry {
         |SELECT CAST(floor(st / 256.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM packed GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "pipeline_budget" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+        |      FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |        sum(nt) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+        |      FROM t)
+        |SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM c WHERE st < 20000""".stripMargin,
 
     "dedup_semantic" ->
       """WITH v AS (

@@ -24,20 +24,25 @@ import org.apache.spark.storage.StorageLevel
 object Packing {
 
   /** Adds `start_offset`: the exclusive global prefix sum of `tokensCol`
-    * in `idCol` order. Output columns: idCol, tokensCol (long),
-    * start_offset. */
+    * in `idCol` order — or in `(orderCol, idCol)` order when an explicit
+    * order column is given (e.g. a hash for shuffled-order carving).
+    * Output columns: idCol, tokensCol (long) [, orderCol], start_offset. */
   def withStartOffsets(df: DataFrame, idCol: String, tokensCol: String,
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0,
+                       orderCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    val sortKeys = orderCol.map(c => Seq(col(c), col(idCol)))
+      .getOrElse(Seq(col(idCol)))
     // persist AFTER the range exchange + sort: both scan phases must see
     // byte-identical partitions (range boundaries come from sampling, so
     // re-execution is not guaranteed to reproduce them)
-    val parted = df.select(col(idCol),
-        coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol))
-      .repartitionByRange(p, col(idCol))
-      .sortWithinPartitions(col(idCol))
+    val parted = df.select(
+        Seq(col(idCol), coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol)) ++
+          orderCol.map(col) : _*)
+      .repartitionByRange(p, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-partition totals — numPartitions rows to the driver
     val totals = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -78,4 +83,26 @@ object Packing {
     packSequences(df, idCol, tokensCol, budget, numPartitions)
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+
+  /** Token-budget corpus carving: keep documents, in deterministic
+    * shuffled order (md5 of the id — rerun-stable, engine-portable, same
+    * family as [[Sampling]]), until the running token total reaches
+    * `budget`; the doc straddling the edge is kept (its first token is in
+    * budget). The "give me a ~10B-token sample" primitive: a fraction-based
+    * sample needs the mean doc length to hit a token target, this hits it
+    * exactly, and the hash order makes the carve a prefix of any larger
+    * carve. Costs one narrow prefix-sum pass, not a global sort of the
+    * corpus text: only (id, n_tokens, hash) go through the range exchange
+    * and the text re-joins by id at the end. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val hashed = df.select(col(idCol), col(tokensCol))
+      .withColumn("__order", md5(col(idCol).cast("string")))
+    val kept = withStartOffsets(hashed, idCol, tokensCol, numPartitions,
+        orderCol = Some("__order"))
+      .where(col("start_offset") < budget)
+      .select(col(idCol), col("start_offset"))
+    df.join(kept, Seq(idCol))
+  }
 }

@@ -107,6 +107,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 5L)) // null counts as 0
   }
 
+  test("tokenBudgetSample carves exactly to the budget in stable hash order") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (i.toLong, (i % 9 + 1).toLong))
+      .toDF("id", "nt").repartition(5)
+    val kept = Packing.tokenBudgetSample(df, "id", "nt", budget = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: sequential walk in (md5(id), id) order
+    val order = (0 until 500).map(_.toLong).sortBy { id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id)
+    }
+    var acc = 0L
+    val expect = order.takeWhile { id =>
+      val keep = acc < 300L; acc += (id % 9 + 1); keep
+    }.toSet
+    // takeWhile over the running start: keep docs whose start < budget
+    assert(kept.map(_._1).toSet === expect)
+    // a larger budget's carve is a superset (prefix property)
+    val kept2 = Packing.tokenBudgetSample(df, "id", "nt", budget = 600L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.subsetOf(kept2))
+  }
+
   // -------------------------------------------------------------- repetition
 
   test("topNgram finds the most frequent n-gram; ties go lexicographically") {
