@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev tool: stress the round-5 curation operators at a multiple of sf0.1
+ * (docs replicated with distinct ids to multi-file parquet, modeling a real
+ * table scan) to sanity-check the scale story: decontamination stays a
+ * broadcast semi-join, repetition stats stay one scan, packing's prefix sum
+ * stays two narrow passes, heap top-k moves no corpus data, semantic dedup
+ * stays within-cluster. Prints rows/sec per operator.
+ */
+object CurationStress {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+
+    val docs0 = graft.engine.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text")
+    val reps = spark.range(mult).withColumnRenamed("id", "rep")
+    val docsTmp = System.getProperty("java.io.tmpdir") + "/curation_stress_docs"
+    docs0.crossJoin(reps)
+      .select((col("doc_id") * mult + col("rep")).as("doc_id"), col("text"))
+      .repartition(64).write.mode("overwrite").parquet(docsTmp)
+    val docs = spark.read.parquet(docsTmp)
+    val nDocs = docs.count()
+
+    val emb0 = graft.engine.Tables.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val embTmp = System.getProperty("java.io.tmpdir") + "/curation_stress_emb"
+    emb0.crossJoin(reps)
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"), col("embedding"))
+      .repartition(64).write.mode("overwrite").parquet(embTmp)
+    val emb = spark.read.parquet(embTmp)
+    val nVecs = emb.count()
+
+    def time(name: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"CURATION_STRESS $name%-14s rows=$rows out=$out secs=$secs%.1f rows_per_sec=${rows / secs}%.0f")
+    }
+
+    val evalSet = docs0.where(col("doc_id") < 20).select(col("text"))
+    time("decon", nDocs) {
+      Decontaminate.contaminatedIds(docs, "doc_id", "text", evalSet, "text", n = 5).count()
+    }
+    time("repetition", nDocs) {
+      docs.select(TextAnalysis.repetitionStats(col("text")).as("st"))
+        .agg(sum(col("st.n_dup_segs"))).collect()
+      nDocs
+    }
+    time("gates", nDocs) {
+      docs.where(TextAnalysis.qualityOk(col("text")) &&
+        TextAnalysis.repetitionOk(col("text"))).count()
+    }
+    val tok = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    time("pack", nDocs) {
+      Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 2048L).count()
+    }
+    time("budget_carve", nDocs) {
+      Packing.tokenBudgetSample(tok, "doc_id", "n_tokens", budget = 1000000L).count()
+    }
+    val queries = emb.where(col("vec_id") < 10)
+    time("lsh_topk", nVecs) {
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
+    }
+    time("semdedup", nVecs) {
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        Dedup.signCluster(col("embedding"), 14), tau = 0.99,
+        maxClusterSize = 2000).count()
+    }
+    spark.stop()
+  }
+}

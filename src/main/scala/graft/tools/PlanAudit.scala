@@ -9,7 +9,9 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args(0).split(',').toSeq
       else Seq("cond_equal", "cond_like", "join_enrich", "scan_point_get",
-        "sim_topk", "dedup_exact", "store_pruned_scan")
+        "sim_topk", "dedup_exact", "store_pruned_scan",
+        "decon_ngram", "dedup_semantic", "pipeline_pack", "sim_pq",
+        "source_quality", "pipeline_curation2")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
