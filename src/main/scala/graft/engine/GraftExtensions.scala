@@ -70,7 +70,11 @@ object GraftFunctions {
     }
     def litDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
       require(e.foldable, "argument must be a literal")
-      e.eval(null).asInstanceOf[Number].doubleValue
+      e.eval(null) match {
+        // SQL fractional literals (e.g. 0.2) parse as DecimalType
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue
+      }
     }
     reg.createOrReplaceTempFunction("emo_minhash",
       exprs => graft.pipeline.MinHashExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
@@ -88,6 +92,13 @@ object GraftFunctions {
         if (exprs.length > 1) litInt(exprs(1)) else 10,
         if (exprs.length > 2) litDouble(exprs(2)) else 12.0,
         if (exprs.length > 3) litDouble(exprs(3)) else 0.2), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_repetition_stats",
+      exprs => graft.pipeline.RepetitionStatsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_repetition_ok",
+      exprs => graft.pipeline.RepetitionOkExpr(exprs(0),
+        if (exprs.length > 1) litDouble(exprs(1)) else 0.20,
+        if (exprs.length > 2) litDouble(exprs(2)) else 0.18,
+        if (exprs.length > 3) litDouble(exprs(3)) else 0.30), "scala_udf")
   }
 
   /** Column-API variant of `emo_cond` with the condition as a Scala string. */

@@ -441,6 +441,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getString(1) === "en")
     assert(row.getBoolean(2) === false) // mean token len fine but only 1 token... minTokens=2 fails
     assert(row.getInt(3) === 16)
+    // repetition surface through SQL: stats struct + configurable gate
+    val rep = spark.sql(
+      """SELECT emo_repetition_stats('spam spam spam spam').top2_cnt AS c,
+        |       emo_repetition_ok('spam spam spam spam') AS bad,
+        |       emo_repetition_ok('spam spam spam spam', 2.0, 2.0, 1.0) AS lax""".stripMargin)
+      .collect()(0)
+    assert(rep.getLong(0) === 3L)
+    assert(rep.getBoolean(1) === false) // "spam spam" x3 covers > 20% of chars
+    // overlapping occurrences can push gram mass past 1.0 (3 x 9 chars over
+    // a 19-char string = 1.42), so "lifted" means 2.0 here
+    assert(rep.getBoolean(2) === true)
   }
 
   test("table purge control events tombstone every document; lag monitor sees progress") {
