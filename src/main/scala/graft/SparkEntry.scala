@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, Sources, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, Sources, TextAnalysis, TextClean}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -874,6 +874,25 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // PII redaction: emails/URLs/phone spans -> typed placeholders; planted
+    // rows exercise every pattern (the corpus itself is clean), and the
+    // md5 of the scrubbed text pins exact regex parity with the oracle
+    "text_clean" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (1000001L, "contact me at bob@example.com or visit https://example.com/a?b=c now"),
+        (1000002L, "call +1 (555) 123-4567 twice"),
+        (1000003L, "plain text stays as is")).toDF("doc_id", "text")
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          TextClean.emailCount(col("text")).cast("int").as("n_emails"),
+          TextClean.urlCount(col("text")).cast("int").as("n_urls"),
+          TextClean.phoneCount(col("text")).cast("int").as("n_phones"),
+          md5(TextClean.scrub(col("text"))).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // source/domain-level curation: aggregate a per-source quality profile
     // (one hash-aggregate; #sources << #docs), to be broadcast back as a
     // keep-filter — the domain-level filtering stage of web corpora
@@ -1497,6 +1516,23 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "text_clean" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1000001, 'contact me at bob@example.com or visit https://example.com/a?b=c now'),
+        |    (1000002, 'call +1 (555) 123-4567 twice'),
+        |    (1000003, 'plain text stays as is')) v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'), '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS clean_md5
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
 
     "source_quality" ->
       """SELECT source, count(*) AS n_docs,

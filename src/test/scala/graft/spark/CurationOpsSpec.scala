@@ -204,6 +204,31 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------------- textclean
+
+  test("TextClean scrubs emails/URLs/phones with typed placeholders, in order") {
+    import graft.pipeline.TextClean
+    val df = docs(
+      (1L, "mail a@b.co or b@c.org today"),
+      (2L, "see https://x.io/p?q=1 and http://y.z/2"),
+      (3L, "call +44 20 7946 0958 now"),
+      (4L, "digits inside https://a.b/12345678901 stay a URL"),
+      (5L, "clean"))
+    val got = df.select(col("id"), TextClean.scrub(col("text")).as("t"),
+        TextClean.emailCount(col("text")).as("e"),
+        TextClean.urlCount(col("text")).as("u"),
+        TextClean.phoneCount(col("text")).as("p"),
+        TextClean.piiFree(col("text")).as("free"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(got(1L) === ("mail <EMAIL> or <EMAIL> today", 2, 0, 0, false))
+    assert(got(2L) === ("see <URL> and <URL>", 0, 2, 0, false))
+    assert(got(3L) === ("call <PHONE> now", 0, 0, 1, false))
+    // URL redaction happens first, so its digit run is NOT a phone
+    assert(got(4L) === ("digits inside <URL> stay a URL", 0, 1, 0, false))
+    assert(got(5L) === ("clean", 0, 0, 0, true))
+  }
+
   // ----------------------------------------------------------------- sources
 
   test("filterBySourceQuality drops whole low-quality sources, spares small ones") {
