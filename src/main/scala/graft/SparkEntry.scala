@@ -874,6 +874,17 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // unigram-LM vocabulary scoring: top-100 corpus vocabulary (one token
+    // aggregate), then scan-local per-doc in-vocab/OOV counts — the
+    // perplexity-proxy filter's integer backbone under the oracle
+    "text_lm_vocab" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val vocab = graft.pipeline.LmScore.vocabulary(docs, "text", topV = 100)
+        .collect().map(_.getString(0)).toSeq
+      graft.pipeline.LmScore.vocabCounts(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+
     // PII redaction: emails/URLs/phone spans -> typed placeholders; planted
     // rows exercise every pattern (the corpus itself is clean), and the
     // md5 of the scrubbed text pins exact regex parity with the oracle
@@ -1516,6 +1527,17 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "text_lm_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |            FROM documents),
+        |v AS (SELECT t FROM (
+        |        SELECT t, count(*) AS c FROM tok GROUP BY t
+        |        ORDER BY c DESC, t ASC LIMIT 100))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 1 ELSE 0 END) AS INT) AS n_invocab,
+        |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS INT) AS n_oov
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_clean" ->
       """WITH all_docs AS (

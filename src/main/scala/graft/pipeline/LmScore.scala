@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM scoring — the perplexity-proxy quality filter: documents
+ * whose tokens are mostly outside the corpus's frequent vocabulary (or
+ * assign low unigram likelihood) are boilerplate/noise candidates. The
+ * KenLM-filter shape without the external model: the corpus IS the model.
+ *
+ * Scale shape: vocabulary extraction is one token-count aggregate ordered
+ * by (count desc, token asc) — the only corpus-wide shuffle, over (token,
+ * count) pairs, not documents; the top-V vocabulary is driver-sized by
+ * construction (V is a parameter) and broadcasts back into scan-local
+ * per-document expressions. Scoring shuffles nothing.
+ */
+object LmScore {
+
+  /** Top-V corpus vocabulary by frequency: (token, cnt), deterministic
+    * tie-break (count desc, token asc). */
+  def vocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+
+  /** Per-document in-vocabulary / out-of-vocabulary token counts against a
+    * collected vocabulary (scan-local array membership — no join, no
+    * shuffle; the vocab rides the plan as a broadcast-sized literal). */
+  def vocabCounts(df: DataFrame, idCol: String, textCol: String,
+                  vocab: Seq[String]): DataFrame = {
+    val vocabArr = array(vocab.map(lit): _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val inVocab = size(filter(toks, t => array_contains(vocabArr, t)))
+    df.select(col(idCol),
+      inVocab.cast("int").as("n_invocab"),
+      (size(toks) - inVocab).cast("int").as("n_oov"))
+  }
+
+  /** Mean unigram log-likelihood per token under the add-one-smoothed
+    * corpus unigram model (OOV mass = 1/(total+V)). The continuous score
+    * behind the [[vocabCounts]] integers; higher = more ordinary text. */
+  def unigramLogLikelihood(textCol: Column, vocabCounts: Map[String, Long],
+                           totalTokens: Long): Column = {
+    val v = vocabCounts.size
+    val oovLp = math.log(1.0 / (totalTokens + v + 1.0))
+    val entries = vocabCounts.toSeq.sortBy(_._1)
+    val lpOf = map(entries.flatMap { case (t, c) =>
+      Seq(lit(t), lit(math.log((c + 1.0) / (totalTokens + v + 1.0))))
+    }: _*)
+    val toks = TextAnalysis.tokens(textCol)
+    aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(lpOf, t), lit(oovLp))) /
+      greatest(size(toks), lit(1))
+  }
+}

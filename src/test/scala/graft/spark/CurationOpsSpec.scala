@@ -204,6 +204,40 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- lm score
+
+  test("LmScore: vocab counts match a brute-force walk; likelihood ranks " +
+       "ordinary text above OOV gibberish") {
+    import graft.pipeline.LmScore
+    val corpus = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat and the dog"),
+      (4L, "zxqv wkjh qpzm xkcd"))
+    val vocabDf = LmScore.vocabulary(corpus, "text", topV = 5).collect()
+    val vocab = vocabDf.map(_.getString(0)).toSeq
+    assert(vocab.head === "the") // most frequent token first
+    assert(vocab.size === 5)
+    val counts = LmScore.vocabCounts(corpus, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // brute force per doc
+    val vs = vocab.toSet
+    Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+        (3L, "the cat and the dog"), (4L, "zxqv wkjh qpzm xkcd")).foreach {
+      case (id, text) =>
+        val toks = text.split("\\s+")
+        assert(counts(id) === (toks.count(vs), toks.count(t => !vs(t))), s"doc $id")
+    }
+    // likelihood: build the full unigram model and compare doc 1 vs doc 4
+    val all = corpus.select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = all.values.sum
+    val ll = corpus.select(col("id"),
+        LmScore.unigramLogLikelihood(col("text"), all, total).as("ll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ll(1L) > ll(4L), s"ordinary text should outscore gibberish: $ll")
+  }
+
   // --------------------------------------------------------------- textclean
 
   test("TextClean scrubs emails/URLs/phones with typed placeholders, in order") {
