@@ -860,6 +860,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     },
 
+    // duplicated-span stats (substring-dedup-lite): spans shared by >= 2
+    // docs; planted copies make every span of docs 0..19 duplicated
+    "dedup_spans" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.duplicatedSpanStats(corpus, "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // SemDeDup: cluster-scoped semantic dedup; the sign-signature clusterer
     // keeps the assignment engine-portable so the oracle reproduces it
     "dedup_semantic" -> { (s, dir) =>
@@ -1634,6 +1645,25 @@ object SparkEntry {
         |      FROM t)
         |SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c WHERE st < 20000""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 10 THEN
+        |        list_transform(range(len(toks)-9),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]||' '||toks[i+8]||' '||toks[i+9]||' '||toks[i+10])
+        |        ELSE [] END)) AS gram FROM t),
+        |f AS (SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram),
+        |p AS (SELECT doc_id, count(*) AS n_spans,
+        |        sum(CASE WHEN f.doc_freq >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |      FROM g JOIN f USING (gram) GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id,
+        |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans
+        |FROM all_docs a LEFT JOIN p ON a.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_semantic" ->
       """WITH v AS (

@@ -183,6 +183,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated-span statistics — substring-dedup-lite (Lee et al. 2021,
+    * arXiv:2107.06499 dedups exact repeated substrings via suffix arrays;
+    * here spans are word n-grams, the Spark-native approximation): a span
+    * is DUPLICATED when it occurs in >= `minDocFreq` distinct documents.
+    * Returns (id, n_spans, n_dup_spans); a high dup fraction marks
+    * boilerplate/templated documents for removal or span-level scrubbing.
+    *
+    * Scale shape: spans travel as 64-bit hashes from the single-pass
+    * shingle expression; doc-frequency is one count aggregate on the hash
+    * (spans are distinct per doc, so count(*) IS doc freq), and the
+    * per-doc rollup joins hash-to-hash — text never shuffles. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 20, minDocFreq: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(sketches.hashedShingles(col(textCol), n)).as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("doc_freq"))
+    val perDoc = grams.join(freq, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("doc_freq") >= minDocFreq, 1L).otherwise(0L)).as("n_dup_spans"))
+    // short docs produce no spans and fall out of the aggregate: restore
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
   /** Deterministic coarse clusters from the signs of the first `bits`
     * embedding dimensions, packed into an int. Engine-portable (the same
     * clusters fall out of any SQL engine), used where k-means cell ids

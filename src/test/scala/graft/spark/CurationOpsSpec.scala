@@ -204,6 +204,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------- spans
+
+  test("duplicatedSpanStats marks spans shared across docs, not within one doc") {
+    val boiler = "all rights reserved contact the site administrator for details"
+    val v = docs(
+      (1L, s"unique article text here okay fine. $boiler"),
+      (2L, s"different story entirely my friend now. $boiler"),
+      (3L, "solo content never repeated anywhere at all by anyone ever"),
+      // doc 4 repeats ITS OWN phrase twice: spans are distinct per doc, so
+      // self-repetition alone must not count as duplication
+      (4L, "echo echo echo echo echo echo echo echo echo echo"))
+    val got = Dedup.duplicatedSpanStats(v, "id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1/2 share the 5-gram spans inside the boilerplate tail
+    assert(got(1L)._2 > 0, s"doc1 shares boilerplate spans: $got")
+    assert(got(2L)._2 > 0)
+    assert(got(3L)._2 === 0)
+    // doc 4: one distinct span ("echo"x5) seen only in doc 4 -> no dup
+    assert(got(4L) === (1L, 0L))
+  }
+
   // ---------------------------------------------------------------- lm score
 
   test("LmScore: vocab counts match a brute-force walk; likelihood ranks " +
