@@ -346,6 +346,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> true, 3L -> true))
   }
 
+  test("PROPERTY: semanticDedup matches a driver-side reference on random vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val planted = (0 until 20).map(i => (1000L + i, base(i)._2)) // exact copies
+    val all = base ++ planted
+    val df = all.toDF("id", "vec").repartition(5)
+    val tau = 0.95
+    val got = Dedup.semanticDedup(df, "id", "vec", Dedup.signCluster(col("vec"), 3),
+        tau = tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // driver-side reference: same sign clusters, all pairs, index-order
+    // double cosine (the exact summation order Similarity.cosine uses)
+    def cluster(v: Seq[Float]): Int =
+      (0 until 3).map(i => if (v(i) >= 0) 1 << i else 0).sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = all.map { case (id, v) =>
+      id -> !all.exists { case (id2, v2) =>
+        id2 < id && cluster(v2) == cluster(v) && cos(v, v2) >= tau
+      }
+    }.toMap
+    assert(got === expect)
+    // every planted copy must be dropped (same cluster, cosine ~ 1)
+    assert(planted.forall { case (id, _) => !got(id) })
+  }
+
   test("semanticDedup cluster self-join carries ids only (no vectors)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)))
