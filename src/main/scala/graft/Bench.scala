@@ -41,7 +41,12 @@ object Bench {
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // materialize INTERNAL rows: a bare count() lets Catalyst prune
+        // projection expressions and eliminate unique-keyed outer joins, so
+        // projection-heavy queries would time only the scan. toRdd pins the
+        // full plan (every output column computed) before the action runs.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
@@ -52,7 +57,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"materialize"}""")
     // The per-query line above grows with the query count and can outrun a
     // log tail window; this compact line is printed LAST so any tail of
     // stdout always contains one complete, parseable JSON record.

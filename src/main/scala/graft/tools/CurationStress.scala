@@ -69,6 +69,24 @@ object CurationStress {
     time("budget_carve", nDocs) {
       Packing.tokenBudgetSample(tok, "doc_id", "n_tokens", budget = 1000000L).count()
     }
+    time("pii_clean", nDocs) {
+      docs.select(md5(TextClean.scrub(col("text"))).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
+    // NOTE: actions must consume computed columns — a bare count() lets
+    // Catalyst eliminate unique-keyed outer joins and prune projections,
+    // timing nothing but the scan
+    time("span_stats", nDocs) {
+      Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 10)
+        .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
+    }
+    time("lm_vocab", nDocs) {
+      val vocab = LmScore.vocabulary(docs, "text", topV = 100)
+        .collect().map(_.getString(0)).toSeq
+      LmScore.vocabCounts(docs, "doc_id", "text", vocab)
+        .agg(sum(col("n_oov"))).collect()(0).getLong(0)
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
@@ -76,7 +94,7 @@ object CurationStress {
     time("semdedup", nVecs) {
       Dedup.semanticDedup(emb, "vec_id", "embedding",
         Dedup.signCluster(col("embedding"), 14), tau = 0.99,
-        maxClusterSize = 2000).count()
+        maxClusterSize = 2000).where(col("kept")).count()
     }
     spark.stop()
   }
