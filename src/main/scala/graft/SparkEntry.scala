@@ -885,6 +885,22 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // explainable curation verdicts: per-doc failed-gate tags + corpus
+    // attribution; planted rows guarantee each reason fires
+    "pipeline_report" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (2000001L, ("spam spam buy now. " * 12).trim),
+        (2000002L, "reach me at alice@example.org for the long detailed report we discussed last week")
+      ).toDF("doc_id", "text")
+      graft.pipeline.CurationReport.annotate(docs.unionByName(planted), "text")
+        .select(col("doc_id"),
+          concat_ws(",", col("reject_reasons")).as("reasons"),
+          col("accepted"))
+        .orderBy("doc_id")
+    },
+
     // unigram-LM vocabulary scoring: top-100 corpus vocabulary (one token
     // aggregate), then scan-local per-doc in-vocab/OOV counts — the
     // perplexity-proxy filter's integer backbone under the oracle
@@ -1538,6 +1554,56 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "pipeline_report" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 2000001, trim(repeat('spam spam buy now. ', 12))
+        |  UNION ALL SELECT 2000002, 'reach me at alice@example.org for the long detailed report we discussed last week'),
+        |tk AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |         list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2]) ELSE [] END) AS gram FROM tk),
+        |m2 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |         FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |         list_transform(range(len(toks)-2), i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]) ELSE [] END) AS gram FROM tk),
+        |m3 AS (SELECT doc_id, gram, cnt FROM (
+        |         SELECT doc_id, gram, count(*) AS cnt,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |         FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        |sg AS (SELECT doc_id,
+        |         list_filter(list_transform(string_split_regex(text, '[.!?]'), x -> trim(x)), x -> x <> '') AS segs
+        |       FROM tk),
+        |flags AS (SELECT tk.doc_id,
+        |  NOT (len(toks) >= 10
+        |    AND (CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |         / greatest(len(toks), 1)) <= 12.0
+        |    AND (CAST(length(tk.text) - length(regexp_replace(tk.text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(tk.text), 1)) <= 0.2) AS f_quality,
+        |  NOT ((CASE WHEN coalesce(m2.cnt, 0) >= 2
+        |             THEN CAST(m2.cnt * length(m2.gram) AS DOUBLE) / greatest(length(tk.text), 1)
+        |             ELSE 0.0 END) <= 0.20
+        |   AND (CASE WHEN coalesce(m3.cnt, 0) >= 2
+        |             THEN CAST(m3.cnt * length(m3.gram) AS DOUBLE) / greatest(length(tk.text), 1)
+        |             ELSE 0.0 END) <= 0.18
+        |   AND (CAST(len(sg.segs) - len(list_distinct(sg.segs)) AS DOUBLE)
+        |        / greatest(len(sg.segs), 1)) <= 0.30) AS f_rep,
+        |  (len(regexp_extract_all(tk.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(tk.text, 'https?://[^\s]+')) > 0
+        |   OR len(regexp_extract_all(regexp_replace(tk.text, 'https?://[^\s]+', '<URL>', 'g'), '\+?[0-9][0-9()\-\s]{7,}[0-9]')) > 0) AS f_pii
+        |  FROM tk
+        |  LEFT JOIN m2 ON tk.doc_id = m2.doc_id
+        |  LEFT JOIN m3 ON tk.doc_id = m3.doc_id
+        |  LEFT JOIN sg ON tk.doc_id = sg.doc_id)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_filter([
+        |    CASE WHEN f_quality THEN 'quality' END,
+        |    CASE WHEN f_rep THEN 'repetition' END,
+        |    CASE WHEN f_pii THEN 'pii' END], x -> x IS NOT NULL)), ','), '') AS reasons,
+        |  NOT (f_quality OR f_rep OR f_pii) AS accepted
+        |FROM flags ORDER BY doc_id""".stripMargin,
 
     "text_lm_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -204,6 +204,33 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------ report
+
+  test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
+    import graft.pipeline.CurationReport
+    val clean = "a perfectly ordinary sentence with plenty of everyday words in it today"
+    val v = docs(
+      (1L, clean),
+      (2L, ("buy now. " * 15).trim),                       // repetition (and short segs dup)
+      (3L, "tiny"),                                        // quality (too few tokens)
+      (4L, s"$clean mail bob@x.io"),                       // pii
+      (5L, "x " * 3 + "y"))                                // quality + repetition ("x x" x2 = 6/7 chars)
+    val got = CurationReport.annotate(v, "text")
+      .select(col("id"), concat_ws(",", col("reject_reasons")).as("r"), col("accepted"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) === ("", true))
+    assert(got(2L)._1.contains("repetition") && !got(2L)._2)
+    assert(got(3L) === ("quality", false))
+    assert(got(4L) === ("pii", false))
+    assert(got(5L) === ("quality,repetition", false))
+    val counts = CurationReport.reasonCounts(v, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("accepted") === 1L)
+    assert(counts("quality") === 2L)
+    assert(counts("pii") === 1L)
+    assert(counts("repetition") === 2L)
+  }
+
   // ------------------------------------------------------------------- spans
 
   test("duplicatedSpanStats marks spans shared across docs, not within one doc") {
