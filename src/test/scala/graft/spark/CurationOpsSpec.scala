@@ -54,6 +54,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(hits2 === Set(1L))
   }
 
+  test("PROPERTY: decontamination matches a brute-force string-level reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def sentence(n: Int): String = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val evalRows = (0 until 8).map(i => (i.toLong, sentence(12)))
+    val corpusRows = (100 until 200).map(i => (i.toLong, sentence(15)))
+    val n = 4
+    val got = Decontaminate.contaminatedIds(
+        corpusRows.toDF("id", "text"), "id", "text",
+        evalRows.toDF("id", "text"), "text", n = n)
+      .collect().map(_.getLong(0)).toSet
+    def grams(t: String): Set[String] =
+      t.split("\\s+").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val evalGrams = evalRows.flatMap(r => grams(r._2)).toSet
+    val expect = corpusRows.filter(r => grams(r._2).exists(evalGrams)).map(_._1).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture should produce natural overlap") // 10-word vocab guarantees hits
+  }
+
   test("decontamination test is a broadcast join (corpus never shuffles)") {
     val evalSet = docs((0L, "a b c d e"))
     val corpus = docs((1L, "x y z a b c"), (2L, "p q r s t u"))
