@@ -464,6 +464,21 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    // salted two-phase aggregation: hot keys spread over (key, salt)
+    // reducers then re-merge — answers must equal the plain GROUP BY
+    "agg_salted" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+        .withColumn("qty", col("l_quantity").cast("long"))
+      graft.engine.Skew.saltedAgg(li,
+          keyCols = Seq("l_returnflag"), saltFrom = Seq("l_orderkey"), salt = 8,
+          aggs = Seq(
+            "sum_qty" -> ("qty", "sum"),
+            "n_rows" -> ("qty", "count"),
+            "min_qty" -> ("qty", "min"),
+            "max_qty" -> ("qty", "max")))
+        .orderBy("l_returnflag")
+    },
+
     "cond_like" -> { (s, dir) =>
       val part = Tables.read(s, dir, "part")
       val c = graft.condition.Conditions.fromString(
@@ -1230,6 +1245,14 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, count(*) AS n FROM lineitem
         |WHERE l_quantity >= 25 AND l_returnflag < 'R'
         |GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cond_like" ->
       """SELECT p_partkey FROM part

@@ -226,6 +226,39 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------------- skew
+
+  test("saltedAgg and saltedJoin equal their unsalted counterparts on skewed data") {
+    import graft.engine.Skew
+    val s = spark
+    import s.implicits._
+    // 90% of rows land on one hot key
+    val rows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (i.toLong, k, (i % 13).toLong)
+    }
+    val df = rows.toDF("id", "k", "v").repartition(6)
+    val salted = Skew.saltedAgg(df, Seq("k"), Seq("id"), salt = 8,
+        aggs = Seq("sum_v" -> ("v", "sum"), "n" -> ("v", "count"),
+          "min_v" -> ("v", "min"), "max_v" -> ("v", "max")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val plain = df.groupBy("k")
+      .agg(sum("v"), count(lit(1)), min("v"), max("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted === plain)
+
+    val dim = Seq(("hot", "H"), ("k0", "A"), ("k1", "B")).toDF("k", "label")
+    val joined = Skew.saltedJoin(df, dim, "k", Seq("id"), salt = 4)
+      .groupBy("k", "label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val plainJoin = df.join(dim, "k")
+      .groupBy("k", "label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(joined === plainJoin)
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
