@@ -974,6 +974,16 @@ object SparkEntry {
         .orderBy("seq_id")
     },
 
+    // weighted deterministic sampling: keep probability proportional to a
+    // quality weight (token count here), engine-portable md5 uniform
+    "pipeline_weighted" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val weight = least(lit(1.0), TextAnalysis.tokenCount(col("text")).cast("double") / 200.0)
+      graft.pipeline.Sampling.weightedSample(docs, "doc_id", weight)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -1567,6 +1577,12 @@ object SparkEntry {
         |LEFT JOIN m2 ON t.doc_id = m2.doc_id
         |LEFT JOIN m3 ON t.doc_id = m3.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_weighted" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)
+        |      < least(1.0, len(string_split_regex(trim(lower(text)), '\s+')) / 200.0)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,

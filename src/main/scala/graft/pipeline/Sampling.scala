@@ -58,4 +58,20 @@ object Sampling {
     }
     df.where(pred)
   }
+
+  /** Deterministic uniform in [0, 1) from the key's md5 (8 hex chars /
+    * 16^8) — the engine-portable RNG behind weighted sampling: identical
+    * in any engine that can parse hex, so a sample drawn here reproduces
+    * in SQL byte-for-byte. */
+  def hashUniform(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Weighted deterministic sampling: keep a row iff hashUniform(key) <
+    * weight — rows with weight 1.0 always survive, weight 0.25 survives a
+    * quarter of the time, rerun-stable and join-stable. The quality-
+    * weighted downsampling stage (keep good docs preferentially) without
+    * an RNG, a shuffle, or a second pass. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column): DataFrame =
+    df.where(hashUniform(col(keyCol)) < weightCol)
 }

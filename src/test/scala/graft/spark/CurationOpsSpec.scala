@@ -226,6 +226,31 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- sampling
+
+  test("weightedSample keeps ~weight fraction, is rerun-stable, honors extremes") {
+    import graft.pipeline.Sampling
+    val s = spark
+    import s.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, i % 4)).toDF("id", "grp")
+    // weight by group: 0 -> never, 1 -> always, 2 -> 0.25, 3 -> 0.75
+    val w = when(col("grp") === 0, 0.0).when(col("grp") === 1, 1.0)
+      .when(col("grp") === 2, 0.25).otherwise(0.75)
+    val kept = Sampling.weightedSample(df, "id", w)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0))                      // weight 0: never kept
+    assert(kept(1) === 1000L)                      // weight 1: all kept
+    assert(math.abs(kept(2) - 250L) < 80, s"got $kept")  // ~25% of 1000
+    assert(math.abs(kept(3) - 750L) < 80, s"got $kept")  // ~75% of 1000
+    // rerun-stable: the same call yields the identical id set
+    val ids1 = Sampling.weightedSample(df, "id", w).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.weightedSample(df.repartition(7), "id", w).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   // -------------------------------------------------------------------- skew
 
   test("saltedAgg and saltedJoin equal their unsalted counterparts on skewed data") {
