@@ -974,6 +974,29 @@ object SparkEntry {
         .orderBy("seq_id")
     },
 
+    // structural quality (non-repetition Gopher rules): symbol marks,
+    // bullet lines, alphabetic-token fraction; planted rows fire each rule
+    "text_structure" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (3000001L, "### header ### with #tags# everywhere ### and more ### plus trailing dots ..."),
+        (3000002L, "- bullet one\n- bullet two\n- bullet three"),
+        (3000003L, "1029 3847 5560 9911 2034 7211 0007 4456")).toDF("doc_id", "text")
+      val all = docs.unionByName(planted)
+      val segs = TextAnalysis.segments(col("text"), "\n")
+      all.select(col("doc_id"),
+          TextAnalysis.symbolCount(col("text")).cast("int").as("n_symbols"),
+          size(segs).cast("int").as("n_lines"),
+          size(filter(segs, s0 => s0.startsWith("-") || s0.startsWith("*") ||
+            s0.startsWith("•"))).cast("int").as("n_bullet_lines"),
+          TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"),
+          size(filter(TextAnalysis.tokens(col("text")), t => t.rlike("[a-z]")))
+            .cast("int").as("n_alpha"),
+          TextAnalysis.structureOk(col("text")).as("structure_ok"))
+        .orderBy("doc_id")
+    },
+
     // weighted deterministic sampling: keep probability proportional to a
     // quality weight (token count here), engine-portable md5 uniform
     "pipeline_weighted" -> { (s, dir) =>
@@ -1577,6 +1600,32 @@ object SparkEntry {
         |LEFT JOIN m2 ON t.doc_id = m2.doc_id
         |LEFT JOIN m3 ON t.doc_id = m3.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_structure" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |   (3000001, '### header ### with #tags# everywhere ### and more ### plus trailing dots ...'),
+        |   (3000002, '- bullet one' || chr(10) || '- bullet two' || chr(10) || '- bullet three'),
+        |   (3000003, '1029 3847 5560 9911 2034 7211 0007 4456')) v(doc_id, text)),
+        |t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  list_filter(list_transform(string_split_regex(text, '\n'), x -> trim(x)), x -> x <> '') AS lines_,
+        |  (length(text) - length(regexp_replace(text, '#', '', 'g')))
+        |  + (length(regexp_replace(text, '\.\.\.', '…', 'g'))
+        |     - length(regexp_replace(regexp_replace(text, '\.\.\.', '…', 'g'), '…', '', 'g'))) AS n_sym
+        |  FROM all_docs)
+        |SELECT doc_id,
+        |  CAST(n_sym AS INT) AS n_symbols,
+        |  CAST(len(lines_) AS INT) AS n_lines,
+        |  CAST(len(list_filter(lines_, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS INT) AS n_bullet_lines,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha,
+        |  (CAST(n_sym AS DOUBLE) / greatest(len(toks), 1) <= 0.1
+        |   AND CAST(len(list_filter(lines_, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE)
+        |       / greatest(len(lines_), 1) <= 0.9
+        |   AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |       / greatest(len(toks), 1) >= 0.8) AS structure_ok
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "pipeline_weighted" ->
       """SELECT lang, count(*) AS n_kept FROM documents

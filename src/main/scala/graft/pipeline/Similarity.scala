@@ -204,13 +204,21 @@ object Similarity {
    * All stages are DataFrame ops; centroids are collected (they are tiny:
    * nCells vectors) and broadcast into the assignment expression.
    */
+  /** `nCells <= 0` sizes the cell count as ceil(sqrt(N)) (bounded to
+    * [16, 65536]) — the standard IVF rule that keeps BOTH the centroid
+    * table (driver/broadcast side) and the per-cell candidate lists
+    * growing as sqrt of the corpus, so neither side becomes the
+    * bottleneck as N scales. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int, iters: Int = 2): (Seq[Seq[Double]], DataFrame) = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(65536, math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt))
     // deterministic seed centroids: the nCells corpus rows with smallest id-hash
     var centroids: Seq[Seq[Double]] = base
       .withColumn("h", xxhash64(col("id")))
-      .orderBy(col("h"), col("id")).limit(nCells)
+      .orderBy(col("h"), col("id")).limit(cells)
       .select("vec").collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toSeq)
       .toSeq

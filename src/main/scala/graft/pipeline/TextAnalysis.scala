@@ -162,6 +162,42 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  // Structural quality signals (the non-repetition Gopher rules, Rae et
+  // al. 2021 §A1.1): symbol-to-word ratio, bullet/ellipsis line shapes,
+  // alphabetic-token fraction. Pure builtins, scan-local.
+
+  /** Count of '#' and unicode/ascii ellipsis marks — the symbol side of
+    * Gopher's symbol-to-word ratio rule. */
+  def symbolCount(textCol: Column): Column =
+    (length(textCol) - length(regexp_replace(textCol, "#", ""))) +
+      (length(regexp_replace(textCol, "\\.\\.\\.", "…")) -
+        length(regexp_replace(regexp_replace(textCol, "\\.\\.\\.", "…"), "…", "")))
+
+  /** Fraction of segments (sentences/lines) that start with a bullet
+    * marker. */
+  def bulletSegmentFraction(textCol: Column, sepRegex: String = "\n"): Column = {
+    val segs = segments(textCol, sepRegex)
+    size(filter(segs, s0 => s0.startsWith("-") || s0.startsWith("*") ||
+      s0.startsWith("•"))).cast("double") / greatest(size(segs), lit(1))
+  }
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (Gopher requires 80%+). */
+  def alphaTokenFraction(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Structural acceptance gate with Gopher-style defaults. */
+  def structureOk(textCol: Column, maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  minAlphaFrac: Double = 0.8): Column =
+    (symbolCount(textCol).cast("double") /
+      greatest(tokenCount(textCol), lit(1)) <= maxSymbolRatio) &&
+      (bulletSegmentFraction(textCol) <= maxBulletFrac) &&
+      (alphaTokenFraction(textCol) >= minAlphaFrac)
+
   /** All repetition signals in ONE tokenization pass ([[RepetitionStatsExpr]]):
     * struct<n_segs, n_dup_segs, top2_cnt, top2_len, top3_cnt, top3_len>.
     * The builtin formulations above re-tokenize per metric and are kept as

@@ -226,6 +226,24 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBuild auto-sizes cells to ~sqrt(N) when nCells <= 0") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 400).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 0, iters = 1)
+    assert(centroids.size === 20) // ceil(sqrt(400))
+    assert(index.select("cell").distinct().count() <= 20)
+    // floor: tiny corpora still get the minimum cell count's worth
+    val tiny = (0 until 10).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val (c2, _) = Similarity.ivfBuild(tiny, "vec_id", "embedding", nCells = 0, iters = 1)
+    assert(c2.size === 10) // capped by corpus size below the floor of 16
+  }
+
   // ---------------------------------------------------------------- sampling
 
   test("weightedSample keeps ~weight fraction, is rerun-stable, honors extremes") {
