@@ -679,6 +679,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // k-NN graph restricted to the planted twins: a copy shares every LSH
+    // bucket with its original and cosine 1 wins the rank, so the graph's
+    // top-1 edges equal the exact ones the oracle computes
+    "sim_knn" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val corpus = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.knnGraph(corpus, "vec_id", "embedding", k = 1,
+          planes = 4, bands = 8)
+        .where(col("id") < 10 || col("id") >= 1000000L)
+        .select("id", "rank", "neighbor_id")
+        .orderBy("id", "rank")
+    },
+
     // scale-safe default path (LSH pre-bucketing), oracled by exact cosine:
     // at threshold 0.99 only the planted identical-vector pairs qualify,
     // and those share every band bucket — recall exactly 1
@@ -1471,6 +1485,21 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
         |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
         |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_knn" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v
+        |      WHERE vec_id < 10 OR vec_id >= 1000000)
+        |SELECT qid AS id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY id, rank""".stripMargin,
 
     "sim_ivf" ->
       """WITH all_v AS (

@@ -141,6 +141,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Approximate k-NN GRAPH: every corpus row gets its k nearest
+    * neighbors (the input to graph-based curation — connected-component
+    * dedup over similarity edges, graph diversity sampling). Candidates
+    * come from the LSH bucket self-join (ids-only through the shuffle,
+    * vectors re-join by id); because every row is a query here, the
+    * scored stream is REPARTITIONED BY QUERY before the heap rank so
+    * per-partition heap state is (N/numPartitions) × k rows — the
+    * unbounded-Q case [[rankTopKPerQuery]]'s contract warns about.
+    * Returns (id, rank, neighbor_id, score); rows whose buckets yield no
+    * candidates are absent (isolated points have no edges). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               planes: Int = 12, bands: Int = 4,
+               maxBucketSize: Int = 1000): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = base.select(col("id"),
+        posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = bucketed.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val capped = bucketed.join(
+      sized.where(col("n") <= maxBucketSize).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+    val idPairs = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"))
+      .distinct()
+    val scored = idPairs
+      .join(base.select(col("id").as("query_id"), col("vec").as("qv")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("cv")), "neighbor_id")
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "score")
+      .repartition(col("query_id"))
+    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
+      .select(col("query_id").as("id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2) with similarity >=
     * threshold — the embedding-space dedup mode.
     *

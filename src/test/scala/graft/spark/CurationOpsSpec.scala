@@ -226,6 +226,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph: planted copies are each other's top-1; k rows max per id") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9)
+    val base = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val copies = (0 until 10).map(i => (500L + i, base(i)._2)) // exact duplicates
+    val df = (base ++ copies).toDF("vec_id", "embedding").repartition(4)
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // each id contributes at most k edges, ranks are 1..k in order
+    g.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length <= 3, s"id $id has ${rows.length} edges")
+      assert(rows.map(_._2).sorted === (1 to rows.length).toSeq, s"ranks of $id")
+    }
+    // an exact copy shares every LSH bucket: top-1 must be the twin (cos=1)
+    val top1 = g.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    (0 until 10).foreach { i =>
+      assert(top1(500L + i) === i.toLong, s"copy ${500 + i} top-1")
+      assert(top1(i.toLong) === 500L + i, s"original $i top-1")
+    }
+  }
+
   test("ivfBuild auto-sizes cells to ~sqrt(N) when nCells <= 0") {
     import graft.pipeline.Similarity
     val s = spark
