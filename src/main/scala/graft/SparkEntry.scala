@@ -686,8 +686,12 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       val corpus = emb.unionByName(emb.where(col("vec_id") < 10)
         .withColumn("vec_id", col("vec_id") + 1000000L))
+      // planes=10: 1024 buckets per band keeps the bucket self-join sparse
+      // (pairs ~ bands * N^2 / 2^planes); the planted twin shares every
+      // bucket with its original regardless, so recall on the oracled
+      // subset stays exactly 1
       Similarity.knnGraph(corpus, "vec_id", "embedding", k = 1,
-          planes = 4, bands = 8)
+          planes = 10, bands = 4)
         .where(col("id") < 10 || col("id") >= 1000000L)
         .select("id", "rank", "neighbor_id")
         .orderBy("id", "rank")
