@@ -11,7 +11,8 @@ object PlanAudit {
       else Seq("cond_equal", "cond_like", "join_enrich", "scan_point_get",
         "sim_topk", "dedup_exact", "store_pruned_scan",
         "decon_ngram", "dedup_semantic", "pipeline_pack", "sim_pq",
-        "source_quality", "pipeline_curation2")
+        "source_quality", "pipeline_curation2",
+        "agg_salted", "sim_knn", "dedup_spans", "pipeline_report")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
