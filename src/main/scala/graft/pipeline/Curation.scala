@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The one-call curation driver: composes the pipeline operators into the
+ * standard "raw corpus to training sequences" job behind a config, so a
+ * production run is a config diff rather than a bespoke script. Stages
+ * (each optional): exact dedup -> near-dup removal -> quality/repetition/
+ * structure/PII/language gates -> benchmark decontamination -> weighted
+ * or budget sampling -> sequence packing. Returns the curated docs plus
+ * the stage-attribution counts that make the run auditable.
+ */
+object Curation {
+
+  final case class Config(
+      exactDedup: Boolean = true,
+      nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
+      minTokens: Int = 10,
+      requireQuality: Boolean = true,
+      requireRepetitionOk: Boolean = true,
+      requireStructureOk: Boolean = false,
+      dropPii: Boolean = false,                    // drop (vs scrub) docs with PII
+      scrubPii: Boolean = false,                   // redact instead of dropping
+      langs: Set[String] = Set.empty,              // empty = keep all languages
+      decontaminationN: Int = 13,
+      tokenBudget: Option[Long] = None,            // carve to ~B tokens
+      packBudget: Option[Long] = None)             // emit seq_id when set
+
+  final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)])
+
+  /** Runs the configured stages over (idCol, textCol); `evalSet` enables
+    * decontamination. Each stage's surviving-row count is recorded — the
+    * funnel a curation run reports. */
+  def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
+          evalSet: Option[DataFrame] = None): Result = {
+    val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var df = input
+    counts += ("input" -> df.count())
+
+    if (cfg.exactDedup) {
+      df = Dedup.dropExactDuplicates(df, textCol, idCol)
+      counts += ("exact_dedup" -> df.count())
+    }
+    cfg.nearDupThreshold.foreach { t =>
+      val pairs = Dedup.minhashNearDuplicates(df, idCol, textCol, threshold = t)
+      df = Dedup.dropNearDuplicates(df, pairs, idCol)
+      counts += ("near_dedup" -> df.count())
+    }
+    val gates = scala.collection.mutable.ArrayBuffer[Column]()
+    if (cfg.requireQuality) gates += TextAnalysis.qualityOk(col(textCol), minTokens = cfg.minTokens)
+    if (cfg.requireRepetitionOk) gates += TextAnalysis.repetitionOk(col(textCol))
+    if (cfg.requireStructureOk) gates += TextAnalysis.structureOk(col(textCol))
+    if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
+    if (cfg.langs.nonEmpty)
+      gates += TextAnalysis.langId(col(textCol)).isin(cfg.langs.toSeq.map(x => x: Any): _*)
+    if (gates.nonEmpty) {
+      df = df.where(gates.reduce(_ && _))
+      counts += ("gates" -> df.count())
+    }
+    if (cfg.scrubPii && !cfg.dropPii) {
+      df = df.withColumn(textCol, TextClean.scrub(col(textCol)))
+      counts += ("pii_scrub" -> df.count())
+    }
+    evalSet.foreach { ev =>
+      df = Decontaminate.decontaminate(df, idCol, textCol, ev, textCol,
+        n = cfg.decontaminationN)
+      counts += ("decontaminated" -> df.count())
+    }
+    cfg.tokenBudget.foreach { b =>
+      val tok = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      df = df.join(
+        Packing.tokenBudgetSample(tok, idCol, "__nt", b).select(idCol), Seq(idCol))
+      counts += ("token_budget" -> df.count())
+    }
+    cfg.packBudget.foreach { b =>
+      val tok = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      val packed = Packing.packSequences(tok, idCol, "__nt", b)
+        .select(col(idCol), col("seq_id"))
+      df = df.join(packed, Seq(idCol))
+    }
+    Result(df, counts.toSeq)
+  }
+}

@@ -325,6 +325,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(joined === plainJoin)
   }
 
+  // ------------------------------------------------------------- full runner
+
+  test("Curation.run composes the stages and reports the funnel") {
+    import graft.pipeline.Curation
+    val good = "a perfectly ordinary sentence with plenty of everyday english words in it"
+    val v = docs(
+      (1L, good),
+      (2L, good),                              // exact dup of 1
+      (3L, ("buy now. " * 15).trim),           // repetition gate
+      (4L, "tiny"),                            // quality gate
+      (5L, s"$good with a twist at the end"),
+      (6L, s"$good mail bob@x.io"))            // pii (scrubbed, not dropped)
+    val evalSet = docs((0L, s"$good with a twist at the end"))  // contaminates 5
+    val res = Curation.run(v, "id", "text",
+      Curation.Config(scrubPii = true, packBudget = Some(8L)),
+      evalSet = Some(evalSet.select(col("text"))))
+    val kept = res.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 6L))
+    // doc 6 survived with its email scrubbed
+    val t6 = res.docs.where(col("id") === 6L).select("text").collect()(0).getString(0)
+    assert(t6.contains("<EMAIL>") && !t6.contains("@"))
+    // every surviving doc carries a sequence assignment
+    assert(res.docs.columns.contains("seq_id"))
+    val funnel = res.stageCounts.toMap
+    assert(funnel("input") === 6L)
+    assert(funnel("exact_dedup") === 5L)   // dup of 1 dropped
+    assert(funnel("gates") === 3L)         // 3 and 4 gated
+    assert(funnel("decontaminated") === 2L) // 5 contaminated by eval set
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
