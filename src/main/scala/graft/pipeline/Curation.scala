@@ -31,22 +31,33 @@ object Curation {
   final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)])
 
   /** Runs the configured stages over (idCol, textCol); `evalSet` enables
-    * decontamination. Each stage's surviving-row count is recorded — the
-    * funnel a curation run reports. */
+    * decontamination. With `trackFunnel` each stage's surviving-row count
+    * is recorded — the funnel a curation run reports; stage outputs are
+    * persisted so the count action doesn't recompute the upstream lineage
+    * (and each stage reads its predecessor's materialization, not the raw
+    * scan). `trackFunnel = false` skips counts and persists, leaving one
+    * lazily-planned job. */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
-          evalSet: Option[DataFrame] = None): Result = {
+          evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true): Result = {
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var persisted: Option[DataFrame] = None
+    def stage(name: String, next: DataFrame): DataFrame =
+      if (!trackFunnel) next
+      else {
+        val p = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        counts += (name -> p.count())
+        persisted.foreach(_.unpersist())
+        persisted = Some(p)
+        p
+      }
     var df = input
-    counts += ("input" -> df.count())
+    if (trackFunnel) counts += ("input" -> df.count())
 
-    if (cfg.exactDedup) {
-      df = Dedup.dropExactDuplicates(df, textCol, idCol)
-      counts += ("exact_dedup" -> df.count())
-    }
+    if (cfg.exactDedup)
+      df = stage("exact_dedup", Dedup.dropExactDuplicates(df, textCol, idCol))
     cfg.nearDupThreshold.foreach { t =>
       val pairs = Dedup.minhashNearDuplicates(df, idCol, textCol, threshold = t)
-      df = Dedup.dropNearDuplicates(df, pairs, idCol)
-      counts += ("near_dedup" -> df.count())
+      df = stage("near_dedup", Dedup.dropNearDuplicates(df, pairs, idCol))
     }
     val gates = scala.collection.mutable.ArrayBuffer[Column]()
     if (cfg.requireQuality) gates += TextAnalysis.qualityOk(col(textCol), minTokens = cfg.minTokens)
@@ -55,25 +66,19 @@ object Curation {
     if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
     if (cfg.langs.nonEmpty)
       gates += TextAnalysis.langId(col(textCol)).isin(cfg.langs.toSeq.map(x => x: Any): _*)
-    if (gates.nonEmpty) {
-      df = df.where(gates.reduce(_ && _))
-      counts += ("gates" -> df.count())
-    }
-    if (cfg.scrubPii && !cfg.dropPii) {
-      df = df.withColumn(textCol, TextClean.scrub(col(textCol)))
-      counts += ("pii_scrub" -> df.count())
-    }
+    if (gates.nonEmpty)
+      df = stage("gates", df.where(gates.reduce(_ && _)))
+    if (cfg.scrubPii && !cfg.dropPii)
+      df = stage("pii_scrub", df.withColumn(textCol, TextClean.scrub(col(textCol))))
     evalSet.foreach { ev =>
-      df = Decontaminate.decontaminate(df, idCol, textCol, ev, textCol,
-        n = cfg.decontaminationN)
-      counts += ("decontaminated" -> df.count())
+      df = stage("decontaminated", Decontaminate.decontaminate(df, idCol, textCol,
+        ev, textCol, n = cfg.decontaminationN))
     }
     cfg.tokenBudget.foreach { b =>
       val tok = df.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
-      df = df.join(
-        Packing.tokenBudgetSample(tok, idCol, "__nt", b).select(idCol), Seq(idCol))
-      counts += ("token_budget" -> df.count())
+      df = stage("token_budget", df.join(
+        Packing.tokenBudgetSample(tok, idCol, "__nt", b).select(idCol), Seq(idCol)))
     }
     cfg.packBudget.foreach { b =>
       val tok = df.select(col(idCol),
