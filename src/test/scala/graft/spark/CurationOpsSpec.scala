@@ -560,6 +560,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(planted.forall { case (id, _) => !got(id) })
   }
 
+  test("semanticDedup works with IVF k-means cells as the clusterer (production path)") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 80).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val copies = (0 until 10).map(i => (900L + i, base(i)._2))
+    val df = (base ++ copies).toDF("id", "vec")
+    val (_, index) = Similarity.ivfBuild(df, "id", "vec", nCells = 8, iters = 1)
+    // ivfBuild returns (id, vec, cell): feed the cell id straight in
+    val got = Dedup.semanticDedup(index, "id", "vec", col("cell"), tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // identical vectors land in the same k-means cell -> every copy dropped
+    (0 until 10).foreach { i =>
+      assert(got(i.toLong) === true, s"original $i kept")
+      assert(got(900L + i) === false, s"copy ${900 + i} dropped")
+    }
+  }
+
   test("semanticDedup cluster self-join carries ids only (no vectors)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)))
