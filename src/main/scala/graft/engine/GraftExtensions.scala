@@ -94,6 +94,29 @@ object GraftFunctions {
         if (exprs.length > 3) litDouble(exprs(3)) else 0.2), "scala_udf")
     reg.createOrReplaceTempFunction("emo_repetition_stats",
       exprs => graft.pipeline.RepetitionStatsExpr(exprs.head), "scala_udf")
+    // PII gates from raw catalyst nodes (the Column bridge would leave
+    // unresolved function nodes that never re-analyze inside a registry-
+    // substituted tree). RegExpCount is RuntimeReplaceable: the optimizer's
+    // ReplaceExpressions pass lowers it after the registry inserts it.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression => CExpr, Literal => CLit, RegExpCount, RegExpReplace}
+      import graft.pipeline.TextClean.{EmailPattern, PhonePattern, UrlPattern}
+      def scrubExpr(e: CExpr): CExpr =
+        RegExpReplace(RegExpReplace(RegExpReplace(e,
+          CLit.create(UrlPattern), CLit.create("<URL>")),
+          CLit.create(EmailPattern), CLit.create("<EMAIL>")),
+          CLit.create(PhonePattern), CLit.create("<PHONE>"))
+      def noMatch(e: CExpr, pat: String): CExpr =
+        EqualTo(RegExpCount(e, CLit.create(pat)), CLit(0))
+      reg.createOrReplaceTempFunction("emo_scrub",
+        exprs => scrubExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("emo_pii_free",
+        exprs => CAnd(CAnd(noMatch(exprs.head, EmailPattern),
+          noMatch(exprs.head, UrlPattern)),
+          noMatch(RegExpReplace(exprs.head,
+            CLit.create(UrlPattern), CLit.create("<URL>")), PhonePattern)),
+        "scala_udf")
+    }
     reg.createOrReplaceTempFunction("emo_repetition_ok",
       exprs => graft.pipeline.RepetitionOkExpr(exprs(0),
         if (exprs.length > 1) litDouble(exprs(1)) else 0.20,

@@ -452,6 +452,15 @@ class StreamingSpec extends AnyFunSuite {
     // overlapping occurrences can push gram mass past 1.0 (3 x 9 chars over
     // a 19-char string = 1.42), so "lifted" means 2.0 here
     assert(rep.getBoolean(2) === true)
+    // PII surface through SQL (raw catalyst nodes, RuntimeReplaceable-lowered)
+    val gate = spark.sql(
+      """SELECT emo_pii_free('mail bob@x.io') AS pii,
+        |       emo_pii_free('plain words only') AS clean,
+        |       emo_scrub('see https://a.b now') AS scrubbed""".stripMargin)
+      .collect()(0)
+    assert(gate.getBoolean(0) === false)
+    assert(gate.getBoolean(1) === true)
+    assert(gate.getString(2) === "see <URL> now")
   }
 
   test("table purge control events tombstone every document; lag monitor sees progress") {
