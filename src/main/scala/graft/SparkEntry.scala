@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Similarity, Sources, TextAnalysis, TextClean}
+import graft.pipeline.{Decontaminate, Dedup, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1025,6 +1025,38 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // deterministic source mixing: per-source keep rates derived from a
+    // token budget + target shares (tiny collected totals -> broadcast
+    // rates join -> scan-local md5 keep); unshared sources drop wholesale
+    "pipeline_mixing" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      Mixing.mixToBudget(docs, "doc_id", "source", "text", shares, budgetTokens = 1500L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    // ======================================================= pipeline: search
+    // inverted-index corpus statistics: df + total tf per token
+    "search_df" -> { (s, dir) =>
+      Search.docFrequencies(Tables.read(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(30)
+    },
+
+    // keyword retrieval: all-integer (matched terms, matched tf) relevance
+    // over broadcast query tokens; ranking via the bounded-heap top-k
+    "search_keyword" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents")
+      val qs = Seq((1, "spark join window"), (2, "vector hash stream key"),
+        (3, "customer query batch data")).toDF("q_id", "q_text")
+      Search.keywordTopK(docs, qs, "doc_id", "text", "q_id", "q_text", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -1665,6 +1697,47 @@ object SparkEntry {
         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)
         |      < least(1.0, len(string_split_regex(trim(lower(text)), '\s+')) / 200.0)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipeline_mixing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt FROM documents),
+        |tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS toks FROM t GROUP BY source),
+        |sh(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |rates AS (SELECT tot.source,
+        |  least(CAST(1.0 AS DOUBLE), CAST(share AS DOUBLE) * 1500 / CAST(toks AS DOUBLE)) AS r
+        |  FROM tot JOIN sh ON tot.source = sh.source)
+        |SELECT t.source, count(*) AS kept_docs, CAST(sum(nt) AS BIGINT) AS kept_tokens
+        |FROM t JOIN rates ON t.source = rates.source
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) < r
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "search_df" ->
+      """WITH p AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> '' GROUP BY token, doc_id)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM p GROUP BY token
+        |ORDER BY df DESC, token ASC LIMIT 30""".stripMargin,
+
+    "search_keyword" ->
+      """WITH p AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) WHERE token <> '' GROUP BY token, doc_id),
+        |q(query_id, qtext) AS (VALUES (1, 'spark join window'), (2, 'vector hash stream key'),
+        |                              (3, 'customer query batch data')),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |  SELECT query_id, unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS token FROM q)
+        |  WHERE token <> ''),
+        |m AS (SELECT query_id, doc_id, count(*) AS matched_terms, CAST(sum(tf) AS BIGINT) AS matched_tf
+        |      FROM p JOIN qt USING (token) GROUP BY query_id, doc_id)
+        |SELECT query_id, rank, doc_id, matched_terms, matched_tf FROM (
+        |  SELECT query_id, doc_id, matched_terms, matched_tf,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY matched_terms * 1000000000 + matched_tf DESC, doc_id ASC) AS rank
+        |  FROM m)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,

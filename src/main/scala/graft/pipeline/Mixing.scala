@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Source mixing: carve a training corpus to a global token budget with
+ * target proportions per source/domain (the "data mixture" step of
+ * LLM-corpus assembly — fixed-weight mixtures over domains, applied here
+ * as deterministic subsampling rather than epoch weighting).
+ *
+ * Given shares s_d (not necessarily summing to 1) and a token budget B,
+ * each source keeps rate `r_d = min(1, s_d * B / tokens_d)` of its
+ * documents by the md5-uniform keep rule ([[Sampling.hashUniform]]): the
+ * expected kept token mass per source is `min(s_d * B, tokens_d)`, the
+ * decision is per-row, rerun-stable and engine-portable, and sources
+ * absent from the share map are dropped wholesale.
+ *
+ * Scale shape: totals are one map-side-combinable aggregate keyed by
+ * source (#sources << #docs) collected to the driver — the same
+ * legitimate-scalar budget as IVF centroids — and rates re-join the
+ * corpus as a broadcast hash join, so corpus rows never shuffle: one
+ * scan, one broadcast, one scan-local filter.
+ */
+object Mixing {
+
+  /** Per-source document and token totals (tokens by the repo-wide
+    * whitespace idiom). */
+  def sourceTokenTotals(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+
+  /** Keep rates per source for `shares` against `budgetTokens`. Exposed so
+    * callers can audit the planned mixture before filtering. Arithmetic is
+    * pinned as `(share * budget) / tokens` so an external engine (the
+    * DuckDB oracle) reproduces the rates bit-for-bit from the same
+    * integers. */
+  def mixRates(df: DataFrame, srcCol: String, textCol: String,
+               shares: Map[String, Double], budgetTokens: Long): Map[String, Double] = {
+    val totals = sourceTokenTotals(df, srcCol, textCol).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    shares.flatMap { case (src, share) =>
+      totals.get(src).map { toks =>
+        src -> math.min(1.0, share * budgetTokens.toDouble / toks.toDouble)
+      }
+    }
+  }
+
+  /** The mixture filter: corpus rows from shared sources kept at their
+    * computed rate, everything else dropped. */
+  def mixToBudget(df: DataFrame, idCol: String, srcCol: String, textCol: String,
+                  shares: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val rates = mixRates(df, srcCol, textCol, shares, budgetTokens).toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toDF(srcCol, "__keep_rate")
+    df.join(broadcast(ratesDf), Seq(srcCol))
+      .where(Sampling.hashUniform(col(idCol)) < col("__keep_rate"))
+      .drop("__keep_rate")
+  }
+}

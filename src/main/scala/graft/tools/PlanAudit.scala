@@ -12,7 +12,8 @@ object PlanAudit {
         "sim_topk", "dedup_exact", "store_pruned_scan",
         "decon_ngram", "dedup_semantic", "pipeline_pack", "sim_pq",
         "source_quality", "pipeline_curation2",
-        "agg_salted", "sim_knn", "dedup_spans", "pipeline_report")
+        "agg_salted", "sim_knn", "dedup_spans", "pipeline_report",
+        "search_keyword", "pipeline_mixing")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
