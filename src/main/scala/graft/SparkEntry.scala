@@ -857,6 +857,20 @@ object SparkEntry {
         .orderBy("contaminated_id")
     },
 
+    // same contract through the Bloom prefilter path: the bitset probe
+    // drops non-member grams inside the scan, the exact semi-join
+    // re-verifies survivors, so the oracle is decon_ngram's verbatim
+    "decon_bloom" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 20).select(col("text"))
+      val corpus = docs.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Decontaminate.contaminatedIdsBloom(corpus, "doc_id", "text", evalSet, "text",
+          n = 5, fpp = 0.01)
+        .orderBy("contaminated_id")
+    },
+
     // Gopher-style repetition signals (dup segments, most-frequent 2-/3-gram
     // mass) — integer numerators/denominators so the oracle compare never
     // hashes engine-formatted doubles; the fraction forms are library API
@@ -1625,6 +1639,20 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "decon_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(len(toks)-4),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]))
+        |        ELSE [] END AS grams FROM t),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id >= 20
+        |           UNION ALL SELECT doc_id + 1000000, grams FROM g WHERE doc_id < 20),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM corpus)
+        |SELECT DISTINCT x.doc_id AS contaminated_id FROM x JOIN e USING (gram)
+        |ORDER BY contaminated_id""".stripMargin,
+
+    // bloom prefilter is exact-verified, so the oracle is decon_ngram's
+    "decon_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id,
         |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(len(toks)-4),

@@ -42,6 +42,36 @@ object Decontaminate {
     flagged.select(col("id").as("contaminated_id"))
   }
 
+  /** [[contaminatedIds]] with a scan-local Bloom prefilter: the eval
+    * n-gram hashes (already the collect-to-driver-sized side — the plain
+    * path broadcasts them) additionally build a [[Bloom.Filter]] whose
+    * probe is applied BEFORE the semi-join, so ~(1 - fpp) of corpus gram
+    * rows die inside the scan stage and never reach an operator boundary.
+    * The exact semi-join then re-verifies the survivors, so the output is
+    * identical to [[contaminatedIds]] — the bloom only shrinks the join
+    * input (the thing that matters when the corpus side is 100 TB). */
+  def contaminatedIdsBloom(corpus: DataFrame, idCol: String, textCol: String,
+                           evalSet: DataFrame, evalTextCol: String,
+                           n: Int = 13, minHits: Int = 1,
+                           fpp: Double = 0.01): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1: $minHits")
+    val evalHashes = evalSet
+      .select(explode(sketches.hashedShingles(col(evalTextCol), n)).as("gram_hash"))
+      .distinct().collect().map(_.getLong(0))
+    val bloom = Bloom.build(evalHashes, math.max(1L, evalHashes.length.toLong), fpp)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalGrams = broadcast(evalHashes.toSeq.toDF("gram_hash"))
+    val hits = gramRows(corpus, idCol, textCol, n)
+      .where(Bloom.mightContain(col("gram_hash"), bloom))
+      .join(evalGrams, Seq("gram_hash"), "left_semi")
+    val flagged =
+      if (minHits == 1) hits.select("id").distinct()
+      else hits.groupBy("id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= minHits).select("id")
+    flagged.select(col("id").as("contaminated_id"))
+  }
+
   /** Corpus minus contaminated documents (left-anti against the flagged
     * id set — the write side of a decontamination job). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
