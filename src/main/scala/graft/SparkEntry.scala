@@ -1052,6 +1052,15 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // corpus-profiling quantiles: histogram-first exact discrete quantiles
+    // (the window runs over #distinct token counts, never corpus rows)
+    "stats_quantiles" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Stats.exactQuantiles(docs,
+          TextAnalysis.tokenCount(col("text")), Seq(100, 500, 900, 990))
+        .orderBy("q_permille")
+    },
+
     // ======================================================= pipeline: search
     // inverted-index corpus statistics: df + total tf per token
     "search_df" -> { (s, dir) =>
@@ -1738,6 +1747,18 @@ object SparkEntry {
         |FROM t JOIN rates ON t.source = rates.source
         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) < r
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "stats_quantiles" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
+        |           FROM documents),
+        |h AS (SELECT v AS value, count(*) AS cnt FROM t GROUP BY v),
+        |c AS (SELECT value, cnt,
+        |        sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS n FROM h),
+        |q(q_permille) AS (VALUES (100), (500), (900), (990))
+        |SELECT q_permille, min(value) AS value FROM c, q
+        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |GROUP BY q_permille ORDER BY q_permille""".stripMargin,
 
     "search_df" ->
       """WITH p AS (

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distribution statistics over bounded-domain integer columns —
+ * token counts, char lengths, per-doc gate scores: the corpus-profiling
+ * step that picks curation thresholds (e.g. "cut below the p10 token
+ * count").
+ *
+ * Spark's exact `percentile` sorts the whole group in one reducer — a
+ * corpus-wide percentile at 100 TB funnels everything through a single
+ * task. For bounded domains the scale-safe shape is histogram-first: one
+ * map-side-combinable aggregate over the VALUE domain (output rows =
+ * #distinct values, independent of corpus size), then quantiles are a
+ * cumulative-sum lookup over that tiny histogram — the only window runs
+ * over |domain| rows, never over the corpus.
+ *
+ * The quantile definition is pinned for engine portability: the
+ * q-quantile is the smallest value whose cumulative count reaches
+ * `ceil(q * n)` (the discrete/lower quantile) — all-integer comparisons,
+ * with q expressed in permille so no computed double is ever output.
+ */
+object Stats {
+
+  /** Value histogram: one row per distinct value with its count. */
+  def histogram(df: DataFrame, valueCol: Column): DataFrame =
+    df.groupBy(valueCol.cast("long").as("value")).agg(count(lit(1)).as("cnt"))
+
+  /** Exact discrete quantiles at the given permille points (500 = median).
+    * Returns (q_permille, value). The histogram window is over #distinct
+    * values — bounded-domain by contract — so the single-partition sort
+    * Spark warns about is a few thousand rows, not the corpus. */
+  def exactQuantiles(df: DataFrame, valueCol: Column, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0, 1000]: $permilles")
+    val h = histogram(df, valueCol)
+    val cumW = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    cum
+      .withColumn("q_permille", explode(array(permilles.map(lit): _*)))
+      .where(col("cum") >= ceil(col("q_permille") / lit(1000.0) * col("n")))
+      .groupBy("q_permille")
+      .agg(min("value").as("value"))
+  }
+}

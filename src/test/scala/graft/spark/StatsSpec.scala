@@ -1,0 +1,66 @@
+package graft.spark
+
+import graft.pipeline.Stats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Histogram-first exact discrete quantiles: differential vs a naive
+  * sorted-rank reference on random data, plus the bounded-domain plan
+  * contract (corpus rows aggregate before any window). */
+class StatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def naive(values: Seq[Long], permilles: Seq[Int]): Map[Int, Long] = {
+    val sorted = values.sorted
+    val n = sorted.size
+    permilles.map { p =>
+      val target = math.ceil(p / 1000.0 * n).toInt
+      p -> sorted(math.max(target, 1) - 1) // smallest value with rank >= target
+    }.toMap
+  }
+
+  test("exactQuantiles matches the sorted-rank reference (randomized)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val values = Seq.fill(500 + trial * 300)(rnd.nextInt(60).toLong + 1)
+      val df = values.toDF("v")
+      val permilles = Seq(1, 100, 250, 500, 750, 900, 990, 1000)
+      val got = Stats.exactQuantiles(df, col("v"), permilles)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === naive(values, permilles), s"trial $trial")
+    }
+  }
+
+  test("median of skewed and constant data") {
+    val s = spark
+    import s.implicits._
+    val skew = (Seq.fill(99)(1L) ++ Seq(1000L)).toDF("v")
+    assert(Stats.exactQuantiles(skew, col("v"), Seq(500)).head().getLong(1) === 1L)
+    assert(Stats.exactQuantiles(skew, col("v"), Seq(1000)).head().getLong(1) === 1000L)
+    val const = Seq.fill(10)(7L).toDF("v")
+    assert(Stats.exactQuantiles(const, col("v"), Seq(1, 500, 1000))
+      .collect().map(_.getLong(1)).toSet === Set(7L))
+  }
+
+  test("plan contract: corpus aggregates into a histogram before any window") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toLong % 20).toDF("v")
+    val plan = Stats.exactQuantiles(df, col("v"), Seq(500))
+      .queryExecution.executedPlan.toString
+    // the HashAggregate (histogram) must appear below the Window in the
+    // plan tree: a Window directly over the scan would sort corpus rows
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"expected histogram aggregate beneath the window:\n$plan")
+  }
+}
