@@ -8,16 +8,24 @@ import org.apache.spark.sql.functions._
  * standard "raw corpus to training sequences" job behind a config, so a
  * production run is a config diff rather than a bespoke script. Stages
  * (each optional): exact dedup -> near-dup removal -> quality/repetition/
- * structure/PII/language gates -> benchmark decontamination -> weighted
- * or budget sampling -> sequence packing. Returns the curated docs plus
- * the stage-attribution counts that make the run auditable.
+ * structure/PII/language gates (length threshold either fixed or derived
+ * from the corpus's own token-count quantile) -> benchmark decontamination
+ * (exact or bloom-prefiltered) -> source mixing to a token budget ->
+ * weighted or budget sampling -> sequence packing. Returns the curated
+ * docs plus the stage-attribution counts that make the run auditable.
  */
 object Curation {
+
+  /** Source-mixing stage parameters: see [[Mixing.mixToBudget]]. */
+  final case class MixConfig(srcCol: String, shares: Map[String, Double],
+                             budgetTokens: Long)
 
   final case class Config(
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
       minTokens: Int = 10,
+      minTokensPermille: Option[Int] = None,       // derive minTokens from the corpus
+                                                   // token-count quantile (overrides minTokens)
       requireQuality: Boolean = true,
       requireRepetitionOk: Boolean = true,
       requireStructureOk: Boolean = false,
@@ -25,6 +33,8 @@ object Curation {
       scrubPii: Boolean = false,                   // redact instead of dropping
       langs: Set[String] = Set.empty,              // empty = keep all languages
       decontaminationN: Int = 13,
+      bloomDecontamination: Boolean = false,       // scan-local bloom prefilter path
+      sourceMix: Option[MixConfig] = None,         // per-source budget mixing
       tokenBudget: Option[Long] = None,            // carve to ~B tokens
       packBudget: Option[Long] = None)             // emit seq_id when set
 
@@ -59,8 +69,14 @@ object Curation {
       val pairs = Dedup.minhashNearDuplicates(df, idCol, textCol, threshold = t)
       df = stage("near_dedup", Dedup.dropNearDuplicates(df, pairs, idCol))
     }
+    // data-derived length threshold: the corpus's own p-quantile token
+    // count (histogram-first, so deriving it is not a corpus sort)
+    val minTok = cfg.minTokensPermille.map { p =>
+      math.max(1L, Stats.exactQuantiles(df,
+        TextAnalysis.tokenCount(col(textCol)), Seq(p)).head().getLong(1)).toInt
+    }.getOrElse(cfg.minTokens)
     val gates = scala.collection.mutable.ArrayBuffer[Column]()
-    if (cfg.requireQuality) gates += TextAnalysis.qualityOk(col(textCol), minTokens = cfg.minTokens)
+    if (cfg.requireQuality) gates += TextAnalysis.qualityOk(col(textCol), minTokens = minTok)
     if (cfg.requireRepetitionOk) gates += TextAnalysis.repetitionOk(col(textCol))
     if (cfg.requireStructureOk) gates += TextAnalysis.structureOk(col(textCol))
     if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
@@ -71,8 +87,19 @@ object Curation {
     if (cfg.scrubPii && !cfg.dropPii)
       df = stage("pii_scrub", df.withColumn(textCol, TextClean.scrub(col(textCol))))
     evalSet.foreach { ev =>
-      df = stage("decontaminated", Decontaminate.decontaminate(df, idCol, textCol,
-        ev, textCol, n = cfg.decontaminationN))
+      val cleaned =
+        if (cfg.bloomDecontamination) {
+          val bad = Decontaminate.contaminatedIdsBloom(df, idCol, textCol,
+              ev, textCol, n = cfg.decontaminationN)
+            .select(col("contaminated_id").as(idCol))
+          df.join(bad, Seq(idCol), "left_anti")
+        } else Decontaminate.decontaminate(df, idCol, textCol,
+          ev, textCol, n = cfg.decontaminationN)
+      df = stage("decontaminated", cleaned)
+    }
+    cfg.sourceMix.foreach { m =>
+      df = stage("source_mix",
+        Mixing.mixToBudget(df, idCol, m.srcCol, textCol, m.shares, m.budgetTokens))
     }
     cfg.tokenBudget.foreach { b =>
       val tok = df.select(col(idCol),

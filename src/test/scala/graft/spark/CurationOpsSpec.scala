@@ -355,6 +355,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(funnel("decontaminated") === 2L) // 5 contaminated by eval set
   }
 
+  test("Curation.run: quantile-derived length gate, bloom decon, source mixing") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val words = Vector("plain", "everyday", "words", "about", "ordinary", "things",
+      "written", "here", "for", "testing", "purposes", "only")
+    def text(n: Int): String = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    // length distribution: half short (5 tokens), half long (40 tokens)
+    val v = (0L until 100L).map { i =>
+      (i, if (i % 2 == 0) text(5) else text(40), if (i < 50) "web" else "code")
+    }.toDF("id", "text", "source")
+    // permille 600 lands on the long mode -> the 5-token half gates out
+    val res = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, requireRepetitionOk = false,
+        minTokensPermille = Some(600),
+        sourceMix = Some(Curation.MixConfig("source",
+          Map("web" -> 1.0, "code" -> 1.0), budgetTokens = 1000000L))))
+    val kept = res.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.forall(_ % 2 == 1), "only 40-token docs survive p600 gate")
+    // ample budget + both sources shared -> mixing drops nothing here
+    assert(res.stageCounts.toMap.apply("source_mix") === kept.size.toLong)
+    // unshared source drops wholesale
+    val res2 = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, requireRepetitionOk = false,
+        sourceMix = Some(Curation.MixConfig("source", Map("web" -> 1.0), 1000000L))),
+      trackFunnel = false)
+    assert(res2.docs.select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("web"))
+    // bloom decontamination path == exact path
+    val evalSet = v.where($"id" === 1L).select("text")
+    val exact = Curation.run(v, "id", "text", Curation.Config(exactDedup = false,
+        requireQuality = false, requireRepetitionOk = false, decontaminationN = 5),
+      evalSet = Some(evalSet), trackFunnel = false)
+      .docs.select("id").collect().map(_.getLong(0)).toSet
+    val bloomed = Curation.run(v, "id", "text", Curation.Config(exactDedup = false,
+        requireQuality = false, requireRepetitionOk = false, decontaminationN = 5,
+        bloomDecontamination = true),
+      evalSet = Some(evalSet), trackFunnel = false)
+      .docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(bloomed === exact)
+    assert(!bloomed.contains(1L))
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
