@@ -1061,6 +1061,16 @@ object SparkEntry {
         .orderBy("q_permille")
     },
 
+    // per-language length profiles: the grouped variant (histogram keyed by
+    // (lang, value), cumulative window partitioned by lang)
+    "stats_quantiles_by" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Stats.exactQuantilesBy(docs, col("lang"),
+          TextAnalysis.tokenCount(col("text")), Seq(500, 900))
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "q_permille")
+    },
+
     // ======================================================= pipeline: search
     // inverted-index corpus statistics: df + total tf per token
     "search_df" -> { (s, dir) =>
@@ -1759,6 +1769,19 @@ object SparkEntry {
         |SELECT q_permille, min(value) AS value FROM c, q
         |WHERE cum >= ceil(q_permille / 1000.0 * n)
         |GROUP BY q_permille ORDER BY q_permille""".stripMargin,
+
+    "stats_quantiles_by" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
+        |           FROM documents),
+        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t GROUP BY lang, v),
+        |c AS (SELECT lang, value, cnt,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY value
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
+        |q(q_permille) AS (VALUES (500), (900))
+        |SELECT lang, q_permille, min(value) AS value FROM c, q
+        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |GROUP BY lang, q_permille ORDER BY lang, q_permille""".stripMargin,
 
     "search_df" ->
       """WITH p AS (

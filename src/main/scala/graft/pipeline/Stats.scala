@@ -47,4 +47,28 @@ object Stats {
       .groupBy("q_permille")
       .agg(min("value").as("value"))
   }
+
+  /** Per-group exact discrete quantiles (per-language/per-source length
+    * profiles). Same histogram-first shape with the histogram keyed by
+    * (group, value) and the cumulative window partitioned by group — each
+    * group's window sees only its own distinct values, so skewed group
+    * sizes don't concentrate corpus rows anywhere.
+    * Returns (group, q_permille, value). */
+  def exactQuantilesBy(df: DataFrame, groupCol: Column, valueCol: Column,
+                       permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0, 1000]: $permilles")
+    val h = df.groupBy(groupCol.as("group"), valueCol.cast("long").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("group").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("group")))
+    cum
+      .withColumn("q_permille", explode(array(permilles.map(lit): _*)))
+      .where(col("cum") >= ceil(col("q_permille") / lit(1000.0) * col("n")))
+      .groupBy("group", "q_permille")
+      .agg(min("value").as("value"))
+  }
 }

@@ -50,6 +50,21 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet === Set(7L))
   }
 
+  test("exactQuantilesBy matches per-group naive reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(800)((s"g${rnd.nextInt(4)}", rnd.nextInt(40).toLong + 1))
+    val df = rows.toDF("g", "v")
+    val permilles = Seq(250, 500, 990)
+    val got = Stats.exactQuantilesBy(df, col("g"), col("v"), permilles)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      naive(rs.map(_._2), permilles).map { case (p, v) => (g, p) -> v }
+    }
+    assert(got === expected)
+  }
+
   test("plan contract: corpus aggregates into a histogram before any window") {
     val s = spark
     import s.implicits._
