@@ -959,6 +959,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // bigram coverage against the corpus's own top-100 bigrams — the
+    // fluency signal unigram coverage misses (word salad has ordinary
+    // unigrams, improbable bigrams)
+    "text_lm_bigram" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val bigrams = graft.pipeline.LmScore.bigramVocabulary(docs, "text", topV = 100)
+        .collect().map(_.getString(0)).toSeq
+      graft.pipeline.LmScore.bigramCounts(docs, "doc_id", "text", bigrams)
+        .orderBy("doc_id")
+    },
+
     // PII redaction: emails/URLs/phone spans -> typed placeholders; planted
     // rows exercise every pattern (the corpus itself is clean), and the
     // md5 of the scrubbed text pins exact regex parity with the oracle
@@ -1881,6 +1892,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 1 ELSE 0 END) AS INT) AS n_invocab,
         |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS INT) AS n_oov
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_lm_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |        list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2])
+        |        ELSE [] END) AS gram FROM t),
+        |v AS (SELECT gram FROM (
+        |        SELECT gram, count(*) AS c FROM g GROUP BY gram
+        |        ORDER BY c DESC, gram ASC LIMIT 100)),
+        |per AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN gram IN (SELECT gram FROM v) THEN 1 ELSE 0 END) AS INT) AS iv,
+        |          CAST(sum(CASE WHEN gram IN (SELECT gram FROM v) THEN 0 ELSE 1 END) AS INT) AS ov
+        |        FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(iv, 0) AS n_invocab_bigrams, coalesce(ov, 0) AS n_oov_bigrams
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_clean" ->
       """WITH all_docs AS (

@@ -38,6 +38,30 @@ object LmScore {
       (size(toks) - inVocab).cast("int").as("n_oov"))
   }
 
+  /** Top-V corpus bigram vocabulary: ("w1 w2", cnt), deterministic
+    * tie-break (count desc, gram asc). Same aggregate shape as
+    * [[vocabulary]] over [[TextAnalysis.wordNgrams]] pairs. */
+  def bigramVocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame =
+    df.select(explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(topV)
+
+  /** Per-document in-/out-of-vocabulary BIGRAM counts — the sharper
+    * fluency signal on top of unigram coverage (word-salad text has
+    * ordinary unigrams but improbable bigrams). Scan-local membership
+    * against the collected top-V bigram list; docs under 2 tokens report
+    * (0, 0). */
+  def bigramCounts(df: DataFrame, idCol: String, textCol: String,
+                   bigrams: Seq[String]): DataFrame = {
+    val arr = array(bigrams.map(lit): _*)
+    val grams = TextAnalysis.wordNgrams(col(textCol), 2)
+    val inV = size(filter(grams, g => array_contains(arr, g)))
+    df.select(col(idCol),
+      inV.cast("int").as("n_invocab_bigrams"),
+      (size(grams) - inV).cast("int").as("n_oov_bigrams"))
+  }
+
   /** Mean unigram log-likelihood per token under the add-one-smoothed
     * corpus unigram model (OOV mass = 1/(total+V)). The continuous score
     * behind the [[vocabCounts]] integers; higher = more ordinary text. */

@@ -13,7 +13,7 @@ object PlanAudit {
         "decon_ngram", "dedup_semantic", "pipeline_pack", "sim_pq",
         "source_quality", "pipeline_curation2",
         "agg_salted", "sim_knn", "dedup_spans", "pipeline_report",
-        "search_keyword", "pipeline_mixing")
+        "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -448,6 +448,30 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- lm score
 
+  test("LmScore bigrams: counts match a brute-force walk; word salad is OOV-heavy") {
+    import graft.pipeline.LmScore
+    val rows = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the rug while the cat sat still"),
+      (3L, "sat cat the on mat the"), // same unigrams, scrambled bigrams
+      (4L, "x"))                      // single token: zero bigrams
+    val corpus = docs(rows: _*)
+    val bigrams = LmScore.bigramVocabulary(corpus, "text", topV = 6)
+      .collect().map(_.getString(0)).toSeq
+    assert(bigrams.contains("the cat") && bigrams.contains("cat sat"))
+    val counts = LmScore.bigramCounts(corpus, "id", "text", bigrams)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val bs = bigrams.toSet
+    rows.foreach { case (id, text) =>
+      val toks = text.split("\\s+")
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(counts(id) === ((grams.count(bs), grams.count(g => !bs(g)))), s"doc $id")
+    }
+    assert(counts(4L) === ((0, 0)))
+    // the scrambled doc covers fewer top bigrams than the natural ones
+    assert(counts(3L)._1 < counts(1L)._1)
+  }
+
   test("LmScore: vocab counts match a brute-force walk; likelihood ranks " +
        "ordinary text above OOV gibberish") {
     import graft.pipeline.LmScore

@@ -83,6 +83,32 @@ class SearchSpec extends AnyFunSuite {
       "query tokens must broadcast against postings")
   }
 
+  test("PROPERTY: keywordTopK matches a naive scorer on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def text(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 0 until 3) {
+      val corp = (0L until 60L).map(i => (i, text(rnd.nextInt(20) + 1)))
+      val qs = (100L until 103L).map(i => (i, text(3)))
+      val k = 7
+      val got = Search.keywordTopK(docs(corp: _*), queries(qs: _*),
+          "id", "text", "qid", "qtext", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3) }
+      val expected = qs.map { case (qid, qt) =>
+        val qTerms = qt.split("\\s+").distinct.toSeq
+        val scored = corp.flatMap { case (did, dt) =>
+          val tf = dt.split("\\s+").groupBy(identity).map { case (w, g) => w -> g.size }
+          val matched = qTerms.count(tf.contains)
+          val mtf = qTerms.flatMap(tf.get).sum
+          if (matched > 0) Some((did, matched.toLong * 1000000000L + mtf)) else None
+        }
+        qid -> scored.sortBy { case (did, sc) => (-sc, did) }.take(k).map(_._1)
+      }.toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   // ------------------------------------------------------------------- bm25
 
   /** Naive driver-side BM25 with the same tokenization and idf. */
