@@ -87,6 +87,26 @@ object CurationStress {
       LmScore.vocabCounts(docs, "doc_id", "text", vocab)
         .agg(sum(col("n_oov"))).collect()(0).getLong(0)
     }
+    time("bloom_decon", nDocs) {
+      Decontaminate.contaminatedIdsBloom(docs, "doc_id", "text", evalSet, "text",
+        n = 5, fpp = 0.01).count()
+    }
+    time("search_topk", nDocs) {
+      import spark.implicits._
+      val qs = Seq((1L, "spark join window"), (2L, "vector hash stream key"),
+        (3L, "customer query batch data")).toDF("q_id", "q_text")
+      Search.keywordTopK(docs, qs, "doc_id", "text", "q_id", "q_text", k = 10).count()
+    }
+    time("quantiles", nDocs) {
+      Stats.exactQuantiles(docs, TextAnalysis.tokenCount(col("text")),
+        Seq(100, 500, 900, 990)).count()
+    }
+    time("mixing", nDocs) {
+      // docs carry no source column here; derive a synthetic 16-way one
+      val srcd = docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16))))
+      val shares = (0 until 16).map(i => s"s$i" -> 0.05).toMap
+      Mixing.mixToBudget(srcd, "doc_id", "source", "text", shares, budgetTokens = 1000000L).count()
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
