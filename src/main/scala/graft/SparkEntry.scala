@@ -959,6 +959,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // cross-doc boilerplate removal: planted "all rights reserved" tails on
+    // 40 docs qualify at minDocs=30 and are stripped everywhere; md5 of the
+    // rejoined text pins exact reassembly parity
+    "text_boilerplate" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(". all rights reserved. visit our homepage")).as("text"))
+      TextClean.stripBoilerplate(docs.unionByName(planted), "doc_id", "text", minDocs = 30)
+        .select(col("doc_id"), col("n_segs"), col("n_stripped"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // bigram coverage against the corpus's own top-100 bigrams — the
     // fluency signal unigram coverage misses (word salad has ordinary
     // unigrams, improbable bigrams)
@@ -1892,6 +1906,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 1 ELSE 0 END) AS INT) AS n_invocab,
         |  CAST(sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS INT) AS n_oov
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text || '. all rights reserved. visit our homepage'
+        |            FROM documents WHERE doc_id < 40),
+        |segd AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(text, '[.!?]'), s -> trim(s)), s -> s <> '') AS segs
+        |  FROM all_docs),
+        |b AS (SELECT seg FROM (
+        |        SELECT seg, count(*) AS n_docs FROM (
+        |          SELECT DISTINCT doc_id, unnest(segs) AS seg FROM segd)
+        |        GROUP BY seg HAVING count(*) >= 30)),
+        |ex AS (SELECT doc_id, unnest(segs) AS seg, unnest(range(len(segs))) AS i FROM segd),
+        |keptr AS (SELECT e.doc_id, e.seg, e.i FROM ex e LEFT JOIN b ON e.seg = b.seg
+        |          WHERE b.seg IS NULL),
+        |agg AS (SELECT doc_id, array_to_string(list(seg ORDER BY i), '. ') AS clean,
+        |               count(*) AS n_kept FROM keptr GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(segs) AS n_segs FROM segd)
+        |SELECT t.doc_id, CAST(n_segs AS INT) AS n_segs,
+        |  CAST(n_segs - coalesce(n_kept, 0) AS INT) AS n_stripped,
+        |  md5(coalesce(clean, '')) AS clean_md5
+        |FROM tot t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "text_lm_bigram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

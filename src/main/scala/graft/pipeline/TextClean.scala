@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,4 +35,52 @@ object TextClean {
     * as-is" filter). */
   def piiFree(textCol: Column): Column =
     emailCount(textCol) === 0 && urlCount(textCol) === 0 && phoneCount(textCol) === 0
+
+  /** Within-document repeated-segment dedup: keep the FIRST occurrence of
+    * each distinct trimmed segment (sentence by default) and drop later
+    * repeats — the doc-local boilerplate/copy-paste cleaner. Pure
+    * scan-local array work; first-occurrence semantics are pinned via the
+    * indexed filter (`array_position(segs, s) == i`) so the oracle
+    * expresses the identical rule. Returns the kept segments array. */
+  def dedupedSegments(textCol: Column, sepRegex: String = "[.!?]"): Column = {
+    val segs = TextAnalysis.segments(textCol, sepRegex)
+    filter(segs, (s, i) => array_position(segs, s) === (i + 1).cast("long"))
+  }
+
+  /** Cross-document boilerplate removal: segments appearing in at least
+    * `minDocs` DISTINCT documents are stripped from every document — the
+    * web-curation step that kills "all rights reserved" lines. Returns
+    * (idCol, n_segs, n_stripped, text_clean) with kept segments rejoined
+    * by ". ".
+    *
+    * Scale shape: one (segment, doc)-distinct aggregate feeds a
+    * doc-frequency count (map-side combinable, keyed by segment);
+    * qualifying boilerplate is tiny by construction — a segment must
+    * repeat across >= minDocs docs to qualify, and `maxBoilerplate` caps
+    * the collected set (most-frequent first, deterministic tie-break) so
+    * the driver/broadcast budget is bounded even on adversarial corpora.
+    * The strip itself is a scan-local array filter against the broadcast
+    * list: corpus rows never shuffle and never join. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long, sepRegex: String = "[.!?]",
+                       maxBoilerplate: Int = 100000): DataFrame = {
+    val segsCol = TextAnalysis.segments(col(textCol), sepRegex)
+    val boiler = df
+      .select(col(idCol).as("__id"), explode(array_distinct(segsCol)).as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("seg").asc)
+      .limit(maxBoilerplate)
+      .collect().map(_.getString(0)).toSeq
+    val kept =
+      if (boiler.isEmpty) segsCol
+      else {
+        val boilerArr = array(boiler.map(lit): _*)
+        filter(segsCol, s => !array_contains(boilerArr, s))
+      }
+    df.select(col(idCol),
+      size(segsCol).cast("int").as("n_segs"),
+      (size(segsCol) - size(kept)).cast("int").as("n_stripped"),
+      array_join(kept, ". ").as("text_clean"))
+  }
 }

@@ -448,6 +448,41 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- lm score
 
+  test("dedupedSegments keeps the first occurrence of each distinct segment") {
+    import graft.pipeline.TextClean
+    val v = docs((1L, "alpha one. beta two! alpha one. gamma three? beta two"))
+    val got = v.select(TextClean.dedupedSegments(col("text")).as("segs"))
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("alpha one", "beta two", "gamma three"))
+  }
+
+  test("stripBoilerplate removes cross-doc frequent segments, keeps unique ones") {
+    import graft.pipeline.TextClean
+    val unique = (1L to 10L).map(i => s"document body number $i with its own words")
+    val v = docs((1L to 10L).map { i =>
+      (i, s"${unique(i.toInt - 1)}. all rights reserved" +
+        (if (i <= 3) ". subscribe to our newsletter" else ""))
+    }: _*)
+    val got = TextClean.stripBoilerplate(v, "id", "text", minDocs = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    (1L to 10L).foreach { i =>
+      val (nSegs, nStripped, clean) = got(i)
+      val expected = unique(i.toInt - 1) +
+        (if (i <= 3) ". subscribe to our newsletter" else "") // 3 docs < minDocs: stays
+      assert(clean === expected, s"doc $i")                   // "all rights reserved" gone
+      assert(nStripped === 1, s"doc $i")
+      assert(nSegs === (if (i <= 3) 3 else 2))
+    }
+    // minDocs=1: every segment qualifies, everything is stripped
+    val all = TextClean.stripBoilerplate(v, "id", "text", minDocs = 1)
+      .collect().map(r => (r.getInt(2), r.getString(3)))
+    assert(all.forall { case (stripped, clean) => stripped > 0 && clean === "" })
+    // the boilerplate discovery is capped deterministically
+    val capped = TextClean.stripBoilerplate(v, "id", "text", minDocs = 1, maxBoilerplate = 1)
+      .collect().map(_.getInt(2))
+    assert(capped.forall(_ === 1)) // only the most frequent segment strips
+  }
+
   test("LmScore bigrams: counts match a brute-force walk; word salad is OOV-heavy") {
     import graft.pipeline.LmScore
     val rows = Seq(
