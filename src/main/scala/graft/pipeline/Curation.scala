@@ -21,6 +21,7 @@ object Curation {
                              budgetTokens: Long)
 
   final case class Config(
+      boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
       minTokens: Int = 10,
@@ -63,6 +64,14 @@ object Curation {
     var df = input
     if (trackFunnel) counts += ("input" -> df.count())
 
+    // boilerplate first: shared tails would otherwise defeat exact dedup
+    // and pollute near-dup shingles; discovery aggregates, rewrite is
+    // scan-local (no join)
+    cfg.boilerplateMinDocs.foreach { minDocs =>
+      val boiler = TextClean.boilerplateSegments(df, idCol, textCol, minDocs)
+      df = stage("boilerplate",
+        df.withColumn(textCol, TextClean.stripSegments(col(textCol), boiler)))
+    }
     if (cfg.exactDedup)
       df = stage("exact_dedup", Dedup.dropExactDuplicates(df, textCol, idCol))
     cfg.nearDupThreshold.foreach { t =>

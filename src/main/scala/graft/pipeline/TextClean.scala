@@ -65,22 +65,41 @@ object TextClean {
                        minDocs: Long, sepRegex: String = "[.!?]",
                        maxBoilerplate: Int = 100000): DataFrame = {
     val segsCol = TextAnalysis.segments(col(textCol), sepRegex)
-    val boiler = df
-      .select(col(idCol).as("__id"), explode(array_distinct(segsCol)).as("seg"))
-      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .orderBy(col("n_docs").desc, col("seg").asc)
-      .limit(maxBoilerplate)
-      .collect().map(_.getString(0)).toSeq
-    val kept =
-      if (boiler.isEmpty) segsCol
-      else {
-        val boilerArr = array(boiler.map(lit): _*)
-        filter(segsCol, s => !array_contains(boilerArr, s))
-      }
+    val boiler = boilerplateSegments(df, idCol, textCol, minDocs, sepRegex, maxBoilerplate)
+    val kept = keptSegments(col(textCol), boiler, sepRegex)
     df.select(col(idCol),
       size(segsCol).cast("int").as("n_segs"),
       (size(segsCol) - size(kept)).cast("int").as("n_stripped"),
       array_join(kept, ". ").as("text_clean"))
   }
+
+  /** The discovery half of [[stripBoilerplate]]: segments appearing in at
+    * least `minDocs` distinct documents, most frequent first, capped. */
+  def boilerplateSegments(df: DataFrame, idCol: String, textCol: String,
+                          minDocs: Long, sepRegex: String = "[.!?]",
+                          maxBoilerplate: Int = 100000): Seq[String] =
+    df.select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.segments(col(textCol), sepRegex))).as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("seg").asc)
+      .limit(maxBoilerplate)
+      .collect().map(_.getString(0)).toSeq
+
+  private def keptSegments(textCol: Column, boiler: Seq[String],
+                           sepRegex: String): Column = {
+    val segs = TextAnalysis.segments(textCol, sepRegex)
+    if (boiler.isEmpty) segs
+    else {
+      val boilerArr = array(boiler.map(lit): _*)
+      filter(segs, s => !array_contains(boilerArr, s))
+    }
+  }
+
+  /** The rewrite half: text with a known boilerplate list stripped,
+    * segments rejoined by ". " — scan-local, so a curation runner can
+    * replace the text column in place without any join. */
+  def stripSegments(textCol: Column, boiler: Seq[String],
+                    sepRegex: String = "[.!?]"): Column =
+    array_join(keptSegments(textCol, boiler, sepRegex), ". ")
 }

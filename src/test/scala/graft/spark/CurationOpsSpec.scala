@@ -483,6 +483,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(capped.forall(_ === 1)) // only the most frequent segment strips
   }
 
+  test("Curation.run boilerplate stage: shared tails stripped, then dedup bites") {
+    import graft.pipeline.Curation
+    val body = "a perfectly ordinary sentence with plenty of everyday english words in it"
+    val other = "an entirely different document body with its own distinctive words here"
+    val v = docs(
+      (1L, s"$body. all rights reserved"),
+      (2L, s"$body. all rights reserved"),   // same body, same tail
+      (3L, s"$body"),                        // same body, no tail
+      (4L, s"$other. all rights reserved"),
+      (5L, s"$other. all rights reserved"))
+    val res = Curation.run(v, "id", "text",
+      Curation.Config(boilerplateMinDocs = Some(4L), requireRepetitionOk = false))
+    // tail stripped everywhere -> docs 1,2,3 identical -> exact dedup keeps one
+    val kept = res.docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === Set(1L, 4L))
+    assert(kept(1L) === body && kept(4L) === other)
+    val funnel = res.stageCounts.toMap
+    assert(funnel("boilerplate") === 5L)
+    assert(funnel("exact_dedup") === 2L)
+  }
+
   test("LmScore bigrams: counts match a brute-force walk; word salad is OOV-heavy") {
     import graft.pipeline.LmScore
     val rows = Seq(
