@@ -483,6 +483,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(capped.forall(_ === 1)) // only the most frequent segment strips
   }
 
+  test("PROPERTY: stripBoilerplate matches a naive reference on random corpora") {
+    import graft.pipeline.TextClean
+    val rnd = new scala.util.Random(41)
+    val pool = Vector("alpha beta", "gamma delta", "epsilon zeta", "eta theta",
+      "iota kappa", "lambda mu", "nu xi", "omicron pi")
+    for (trial <- 0 until 3) {
+      val rows = (0L until 80L).map { i =>
+        val nSegs = rnd.nextInt(4) + 1
+        (i, Seq.fill(nSegs)(pool(rnd.nextInt(pool.size))).mkString(". "))
+      }
+      val minDocs = 20L
+      // naive: doc frequency per distinct trimmed segment
+      val dfreq = rows.flatMap { case (_, t) =>
+        t.split("[.!?]").map(_.trim).filter(_.nonEmpty).distinct
+      }.groupBy(identity).map { case (s, g) => s -> g.size }
+      val boiler = dfreq.filter(_._2 >= minDocs).keySet
+      val expected = rows.map { case (id, t) =>
+        val segs = t.split("[.!?]").map(_.trim).filter(_.nonEmpty).toSeq
+        val kept = segs.filterNot(boiler)
+        id -> ((segs.size, segs.size - kept.size, kept.mkString(". ")))
+      }.toMap
+      val got = TextClean.stripBoilerplate(docs(rows: _*), "id", "text", minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("Curation.run boilerplate stage: shared tails stripped, then dedup bites") {
     import graft.pipeline.Curation
     val body = "a perfectly ordinary sentence with plenty of everyday english words in it"
