@@ -49,11 +49,23 @@ object LmScore {
 
   /** Per-document in-/out-of-vocabulary BIGRAM counts — the sharper
     * fluency signal on top of unigram coverage (word-salad text has
-    * ordinary unigrams but improbable bigrams). Scan-local membership
-    * against the collected top-V bigram list; docs under 2 tokens report
-    * (0, 0). */
+    * ordinary unigrams but improbable bigrams). Scan-local: one token
+    * walk with O(1) hash-set probes ([[BigramCoverageExpr]]); docs under
+    * 2 tokens report (0, 0). */
   def bigramCounts(df: DataFrame, idCol: String, textCol: String,
                    bigrams: Seq[String]): DataFrame = {
+    val cov = textExpressions.bigramCoverage(col(textCol), bigrams)
+    df.withColumn("__cov", cov).select(col(idCol),
+      col("__cov.n_invocab_bigrams").as("n_invocab_bigrams"),
+      col("__cov.n_oov_bigrams").as("n_oov_bigrams"))
+  }
+
+  /** The pure-builtin formulation of [[bigramCounts]] (literal-array
+    * membership over materialized gram strings) — kept as the parity
+    * cross-check for the single-pass expression; O(grams x vocab), do not
+    * use on large corpora. */
+  def bigramCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
+                          bigrams: Seq[String]): DataFrame = {
     val arr = array(bigrams.map(lit): _*)
     val grams = TextAnalysis.wordNgrams(col(textCol), 2)
     val inV = size(filter(grams, g => array_contains(arr, g)))

@@ -215,7 +215,46 @@ case class RepetitionOkExpr(child: Expression, maxTop2GramFrac: Double,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass bigram coverage against a fixed vocabulary —
+  * struct<n_invocab_bigrams, n_oov_bigrams>. The builtin formulation
+  * ([[LmScore.bigramCountsBuiltin]]) materializes every "w1 w2" gram via
+  * O(n) slices and probes a literal array per gram — O(grams x vocab)
+  * string compares; this walks the token array once with O(1) hash-set
+  * probes. */
+case class BigramCoverageExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_invocab_bigrams", IntegerType, nullable = false),
+    StructField("n_oov_bigrams", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    var inV = 0
+    var oov = 0
+    var i = 0
+    while (i < tokens.length - 1) {
+      if (vocabSet.contains(tokens(i) + " " + tokens(i + 1))) inV += 1 else oov += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inV, oov))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textExpressions {
+  def bigramCoverage(text: Column, vocab: Seq[String]): Column =
+    GraftBridge.column(BigramCoverageExpr(GraftBridge.expression(text), vocab))
+
   def langId(text: Column, stopwords: Map[String, Seq[String]]): Column =
     GraftBridge.column(LangIdExpr(GraftBridge.expression(text), stopwords))
 

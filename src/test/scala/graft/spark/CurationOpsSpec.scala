@@ -553,6 +553,10 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(counts(4L) === ((0, 0)))
     // the scrambled doc covers fewer top bigrams than the natural ones
     assert(counts(3L)._1 < counts(1L)._1)
+    // single-pass expression == builtin formulation
+    val builtin = LmScore.bigramCountsBuiltin(corpus, "id", "text", bigrams)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(builtin === counts)
   }
 
   test("LmScore: vocab counts match a brute-force walk; likelihood ranks " +
