@@ -1077,6 +1077,25 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // per-group cap: at most 7 docs per lang by md5 order (the per-domain
+    // cap that bounds giant domains where a global rate can't)
+    "pipeline_group_cap" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Sampling.capPerGroup(docs, "lang", "doc_id", n = 7)
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy("lang", "rank")
+    },
+
+    // per-group heavy hitters: top-5 tokens per language
+    "stats_top_tokens" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val tok = docs.select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      graft.pipeline.Stats.topValuesByGroup(tok, col("lang"), col("token"), k = 5)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "rank")
+    },
+
     // corpus-profiling quantiles: histogram-first exact discrete quantiles
     // (the window runs over #distinct token counts, never corpus rows)
     "stats_quantiles" -> { (s, dir) =>
@@ -1782,6 +1801,24 @@ object SparkEntry {
         |FROM t JOIN rates ON t.source = rates.source
         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0) < r
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "pipeline_group_cap" ->
+      """SELECT lang, rank, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+        |             doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 7 ORDER BY lang, rank""".stripMargin,
+
+    "stats_top_tokens" ->
+      """WITH tk AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |            FROM documents),
+        |c AS (SELECT lang, token AS value, count(*) AS cnt FROM tk
+        |      WHERE token <> '' GROUP BY lang, token)
+        |SELECT lang, rank, value, cnt FROM (
+        |  SELECT lang, value, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, value ASC) AS rank FROM c)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "stats_quantiles" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v

@@ -74,4 +74,19 @@ object Sampling {
     * an RNG, a shuffle, or a second pass. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: Column): DataFrame =
     df.where(hashUniform(col(keyCol)) < weightCol)
+
+  /** At most `n` rows per group, chosen uniformly-at-"random" within the
+    * group by md5 order (rerun-stable, engine-portable) — the per-domain
+    * cap that stops a giant domain from dominating a mixed corpus where
+    * a global rate can't (rates starve small domains; caps bound big
+    * ones). Selection ranks ascending md5-uniform with the key as the
+    * pinned tie-break, through the bounded-heap top-k — no group ever
+    * sorts more than its per-partition survivors, so a group with a
+    * billion rows costs the same shuffle as one with a hundred. Adds a
+    * `rank` column (1..n within each group). */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    val scored = df.withColumn("__neg_u", -hashUniform(col(keyCol)))
+    Similarity.rankTopKPerQuery(scored, groupCol, "__neg_u", keyCol, n)
+      .drop("__neg_u")
+  }
 }

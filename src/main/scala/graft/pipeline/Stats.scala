@@ -71,4 +71,21 @@ object Stats {
       .groupBy("group", "q_permille")
       .agg(min("value").as("value"))
   }
+
+  /** Per-group heavy hitters: the top-k most frequent values of
+    * `valueCol` within each group (top tokens per language, top
+    * fingerprints per source — the corpus-audit staple). One
+    * map-side-combinable count keyed by (group, value), then the
+    * bounded-heap top-k ranks (count desc, value asc) — the rank never
+    * sees more than k survivors per (group, partition), so a group's
+    * value cardinality doesn't size any single sort.
+    * Returns (group, rank, value, cnt). */
+  def topValuesByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                       k: Int): DataFrame = {
+    val counts = df.groupBy(groupCol.as("group"), valueCol.as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__score", col("cnt").cast("double"))
+    Similarity.rankTopKPerQuery(counts, "group", "__score", "value", k)
+      .select("group", "rank", "value", "cnt")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.pipeline.Stats
+import graft.pipeline.{Sampling, Stats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -63,6 +63,44 @@ class StatsSpec extends AnyFunSuite {
       naive(rs.map(_._2), permilles).map { case (p, v) => (g, p) -> v }
     }
     assert(got === expected)
+  }
+
+  test("topValuesByGroup: per-group frequency top-k with pinned tie-break") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"), ("g1", "c"),
+      ("g2", "z"), ("g2", "y"), ("g2", "z"), ("g2", "x"), ("g2", "y"))
+    val got = Stats.topValuesByGroup(rows.toDF("g", "v"), col("g"), col("v"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // g2: y and z both count 2 -> value asc tie-break puts y first
+    assert(got === Seq(("g1", 1, "a", 3L), ("g1", 2, "b", 2L),
+      ("g2", 1, "y", 2L), ("g2", 2, "z", 2L)))
+  }
+
+  test("capPerGroup: at most n per group, deterministic md5 order, rerun-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val cap = 5
+    val got = Sampling.capPerGroup(df, "g", "id", cap)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0)))
+    assert(got.groupBy(_._1).forall(_._2.size == cap))
+    // naive reference: sort each group by (md5-uniform, id), take cap
+    def u(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = (0L until 200L).groupBy(i => s"g${i % 3}").flatMap { case (g, ids) =>
+      ids.sortBy(i => (u(i), i)).take(cap).zipWithIndex.map { case (i, r) => (g, r + 1, i) }
+    }.toSet
+    assert(got.toSet === expected)
+    // rerun-stable
+    val again = Sampling.capPerGroup(df.repartition(13), "g", "id", cap)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    assert(again === expected)
   }
 
   test("plan contract: corpus aggregates into a histogram before any window") {
