@@ -20,6 +20,9 @@ object Curation {
   final case class MixConfig(srcCol: String, shares: Map[String, Double],
                              budgetTokens: Long)
 
+  /** Per-source document cap: see [[Sampling.capPerGroup]]. */
+  final case class CapConfig(srcCol: String, maxDocs: Int)
+
   final case class Config(
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       exactDedup: Boolean = true,
@@ -36,6 +39,7 @@ object Curation {
       decontaminationN: Int = 13,
       bloomDecontamination: Boolean = false,       // scan-local bloom prefilter path
       sourceMix: Option[MixConfig] = None,         // per-source budget mixing
+      sourceCap: Option[CapConfig] = None,         // <= n docs per source
       tokenBudget: Option[Long] = None,            // carve to ~B tokens
       packBudget: Option[Long] = None)             // emit seq_id when set
 
@@ -109,6 +113,10 @@ object Curation {
     cfg.sourceMix.foreach { m =>
       df = stage("source_mix",
         Mixing.mixToBudget(df, idCol, m.srcCol, textCol, m.shares, m.budgetTokens))
+    }
+    cfg.sourceCap.foreach { c =>
+      df = stage("source_cap",
+        Sampling.capPerGroup(df, c.srcCol, idCol, c.maxDocs).drop("rank"))
     }
     cfg.tokenBudget.foreach { b =>
       val tok = df.select(col(idCol),

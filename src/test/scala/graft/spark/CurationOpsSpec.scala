@@ -383,6 +383,16 @@ class CurationOpsSpec extends AnyFunSuite {
         sourceMix = Some(Curation.MixConfig("source", Map("web" -> 1.0), 1000000L))),
       trackFunnel = false)
     assert(res2.docs.select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("web"))
+    // per-source cap stage bounds each source
+    val res3 = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, requireQuality = false,
+        requireRepetitionOk = false,
+        sourceCap = Some(Curation.CapConfig("source", maxDocs = 10))),
+      trackFunnel = false)
+    val capped = res3.docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped.values.forall(_ === 10L) && capped.keySet === Set("web", "code"))
+    assert(!res3.docs.columns.contains("rank"))
     // bloom decontamination path == exact path
     val evalSet = v.where($"id" === 1L).select("text")
     val exact = Curation.run(v, "id", "text", Curation.Config(exactDedup = false,
