@@ -857,6 +857,20 @@ object SparkEntry {
         .orderBy("contaminated_id")
     },
 
+    // the audit direction: per eval item, distinct corpus docs sharing an
+    // n-gram — which benchmark items leak most (drives n/minHits tuning)
+    "decon_report" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Decontaminate.contaminationReport(corpus, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 5)
+        .withColumnRenamed("eval_id", "eval_doc_id")
+        .orderBy("eval_doc_id")
+    },
+
     // same contract through the Bloom prefilter path: the bitset probe
     // drops non-member grams inside the scan, the exact semi-join
     // re-verifies survivors, so the oracle is decon_ngram's verbatim
@@ -1713,6 +1727,23 @@ object SparkEntry {
         |x AS (SELECT doc_id, unnest(grams) AS gram FROM corpus)
         |SELECT DISTINCT x.doc_id AS contaminated_id FROM x JOIN e USING (gram)
         |ORDER BY contaminated_id""".stripMargin,
+
+    "decon_report" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(len(toks)-4),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]))
+        |        ELSE [] END AS grams FROM t),
+        |ed AS (SELECT DISTINCT doc_id AS eval_id, unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id >= 20
+        |           UNION ALL SELECT doc_id + 1000000, grams FROM g WHERE doc_id < 20),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+        |hits AS (SELECT eval_id, count(*) AS n FROM (
+        |           SELECT DISTINCT ed.eval_id, x.doc_id FROM x JOIN ed USING (gram))
+        |         GROUP BY eval_id)
+        |SELECT ev.eval_id AS eval_doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_corpus_docs
+        |FROM (SELECT DISTINCT doc_id AS eval_id FROM documents WHERE doc_id < 20) ev
+        |LEFT JOIN hits USING (eval_id) ORDER BY eval_doc_id""".stripMargin,
 
     // bloom prefilter is exact-verified, so the oracle is decon_ngram's
     "decon_bloom" ->

@@ -72,6 +72,30 @@ object Decontaminate {
     flagged.select(col("id").as("contaminated_id"))
   }
 
+  /** The audit direction: per EVAL item, how many distinct corpus
+    * documents share at least one n-gram with it — "which benchmark
+    * items leak most" (items with huge counts are usually boilerplate-
+    * heavy prompts rather than true leaks, so the report drives n/minHits
+    * tuning before the destructive drop). Eval items with zero hits are
+    * reported with n_corpus_docs = 0.
+    * Output: (eval_id, n_corpus_docs). Same broadcast shape as
+    * [[contaminatedIds]] — only (corpus id, eval id) pairs survive the
+    * scan, aggregated map-side by eval id. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          evalSet: DataFrame, evalIdCol: String,
+                          evalTextCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = broadcast(
+      evalSet.select(col(evalIdCol).as("eval_id"),
+        explode(sketches.hashedShingles(col(evalTextCol), n)).as("gram_hash")).distinct())
+    val hits = gramRows(corpus, idCol, textCol, n)
+      .join(evalGrams, Seq("gram_hash"))
+      .select("eval_id", "id").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_corpus_docs"))
+    evalSet.select(col(evalIdCol).as("eval_id")).distinct()
+      .join(hits, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
   /** Corpus minus contaminated documents (left-anti against the flagged
     * id set — the write side of a decontamination job). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,

@@ -76,6 +76,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "fixture should produce natural overlap") // 10-word vocab guarantees hits
   }
 
+  test("contaminationReport counts distinct leaking corpus docs per eval item") {
+    val evalSet = docs(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unique benchmark phrasing nothing shares this"))
+    val corpus = docs(
+      (1L, "he saw the quick brown fox jumps over it"),
+      (2L, "again the quick brown fox jumps appears here"),
+      (3L, "nothing in common with anything"))
+    val got = Decontaminate.contaminationReport(corpus, "id", "text",
+        evalSet, "id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(100L -> 2L, 101L -> 0L))
+  }
+
   test("decontamination test is a broadcast join (corpus never shuffles)") {
     val evalSet = docs((0L, "a b c d e"))
     val corpus = docs((1L, "x y z a b c"), (2L, "p q r s t u"))
