@@ -13,7 +13,8 @@ object PlanAudit {
         "decon_ngram", "dedup_semantic", "pipeline_pack", "sim_pq",
         "source_quality", "pipeline_curation2",
         "agg_salted", "sim_knn", "dedup_spans", "pipeline_report",
-        "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles")
+        "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles",
+        "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
