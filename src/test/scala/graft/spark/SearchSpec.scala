@@ -157,6 +157,24 @@ class SearchSpec extends AnyFunSuite {
     assert(gotRanks === expRanks)
   }
 
+  test("PROPERTY: bm25TopK matches the naive scorer on random corpora") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("red", "blue", "green", "gold", "black", "white", "gray")
+    def text(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 0 until 2) {
+      val corp = (0L until 40L).map(i => (i, text(rnd.nextInt(15) + 2)))
+      val qs = (100L until 103L).map(i => (i, text(2)))
+      val expected = naiveBm25(corp, qs)
+      val got = Search.bm25TopK(docs(corp: _*), queries(qs: _*),
+          "id", "text", "qid", "qtext", k = 50)
+        .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+      assert(got.keySet === expected.keySet, s"trial $trial")
+      got.foreach { case (key, s) =>
+        assert(math.abs(s - expected(key)) < 1e-9, s"trial $trial score at $key")
+      }
+    }
+  }
+
   test("bm25TopK honors maxDf pruning") {
     val d = docs(corpus: _*)
     val q = queries(10L -> "the spark")
