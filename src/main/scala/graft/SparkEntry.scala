@@ -66,6 +66,25 @@ object SparkEntry {
 
   private def jget(c: String, path: String): Column = get_json_object(col(c), s"$$.$path")
 
+  /** Deterministic messy URL per document for the url_* queries: scheme and
+    * host case, `www.`, default ports, tracking params, fragments and
+    * trailing slashes all vary by doc_id residues (mirrored verbatim by the
+    * oracle's CASE construction). */
+  private def messyUrl(docId: Column, source: Column): Column = concat(
+    when(docId % 3 === 0, lit("HTTPS://")).when(docId % 3 === 1, lit("http://"))
+      .otherwise(lit("https://")),
+    when(docId % 2 === 0, lit("WWW.")).otherwise(lit("")),
+    source, lit(".Example.COM"),
+    when(docId % 5 === 0, lit(":443")).when(docId % 5 === 1, lit(":80"))
+      .otherwise(lit("")),
+    lit("/doc/"), docId.cast("string"),
+    when(docId % 2 === 0, lit("/")).otherwise(lit("")),
+    when(docId % 4 === 0, concat(lit("?utm_source=feed&ref=rss&id="), docId.cast("string")))
+      .when(docId % 4 === 1, concat(lit("?id="), docId.cast("string"), lit("&utm_medium=email")))
+      .when(docId % 4 === 2, lit("?gclid=g123"))
+      .otherwise(lit("")),
+    when(docId % 3 === 0, lit("#Section-2")).otherwise(lit("")))
+
   /** The partitioned on-disk resolved store (DocStore layout), written once
     * per scale factor and shared by the store_* queries — the serving-layer
     * storage a deployment maintains, not per-query work. */
@@ -1166,6 +1185,58 @@ object SparkEntry {
         .select(col("media_id"), col("mime"), col("width"), col("height"),
           col("sample_rate"), col("duration_ms"), col("n_bytes"))
         .orderBy("media_id")
+    },
+
+    // ========================================================= pipeline: urls
+    // URL canonicalization: messy URLs are constructed deterministically per
+    // doc (scheme/WWW case, default ports, tracking params, fragments,
+    // trailing slashes all vary by doc_id residues), normalized scan-locally;
+    // the oracle replays every normalization rule as a regexp chain
+    "url_normalize" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val raw = messyUrl(col("doc_id"), col("source"))
+      docs.select(col("doc_id"),
+          graft.pipeline.Urls.normalize(raw).as("url_norm"),
+          graft.pipeline.Urls.host(graft.pipeline.Urls.normalize(raw)).as("host"),
+          graft.pipeline.Urls.registeredDomain(graft.pipeline.Urls.normalize(raw)).as("domain"))
+        .orderBy("doc_id")
+    },
+
+    // exact URL dedup after normalization: 500 docs collapse onto 97 pages
+    // (case/www/utm/fragment variants of the same URL); one hash aggregate
+    "url_dedup" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Mirror.Example.com"))
+          .otherwise(lit("https://mirror.example.com")),
+        lit("/page/"), (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 1, lit("#f")).otherwise(lit("")))
+      graft.pipeline.Urls.urlDedup(docs.withColumn("url", raw), "doc_id", "url")
+        .orderBy("url_norm")
+    },
+
+    // per-domain curation profile: registered-domain rollup with page /
+    // distinct-URL / first-id integer stats
+    "url_domain_profile" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val sub = when(col("doc_id") % 3 === 0, lit("a."))
+        .when(col("doc_id") % 3 === 1, lit("b.")).otherwise(lit(""))
+      val raw = concat(lit("https://"), sub, col("source"), lit(".example"),
+        lit("/p/"), (col("doc_id") % 7).cast("string"))
+      graft.pipeline.Urls.domainProfile(docs.withColumn("url", raw), "doc_id", "url")
+        .orderBy("domain")
+    },
+
+    // per-domain cap: bounded-heap md5-uniform sample of <=7 pages per
+    // registered domain (no reducer sees more than the cap)
+    "url_domain_cap" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val raw = concat(lit("https://www."), col("source"), lit(".example/p/"),
+        col("doc_id").cast("string"))
+      graft.pipeline.Urls.capPerDomain(docs.withColumn("url", raw), "doc_id", "url", n = 7)
+        .select(col("domain"), col("rank"), col("doc_id"))
+        .orderBy("domain", "rank")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -2161,6 +2232,62 @@ object SparkEntry {
         |       THEN 54 + (1 + doc_id % 16) * (((1 + octet_length(encode(text)) % 32) * 3 + 3) // 4 * 4)
         |       ELSE 44 + (100 + octet_length(encode(text)) % 500) * 2 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'http://' ELSE 'https://' END)
+        |    || (CASE doc_id % 2 WHEN 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM'
+        |    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE '' END)
+        |    || '/doc/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&ref=rss&id=' || CAST(doc_id AS VARCHAR)
+        |        WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=email'
+        |        WHEN 2 THEN '?gclid=g123' ELSE '' END)
+        |    || (CASE doc_id % 3 WHEN 0 THEN '#Section-2' ELSE '' END) AS u
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS u FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(u,
+        |         '(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '', 'g') AS u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |         '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |         '(?i)^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+        |         '(?i)^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS u FROM s3),
+        |s5 AS (SELECT doc_id, CASE WHEN p = '' THEN u
+        |         ELSE lower(p) || substr(u, length(p) + 1) END AS u
+        |       FROM (SELECT doc_id, u,
+        |               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS p FROM s4)),
+        |s6 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |         '^(https?://)www\.', '\1'), '/$', '') AS u FROM s5)
+        |SELECT doc_id, u AS url_norm,
+        |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS host,
+        |  regexp_extract(regexp_extract(u,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1),
+        |    '[^.]+\.[^.]+$') AS domain
+        |FROM s6 ORDER BY doc_id""".stripMargin,
+
+    "url_dedup" ->
+      """SELECT 'https://mirror.example.com/page/' || CAST(doc_id % 97 AS VARCHAR) AS url_norm,
+        |       min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY url_norm""".stripMargin,
+
+    "url_domain_profile" ->
+      """SELECT source || '.example' AS domain, count(*) AS n_pages,
+        |  count(DISTINCT (CASE doc_id % 3 WHEN 0 THEN 'a.' WHEN 1 THEN 'b.' ELSE '' END)
+        |        || CAST(doc_id % 7 AS VARCHAR)) AS n_urls,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "url_domain_cap" ->
+      """SELECT domain, rank, doc_id FROM (
+        |  SELECT source || '.example' AS domain, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+        |               doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 7 ORDER BY domain, rank""".stripMargin,
 
     "pipeline_curation" ->
       """WITH dd AS (

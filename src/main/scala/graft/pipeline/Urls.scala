@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization + per-domain curation for web-scraped corpora — the
+ * CCNet/RefinedWeb-style stage that runs BEFORE content dedup: normalize
+ * each document's URL, drop exact URL duplicates (keeping the first
+ * fetch), and cap or gate per registered domain so no single site
+ * dominates the training mix.
+ *
+ * Normalization is a fixed pipeline of regexp/string steps, each chosen to
+ * be expressible identically in other engines (the DuckDB oracle mirrors
+ * every rule):
+ *
+ *   1. trim surrounding whitespace
+ *   2. drop the fragment (`#...`)
+ *   3. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+ *      `ref`) and re-tidy `?`/`&` separators
+ *   4. drop scheme-default ports (`http://h:80`, `https://h:443`)
+ *   5. lowercase the scheme and authority (path/query case is preserved —
+ *      it is significant on most servers)
+ *   6. drop a leading `www.` host label
+ *   7. drop a single trailing `/`
+ *
+ * All steps are scan-local codegen'd column expressions: no shuffle, no
+ * UDF, safe to run inside the parquet scan projection at any scale.
+ */
+object Urls {
+
+  private val TrackingParam = "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+  /** Steps 1-3: fragment + tracking-param removal, separator tidy-up. */
+  private def stripNoise(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val noTrack = regexp_replace(noFrag, TrackingParam, "")
+    // tidy: "?&" -> "?", "&&"+ -> "&", then a dangling "?" or "&" at end
+    val tidy1 = regexp_replace(noTrack, "\\?&+", "?")
+    val tidy2 = regexp_replace(tidy1, "&&+", "&")
+    regexp_replace(tidy2, "[?&]+$", "")
+  }
+
+  /** Steps 4-7 on a noise-free URL. */
+  private def canonicalize(u: Column): Column = {
+    val noPort = regexp_replace(
+      regexp_replace(u, "(?i)^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "(?i)^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    // lowercase scheme://authority only; the rest of the string is untouched
+    val prefix = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val withLower = when(prefix === "", noPort).otherwise(
+      concat(lower(prefix), substring_index_rest(noPort, prefix)))
+    val noWww = regexp_replace(withLower, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** suffix of `u` after `prefix` — both are columns; length() is exact
+    * because `prefix` is always a true prefix of `u` here. */
+  private def substring_index_rest(u: Column, prefix: Column): Column =
+    u.substr(length(prefix) + 1, length(u))
+
+  /** The full normalization pipeline (steps 1-7). Idempotent:
+    * `normalize(normalize(u)) == normalize(u)` (spec-asserted). */
+  def normalize(url: Column): Column = canonicalize(stripNoise(url))
+
+  /** Host (authority minus port/userinfo) of a normalized URL. */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)
+
+  /** Registered domain approximation: the last two host labels
+    * (`a.b.example.co` -> `example.co`). Public-suffix-list precision is a
+    * data problem, not an engine problem; two labels is the standard
+    * corpus-curation default. */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(host(url), "[^.]+\\.[^.]+$", 0)
+
+  /**
+   * Exact URL dedup: one survivor per normalized URL — the smallest id
+   * (first fetch under monotone ids) — plus the duplicate count. Single
+   * hash aggregate keyed by the normalized URL; at 100 TB this is the same
+   * shape as [[Dedup.exact]] (map-side combine, no row ever carries text).
+   */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(normalize(col(urlCol)).as("url_norm"), col(idCol))
+      .groupBy("url_norm")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /**
+   * Per-domain cap: keep at most `n` documents per registered domain — a
+   * deterministic md5-uniform sample (not "first n", which would bias
+   * toward crawl order). Delegates to the bounded-heap
+   * [[Sampling.capPerGroup]] — no per-domain reducer ever sees more than
+   * the cap, so a million-page domain costs the same as a ten-page one.
+   */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int): DataFrame =
+    Sampling.capPerGroup(
+      df.withColumn("__domain", registeredDomain(normalize(col(urlCol)))),
+      "__domain", idCol, n)
+      .withColumnRenamed("__domain", "domain")
+
+  /**
+   * Per-domain profile: page count, distinct normalized URLs, and dupe
+   * ratio numerators — the report a curation run uses to pick caps and
+   * blocklists. Integer-only outputs (oracle-stable).
+   */
+  def domainProfile(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = df.select(registeredDomain(normalize(col(urlCol))).as("domain"),
+      normalize(col(urlCol)).as("url_norm"), col(idCol))
+    u.groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        min(col(idCol)).as("first_id"))
+  }
+}

@@ -14,7 +14,8 @@ object PlanAudit {
         "source_quality", "pipeline_curation2",
         "agg_salted", "sim_knn", "dedup_spans", "pipeline_report",
         "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles",
-        "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate")
+        "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate",
+        "url_normalize", "url_dedup", "url_domain_cap")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

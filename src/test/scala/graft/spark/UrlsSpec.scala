@@ -1,0 +1,128 @@
+package graft.spark
+
+import graft.pipeline.Urls
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization + per-domain curation (round 5). */
+class UrlsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def norm(url: String): String = {
+    val s = spark
+    import s.implicits._
+    Seq(url).toDF("u").select(Urls.normalize(col("u"))).head.getString(0)
+  }
+
+  test("normalize: each documented rule") {
+    // 1. trim
+    assert(norm("  https://example.com/a  ") === "https://example.com/a")
+    // 2. fragment
+    assert(norm("https://example.com/a#frag") === "https://example.com/a")
+    // 3. tracking params — middle, first, only, mixed with kept params
+    assert(norm("https://e.com/p?id=3&utm_source=x&y=2") === "https://e.com/p?id=3&y=2")
+    assert(norm("https://e.com/p?utm_campaign=x&id=3") === "https://e.com/p?id=3")
+    assert(norm("https://e.com/p?gclid=abc") === "https://e.com/p")
+    assert(norm("https://e.com/p?fbclid=1&msclkid=2&ref=hn") === "https://e.com/p")
+    // 4. default ports stripped, non-default kept, cross-scheme kept
+    assert(norm("http://e.com:80/a") === "http://e.com/a")
+    assert(norm("https://e.com:443/a") === "https://e.com/a")
+    assert(norm("https://e.com:8443/a") === "https://e.com:8443/a")
+    assert(norm("http://e.com:443/a") === "http://e.com:443/a")
+    // 5. scheme+host lowercased, path case preserved
+    assert(norm("HTTPS://ExAmple.COM/CaseSensitive/Path") ===
+      "https://example.com/CaseSensitive/Path")
+    // 6. www stripped (host label only)
+    assert(norm("https://www.example.com/a") === "https://example.com/a")
+    assert(norm("https://notwww.example.com/a") === "https://notwww.example.com/a")
+    // 7. trailing slash
+    assert(norm("https://example.com/a/") === "https://example.com/a")
+    assert(norm("https://example.com/") === "https://example.com")
+    // combined (the path-final "/" survives: only a string-final slash is
+    // stripped — "/Item/?q" vs "/Item?q" equivalence is server-dependent,
+    // so the conservative rule keeps it)
+    assert(norm(" HTTP://WWW.Shop.Example.COM:80/Item/?utm_source=mail&id=7#top ") ===
+      "http://shop.example.com/Item/?id=7")
+  }
+
+  test("normalize is idempotent on varied messy inputs") {
+    val s = spark
+    import s.implicits._
+    val messy = Seq(
+      "  https://example.com/a  ", "HTTP://E.COM:80/x?utm_source=a&b=1#f",
+      "https://www.a.b.co:443/p/?gclid=z", "http://x.io/p?a=1&utm_medium=m&c=2",
+      "ftp://weird.example/z", "not a url at all", "",
+      "https://e.com/p?utm_a=1&utm_b=2&utm_c=3", "https://E.com//double//slash/")
+    val once = messy.toDF("u").select(Urls.normalize(col("u")).as("n1"))
+    val twice = once.select(col("n1"), Urls.normalize(col("n1")).as("n2"))
+    twice.collect().foreach(r => assert(r.getString(0) === r.getString(1),
+      s"not idempotent on ${r.getString(0)}"))
+  }
+
+  test("host and registeredDomain") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("https://a.b.example.co/p", "a.b.example.co", "example.co"),
+      ("https://example.com", "example.com", "example.com"),
+      ("https://user@example.com/p", "example.com", "example.com"),
+      ("https://e.com:8443/p", "e.com", "e.com"),
+      ("plain text", "", ""))
+    rows.toDF("u", "wantHost", "wantDom")
+      .select(Urls.host(col("u")).as("h"), Urls.registeredDomain(col("u")).as("d"),
+        col("wantHost"), col("wantDom"))
+      .collect().foreach { r =>
+        assert(r.getString(0) === r.getString(2))
+        assert(r.getString(1) === r.getString(3))
+      }
+  }
+
+  test("urlDedup keeps the smallest id per normalized URL with counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "https://e.com/a"), (2L, "https://E.COM/a/"), (3L, "https://e.com/a?utm_source=x"),
+      (4L, "https://e.com/b"), (5L, "http://other.org/c#f")).toDF("id", "url")
+    val got = Urls.urlDedup(df, "id", "url").orderBy("url_norm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("http://other.org/c", 5L, 1L),
+      ("https://e.com/a", 1L, 3L),
+      ("https://e.com/b", 4L, 1L)))
+  }
+
+  test("capPerDomain bounds every domain and is deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, s"https://d${i % 3}.example$i.com/p$i"))
+      .map { case (i, _) =>
+        // 3 domains: big.com gets 30 pages, small.com 8, tiny.org 2
+        val dom = if (i <= 30) "big.com" else if (i <= 38) "small.com" else "tiny.org"
+        (i, s"https://www.$dom/page/$i")
+      }.toDF("id", "url")
+    val capped = Urls.capPerDomain(df, "id", "url", n = 5)
+    val byDom = capped.groupBy("domain").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byDom === Map("big.com" -> 5L, "small.com" -> 5L, "tiny.org" -> 2L))
+    val again = Urls.capPerDomain(df.repartition(7), "id", "url", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === capped.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("domainProfile integer outputs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/x/"), (3L, "https://a.com/y"),
+      (4L, "https://b.net/z")).toDF("id", "url")
+    val got = Urls.domainProfile(df, "id", "url").orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a.com", 3L, 2L, 1L), ("b.net", 1L, 1L, 4L)))
+  }
+}
