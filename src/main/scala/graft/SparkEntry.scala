@@ -1237,6 +1237,28 @@ object SparkEntry {
       graft.pipeline.Urls.capPerDomain(docs.withColumn("url", raw), "doc_id", "url", n = 7)
         .select(col("domain"), col("rank"), col("doc_id"))
         .orderBy("domain", "rank")
+    },
+
+    // ========================================================= pipeline: dsir
+    // binarized DSIR (integer sign-of-log-ratio votes, target = English
+    // docs): per-doc target/raw gram-instance votes in exact integer
+    // cross-multiplied arithmetic — the oracle face of importance
+    // resampling; the real-valued hashed path is differential (DsirSpec)
+    "dsir_votes" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Dsir.voteScores(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DSIR selection on the integer margin: top-100 most target-like docs
+    "dsir_select" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Dsir.voteScores(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("margin").desc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("margin"))
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -2288,6 +2310,46 @@ object SparkEntry {
         |               doc_id ASC) AS rank
         |  FROM documents)
         |WHERE rank <= 7 ORDER BY domain, rank""".stripMargin,
+
+    "dsir_votes" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+        |        CASE WHEN len(toks) >= 2 THEN list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2])
+        |        ELSE [] END)) AS gram FROM t),
+        |rc AS (SELECT gram, count(*) AS c_r FROM g GROUP BY gram),
+        |tc AS (SELECT gram, count(*) AS c_t FROM g WHERE lang = 'en' GROUP BY gram),
+        |cn AS (SELECT rc.gram, c_r, coalesce(c_t, 0) AS c_t FROM rc LEFT JOIN tc USING (gram)),
+        |tot AS (SELECT count(*) AS v, sum(c_r) AS n_r,
+        |               (SELECT coalesce(sum(c_t), 0) FROM tc) AS n_t FROM cn),
+        |vt AS (SELECT gram,
+        |         CASE WHEN (c_t+1)*(n_r+v) > (c_r+1)*(n_t+v) THEN 1
+        |              WHEN (c_t+1)*(n_r+v) < (c_r+1)*(n_t+v) THEN -1 ELSE 0 END AS vote
+        |       FROM cn, tot)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+        |  CAST(sum(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw,
+        |  CAST(sum(vote) AS BIGINT) AS margin
+        |FROM g JOIN vt USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+        |        CASE WHEN len(toks) >= 2 THEN list_transform(range(len(toks)-1), i -> toks[i+1]||' '||toks[i+2])
+        |        ELSE [] END)) AS gram FROM t),
+        |rc AS (SELECT gram, count(*) AS c_r FROM g GROUP BY gram),
+        |tc AS (SELECT gram, count(*) AS c_t FROM g WHERE lang = 'en' GROUP BY gram),
+        |cn AS (SELECT rc.gram, c_r, coalesce(c_t, 0) AS c_t FROM rc LEFT JOIN tc USING (gram)),
+        |tot AS (SELECT count(*) AS v, sum(c_r) AS n_r,
+        |               (SELECT coalesce(sum(c_t), 0) FROM tc) AS n_t FROM cn),
+        |vt AS (SELECT gram,
+        |         CASE WHEN (c_t+1)*(n_r+v) > (c_r+1)*(n_t+v) THEN 1
+        |              WHEN (c_t+1)*(n_r+v) < (c_r+1)*(n_t+v) THEN -1 ELSE 0 END AS vote
+        |       FROM cn, tot),
+        |per AS (SELECT doc_id, CAST(sum(vote) AS BIGINT) AS margin
+        |        FROM g JOIN vt USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, margin FROM per
+        |ORDER BY margin DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "pipeline_curation" ->
       """WITH dd AS (

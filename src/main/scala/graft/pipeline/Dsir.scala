@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DSIR-style data selection via importance resampling (Xie et al., "Data
+ * Selection for Language Models via Importance Resampling", NeurIPS 2023 —
+ * public method): fit bag-of-(unigram+bigram) categorical distributions
+ * over a small TARGET corpus (the domain you want more of) and the RAW
+ * corpus, weight every raw document by its log importance ratio
+ * `sum_grams [log p_target(g) - log p_raw(g)]` (add-one smoothing), and
+ * resample via Gumbel top-k — deterministic here (the Gumbel noise is
+ * md5-seeded per id, rerun-stable).
+ *
+ * Two feature spaces:
+ *
+ *  - EXACT grams ([[voteScores]]): features are the gram strings
+ *    themselves, and the per-gram comparison is integer-cross-multiplied
+ *    (`(c_t+1)(N_r+V) > (c_r+1)(N_t+V)` — exactly `p_t(g) > p_r(g)`), so
+ *    the per-doc target/raw vote counts are integers an external SQL
+ *    engine reproduces bit-for-bit. This is the oracle-gated binarized
+ *    DSIR (sign-of-log-ratio voting).
+ *  - HASHED buckets ([[logRatios]]/[[logWeights]], the paper's actual
+ *    formulation, default 10k buckets): bucket histograms are
+ *    driver-sized by construction (B longs), the log-ratio table rides
+ *    the plan inside a single-pass expression, and scoring shuffles
+ *    nothing. Real-valued weights stay out of the hash oracle
+ *    (float-summation order) — they are differentially spec-tested
+ *    against a driver-side reference instead, like BM25.
+ *
+ * Scale shape: the exact path shuffles (gram, count) pairs and one
+ * per-instance gram join — the audit/oracle path. The hashed path is the
+ * 100 TB path: one explode-aggregate bounded by B per corpus for the
+ * histograms, then scan-local scoring and a TakeOrdered global top-k
+ * (bounded by k per partition, no full sort).
+ */
+object Dsir {
+
+  /** Unigram + bigram instances of a document — the feature stream.
+    * Tokenization parity: split(lower(trim(text)), "\s+"). */
+  def gramInstances(textCol: Column): Column =
+    concat(TextAnalysis.tokens(textCol), TextAnalysis.wordNgrams(textCol, 2))
+
+  /**
+   * Exact-gram binarized DSIR: per raw document, how many of its gram
+   * instances are strictly more likely under the target model than the
+   * raw model (`n_target`), and the reverse (`n_raw`). Ties vote neither.
+   * `margin = n_target - n_raw` is the integer selection score.
+   */
+  def voteScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val rg = raw.select(col(idCol), explode(gramInstances(col(textCol))).as("gram"))
+    val tg = target.select(explode(gramInstances(col(textCol))).as("gram"))
+    val rCounts = rg.groupBy("gram").agg(count(lit(1)).as("c_r"))
+    val tCounts = tg.groupBy("gram").agg(count(lit(1)).as("c_t"))
+    // one vocab-sized pass for the scalar normalizers: V = |raw ∪ target
+    // grams|, N = total instances per side (sums of the count tables —
+    // never a second corpus pass)
+    val counts = rCounts.join(tCounts, Seq("gram"), "full")
+      .na.fill(0L, Seq("c_r", "c_t"))
+    val tot = counts.agg(count(lit(1)).as("v"), sum("c_r").as("nr"), sum("c_t").as("nt")).head()
+    val (v, nR, nT) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    // p_t(g) > p_r(g) without doubles: (c_t+1)/(N_t+V) > (c_r+1)/(N_r+V)
+    // cross-multiplied in exact integer arithmetic
+    val lhs = (col("c_t") + 1L) * lit(nR + v)
+    val rhs = (col("c_r") + 1L) * lit(nT + v)
+    val vote = when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+    rg.join(counts.withColumn("vote", vote).select("gram", "vote"), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") === 1, 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("vote") === -1, 1L).otherwise(0L)).as("n_raw"))
+      .withColumn("margin", col("n_target") - col("n_raw"))
+  }
+
+  /** Hashed-bucket gram histogram of a corpus: Array[Long] of size
+    * `buckets` (driver-sized by construction — B is a parameter, 10k in
+    * the paper). One explode-aggregate, map-side combinable, keyed by
+    * bucket id. */
+  def bucketHistogram(df: DataFrame, textCol: String, buckets: Int): Array[Long] = {
+    val hist = new Array[Long](buckets)
+    df.select(explode(gramBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().foreach(r => hist(r.getInt(0)) = r.getLong(1))
+    hist
+  }
+
+  /** Per-bucket add-one-smoothed log importance ratios
+    * `log p_target(b) - log p_raw(b)` from the two histograms. */
+  def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                buckets: Int = 10000): Array[Double] = {
+    val rHist = bucketHistogram(raw, textCol, buckets)
+    val tHist = bucketHistogram(target, textCol, buckets)
+    val nR = rHist.sum.toDouble + buckets
+    val nT = tHist.sum.toDouble + buckets
+    Array.tabulate(buckets) { b =>
+      math.log((tHist(b) + 1.0) / nT) - math.log((rHist(b) + 1.0) / nR)
+    }
+  }
+
+  /** Per-document log importance weight under a fitted ratio table —
+    * scan-local single pass (one tokenization, λ rides the plan). */
+  def logWeights(df: DataFrame, idCol: String, textCol: String,
+                 lambdas: Array[Double]): DataFrame =
+    df.select(col(idCol), dsirWeight(col(textCol), lambdas).as("log_w"))
+
+  /**
+   * Deterministic Gumbel top-k resample: `key = log_w + Gumbel(md5(id))`.
+   * Sampling without replacement from the softmax of weights — the
+   * paper's resampling step, rerun-stable because the noise is hashed
+   * from the id, never drawn. TakeOrdered top-k: no global sort.
+   */
+  def resampleTopK(df: DataFrame, idCol: String, textCol: String,
+                   lambdas: Array[Double], k: Int): DataFrame = {
+    // u in (0,1): (conv+0.5)/2^32 never hits the log singularities
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val gumbel = -log(-log(u))
+    logWeights(df, idCol, textCol, lambdas)
+      .withColumn("gumbel_key", col("log_w") + gumbel)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  def gramBuckets(textCol: Column, buckets: Int): Column =
+    GraftBridge.column(GramBucketsExpr(GraftBridge.expression(textCol), buckets))
+
+  def dsirWeight(textCol: Column, lambdas: Array[Double]): Column =
+    GraftBridge.column(DsirWeightExpr(GraftBridge.expression(textCol), lambdas))
+}
+
+/** Hash buckets of every unigram+bigram instance — one tokenization pass;
+  * bucket = floorMod(xxh64(gram, seed=42), B), the same hash the sketch
+  * expressions use. */
+case class GramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val n = toks.length
+    val nBi = if (n >= 2) n - 1 else 0
+    val out = new Array[Int](n + nBi)
+    var i = 0
+    while (i < n) {
+      out(i) = java.lang.Math.floorMod(SketchHash.hash(toks(i)), buckets.toLong).toInt
+      i += 1
+    }
+    var b = 0
+    while (b < nBi) {
+      out(n + b) = java.lang.Math.floorMod(
+        SketchHash.hash(toks(b) + " " + toks(b + 1)), buckets.toLong).toInt
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-doc DSIR log weight: sum of λ(bucket) over unigram+bigram instances
+  * — same walk and hash as [[GramBucketsExpr]], summed left-to-right in
+  * gram order (deterministic under any partitioning: the sum is per-row). */
+case class DsirWeightExpr(child: Expression, lambdas: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val b = lambdas.length.toLong
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      sum += lambdas(java.lang.Math.floorMod(SketchHash.hash(toks(i)), b).toInt)
+      i += 1
+    }
+    var j = 0
+    while (j < toks.length - 1) {
+      sum += lambdas(java.lang.Math.floorMod(
+        SketchHash.hash(toks(j) + " " + toks(j + 1)), b).toInt)
+      j += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
