@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
  * The one-call curation driver: composes the pipeline operators into the
  * standard "raw corpus to training sequences" job behind a config, so a
  * production run is a config diff rather than a bespoke script. Stages
- * (each optional): exact dedup -> near-dup removal -> quality/repetition/
- * structure/PII/language gates (length threshold either fixed or derived
- * from the corpus's own token-count quantile) -> benchmark decontamination
- * (exact or bloom-prefiltered) -> source mixing to a token budget ->
- * weighted or budget sampling -> sequence packing. Returns the curated
- * docs plus the stage-attribution counts that make the run auditable.
+ * (each optional): URL dedup / per-domain cap -> boilerplate strip ->
+ * exact dedup -> near-dup removal -> quality/repetition/structure/PII/
+ * language gates (length threshold either fixed or derived from the
+ * corpus's own token-count quantile) -> benchmark decontamination (exact
+ * or bloom-prefiltered) -> DSIR target-conditioned selection -> source
+ * mixing to a token budget -> weighted or budget sampling -> sequence
+ * packing. Returns the curated docs plus the stage-attribution counts
+ * that make the run auditable.
  */
 object Curation {
 
@@ -23,7 +25,15 @@ object Curation {
   /** Per-source document cap: see [[Sampling.capPerGroup]]. */
   final case class CapConfig(srcCol: String, maxDocs: Int)
 
+  /** URL-stage parameters: dedup on the normalized URL (first fetch wins)
+    * and/or cap pages per registered domain. See [[Urls]]. */
+  final case class UrlConfig(urlCol: String, dedup: Boolean = true,
+                             domainCap: Option[Int] = None)
+
   final case class Config(
+      urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
+      dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
+      dsirBuckets: Int = 10000,
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
@@ -53,7 +63,8 @@ object Curation {
     * scan). `trackFunnel = false` skips counts and persists, leaving one
     * lazily-planned job. */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
-          evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true): Result = {
+          evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
+          dsirTarget: Option[DataFrame] = None): Result = {
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     var persisted: Option[DataFrame] = None
     def stage(name: String, next: DataFrame): DataFrame =
@@ -67,6 +78,19 @@ object Curation {
       }
     var df = input
     if (trackFunnel) counts += ("input" -> df.count())
+
+    // URL stage before any content work: a page fetched twice should cost
+    // one content pass, not two
+    cfg.urls.foreach { u =>
+      if (u.dedup) {
+        val keep = Urls.urlDedup(df, idCol, u.urlCol).select(col("keep_id").as(idCol))
+        df = stage("url_dedup", df.join(keep, Seq(idCol), "left_semi"))
+      }
+      u.domainCap.foreach { n =>
+        df = stage("domain_cap",
+          Urls.capPerDomain(df, idCol, u.urlCol, n).drop("domain", "rank"))
+      }
+    }
 
     // boilerplate first: shared tails would otherwise defeat exact dedup
     // and pollute near-dup shingles; discovery aggregates, rewrite is
@@ -109,6 +133,14 @@ object Curation {
         } else Decontaminate.decontaminate(df, idCol, textCol,
           ev, textCol, n = cfg.decontaminationN)
       df = stage("decontaminated", cleaned)
+    }
+    // target-conditioned selection after the hygiene stages: DSIR picks
+    // from the cleaned pool, so junk can't ride in on a high domain score
+    for (tgt <- dsirTarget; k <- cfg.dsirK) {
+      val lambdas = Dsir.logRatios(df, tgt, textCol, cfg.dsirBuckets)
+      df = stage("dsir_select", df.join(
+        Dsir.resampleTopK(df, idCol, textCol, lambdas, k).select(idCol),
+        Seq(idCol), "left_semi"))
     }
     cfg.sourceMix.foreach { m =>
       df = stage("source_mix",

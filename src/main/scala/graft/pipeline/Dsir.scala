@@ -55,15 +55,24 @@ object Dsir {
    */
   def voteScores(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    val rg = raw.select(col(idCol), explode(gramInstances(col(textCol))).as("gram"))
-    val tg = target.select(explode(gramInstances(col(textCol))).as("gram"))
-    val rCounts = rg.groupBy("gram").agg(count(lit(1)).as("c_r"))
-    val tCounts = tg.groupBy("gram").agg(count(lit(1)).as("c_t"))
-    // one vocab-sized pass for the scalar normalizers: V = |raw ∪ target
-    // grams|, N = total instances per side (sums of the count tables —
-    // never a second corpus pass)
-    val counts = rCounts.join(tCounts, Seq("gram"), "full")
+    // grams travel as 64-bit hashes from the first aggregate on: every
+    // shuffle/join key is 8 bytes, never a gram string (the standard
+    // hash-the-gram convention; a 64-bit collision merging two grams is
+    // negligible and the oracle would catch it). Per-(doc, gram) counts
+    // first — instances never cross the wire individually.
+    val rdg = raw
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    val tCounts = target
+      .select(explode(gramHashes(col(textCol))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_t"))
+    // corpus gram counts fold the per-doc counts (vocab-sized shuffle of
+    // (hash, long) pairs, not a second corpus pass)
+    val rCounts = rdg.groupBy("g").agg(sum("cnt").as("c_r"))
+    val counts = rCounts.join(tCounts, Seq("g"), "full")
       .na.fill(0L, Seq("c_r", "c_t"))
+    // one vocab-sized pass for the scalar normalizers: V = |raw ∪ target
+    // grams|, N = total instances per side
     val tot = counts.agg(count(lit(1)).as("v"), sum("c_r").as("nr"), sum("c_t").as("nt")).head()
     val (v, nR, nT) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     // p_t(g) > p_r(g) without doubles: (c_t+1)/(N_t+V) > (c_r+1)/(N_r+V)
@@ -71,10 +80,10 @@ object Dsir {
     val lhs = (col("c_t") + 1L) * lit(nR + v)
     val rhs = (col("c_r") + 1L) * lit(nT + v)
     val vote = when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
-    rg.join(counts.withColumn("vote", vote).select("gram", "vote"), Seq("gram"))
+    rdg.join(counts.withColumn("vote", vote).select("g", "vote"), Seq("g"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("vote") === 1, 1L).otherwise(0L)).as("n_target"),
-        sum(when(col("vote") === -1, 1L).otherwise(0L)).as("n_raw"))
+      .agg(sum(when(col("vote") === 1, col("cnt")).otherwise(0L)).as("n_target"),
+        sum(when(col("vote") === -1, col("cnt")).otherwise(0L)).as("n_raw"))
       .withColumn("margin", col("n_target") - col("n_raw"))
   }
 
@@ -129,11 +138,49 @@ object Dsir {
 
   // ------------------------------------------------------------ expressions
 
+  /** 64-bit hashes of every unigram+bigram instance in one pass — equal to
+    * `xxhash64(gram)` over the [[gramInstances]] strings (same XXH64 core,
+    * seed 42), without materializing the gram arrays: [[gramInstances]]'s
+    * builtin formulation costs two regex tokenizations plus an O(n²)
+    * slice-per-bigram walk per document. */
+  def gramHashes(textCol: Column): Column =
+    GraftBridge.column(GramHashesExpr(GraftBridge.expression(textCol)))
+
   def gramBuckets(textCol: Column, buckets: Int): Column =
     GraftBridge.column(GramBucketsExpr(GraftBridge.expression(textCol), buckets))
 
   def dsirWeight(textCol: Column, lambdas: Array[Double]): Column =
     GraftBridge.column(DsirWeightExpr(GraftBridge.expression(textCol), lambdas))
+}
+
+/** Raw 64-bit gram hashes of every unigram+bigram instance — one
+  * tokenization pass; parity with the builtin `xxhash64(gram)` (XXH64,
+  * seed 42) is asserted in DsirSpec. */
+case class GramHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val n = toks.length
+    val nBi = if (n >= 2) n - 1 else 0
+    val out = new Array[Long](n + nBi)
+    var i = 0
+    while (i < n) {
+      out(i) = SketchHash.hash(toks(i))
+      i += 1
+    }
+    var b = 0
+    while (b < nBi) {
+      out(n + b) = SketchHash.hash(toks(b) + " " + toks(b + 1))
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Hash buckets of every unigram+bigram instance — one tokenization pass;

@@ -422,6 +422,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!bloomed.contains(1L))
   }
 
+  test("Curation.run: URL dedup + domain cap + DSIR selection stages") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    // 40 pages: ids 0-19 target-like text, 20-39 off-domain; every even id
+    // is a URL-duplicate of the preceding odd id (same normalized URL)
+    def pageText(i: Long): String =
+      if (i < 20) "alpha beta gamma alpha beta gamma delta"
+      else "zeta eta theta zeta eta theta iota"
+    val v = (0L until 40L).map { i =>
+      val page = i / 2   // pairs share a page
+      val dom = if (i % 4 < 2) "big.com" else "small.org"
+      val url = if (i % 2 == 0) s"HTTPS://WWW.$dom/p/$page?utm_source=x"
+                else s"https://$dom/p/$page"
+      (i, pageText(i) + s" unique$i", url)  // text differs, URL collides
+    }.toDF("id", "text", "url")
+    val res = Curation.run(v, "id", "text",
+      Curation.Config(urls = Some(Curation.UrlConfig("url", dedup = true,
+          domainCap = Some(5))),
+        exactDedup = false, requireQuality = false, requireRepetitionOk = false),
+      trackFunnel = true)
+    val funnel = res.stageCounts.toMap
+    assert(funnel("url_dedup") === 20L)   // each pair collapses to its even id
+    assert(funnel("domain_cap") === 10L)  // 2 domains x cap 5
+    val ids = res.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 2 == 0), "first fetch (smaller id) survives URL dedup")
+    assert(!res.docs.columns.contains("domain") && !res.docs.columns.contains("rank"))
+    // DSIR stage: target-like docs only, k bounds the pool
+    val tgt = Seq((100L, "alpha beta gamma")).toDF("id", "text")
+    val sel = Curation.run(v, "id", "text",
+      Curation.Config(dsirK = Some(8), dsirBuckets = 256, exactDedup = false,
+        requireQuality = false, requireRepetitionOk = false),
+      trackFunnel = false, dsirTarget = Some(tgt))
+    val selIds = sel.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(selIds.size === 8 && selIds.forall(_ < 20L))
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {

@@ -47,6 +47,19 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("gramHashes parity with xxhash64 over the gram strings") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("the cat sat", "  MiXeD Case  words ", "one", "",
+      "a b c d e f g")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(Dsir.gramHashes(col("text")).as("fast"),
+        transform(Dsir.gramInstances(col("text")), g => xxhash64(g)).as("builtin"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+  }
+
   test("voteScores: hand-computed fixture") {
     val raw = docs((1L, "cat dog"), (2L, "fish fish"))
     val target = docs((10L, "cat dog"))
