@@ -34,6 +34,8 @@ object Curation {
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
       dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
       dsirBuckets: Int = 10000,
+      qualityModel: Option[QualityClassifier.Model] = None, // trained gate
+      minProbability: Double = 0.5,                // threshold for qualityModel
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
@@ -119,6 +121,9 @@ object Curation {
     if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
     if (cfg.langs.nonEmpty)
       gates += TextAnalysis.langId(col(textCol)).isin(cfg.langs.toSeq.map(x => x: Any): _*)
+    cfg.qualityModel.foreach { m =>
+      gates += (QualityClassifier.probability(col(textCol), m) >= cfg.minProbability)
+    }
     if (gates.nonEmpty)
       df = stage("gates", df.where(gates.reduce(_ && _)))
     if (cfg.scrubPii && !cfg.dropPii)

@@ -457,6 +457,17 @@ class CurationOpsSpec extends AnyFunSuite {
       trackFunnel = false, dsirTarget = Some(tgt))
     val selIds = sel.docs.select("id").collect().map(_.getLong(0)).toSet
     assert(selIds.size === 8 && selIds.forall(_ < 20L))
+    // trained-model gate: classifier trained target-vs-offdomain keeps only
+    // target-like docs
+    val model = graft.pipeline.QualityClassifier.train(
+      v.where($"id" < 20).select($"text"), v.where($"id" >= 20).select($"text"),
+      "text", buckets = 1 << 10, iters = 30)
+    val gated = Curation.run(v, "id", "text",
+      Curation.Config(qualityModel = Some(model), exactDedup = false,
+        requireQuality = false, requireRepetitionOk = false),
+      trackFunnel = false)
+    val gatedIds = gated.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds === (0L until 20L).toSet)
   }
 
   // ------------------------------------------------------------------ report
