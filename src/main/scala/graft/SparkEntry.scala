@@ -2271,7 +2271,7 @@ object SparkEntry {
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(trim(u), '#.*$', '') AS u FROM raw),
         |s2 AS (SELECT doc_id, regexp_replace(u,
-        |         '(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '', 'g') AS u FROM s1),
+        |         '([?&])(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '\1', 'g') AS u FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
         |         '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
@@ -2282,7 +2282,7 @@ object SparkEntry {
         |       FROM (SELECT doc_id, u,
         |               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS p FROM s4)),
         |s6 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |         '^(https?://)www\.', '\1'), '/$', '') AS u FROM s5)
+        |         '^(https?://)www\.', '\1'), '([^/])/+$', '\1') AS u FROM s5)
         |SELECT doc_id, u AS url_norm,
         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1) AS host,
         |  regexp_extract(regexp_extract(u,

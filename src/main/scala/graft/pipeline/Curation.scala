@@ -63,7 +63,8 @@ object Curation {
     * persisted so the count action doesn't recompute the upstream lineage
     * (and each stage reads its predecessor's materialization, not the raw
     * scan). `trackFunnel = false` skips counts and persists, leaving one
-    * lazily-planned job. */
+    * lazily-planned job — except the DSIR stage, whose histogram collects
+    * force it to persist the pool either way. */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
           evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
           dsirTarget: Option[DataFrame] = None): Result = {
@@ -82,15 +83,23 @@ object Curation {
     if (trackFunnel) counts += ("input" -> df.count())
 
     // URL stage before any content work: a page fetched twice should cost
-    // one content pass, not two
+    // one content pass, not two. NULL-url rows are exempt from both
+    // sub-stages (no URL != same URL), and survivors are selected by
+    // id-semi-join so no user column is ever renamed or clobbered.
     cfg.urls.foreach { u =>
       if (u.dedup) {
         val keep = Urls.urlDedup(df, idCol, u.urlCol).select(col("keep_id").as(idCol))
-        df = stage("url_dedup", df.join(keep, Seq(idCol), "left_semi"))
+        df = stage("url_dedup", df.join(keep, Seq(idCol), "left_semi")
+          .unionByName(df.where(col(u.urlCol).isNull)))
       }
       u.domainCap.foreach { n =>
-        df = stage("domain_cap",
-          Urls.capPerDomain(df, idCol, u.urlCol, n).drop("domain", "rank"))
+        val withUrl = df.where(col(u.urlCol).isNotNull)
+        val keepIds = Sampling.capPerGroup(
+          withUrl.select(col(idCol),
+            Urls.registeredDomain(Urls.normalize(col(u.urlCol))).as("__graft_dom")),
+          "__graft_dom", idCol, n).select(idCol)
+        df = stage("domain_cap", df.join(keepIds, Seq(idCol), "left_semi")
+          .unionByName(df.where(col(u.urlCol).isNull)))
       }
     }
 
@@ -140,11 +149,18 @@ object Curation {
       df = stage("decontaminated", cleaned)
     }
     // target-conditioned selection after the hygiene stages: DSIR picks
-    // from the cleaned pool, so junk can't ride in on a high domain score
+    // from the cleaned pool, so junk can't ride in on a high domain score.
+    // logRatios COLLECTS two histograms, so this stage materializes the
+    // pool even with trackFunnel=false (the one exception to the
+    // single-lazy-job contract) — otherwise the whole upstream lineage
+    // would run three times (histograms, selection, final action).
     for (tgt <- dsirTarget; k <- cfg.dsirK) {
-      val lambdas = Dsir.logRatios(df, tgt, textCol, cfg.dsirBuckets)
-      df = stage("dsir_select", df.join(
-        Dsir.resampleTopK(df, idCol, textCol, lambdas, k).select(idCol),
+      val pool =
+        if (trackFunnel) df // predecessor stage output is already persisted
+        else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lambdas = Dsir.logRatios(pool, tgt, textCol, cfg.dsirBuckets)
+      df = stage("dsir_select", pool.join(
+        Dsir.resampleTopK(pool, idCol, textCol, lambdas, k).select(idCol),
         Seq(idCol), "left_semi"))
     }
     cfg.sourceMix.foreach { m =>

@@ -67,18 +67,32 @@ object Dsir {
       .select(explode(gramHashes(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c_t"))
     // corpus gram counts fold the per-doc counts (vocab-sized shuffle of
-    // (hash, long) pairs, not a second corpus pass)
+    // (hash, long) pairs, not a second corpus pass). The vote table is
+    // persisted: it is read twice (normalizer scalars now, the per-doc
+    // join at action time) and without the persist the action would
+    // re-run the whole count lineage — including a second corpus
+    // tokenization for tCounts.
     val rCounts = rdg.groupBy("g").agg(sum("cnt").as("c_r"))
     val counts = rCounts.join(tCounts, Seq("g"), "full")
       .na.fill(0L, Seq("c_r", "c_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one vocab-sized pass for the scalar normalizers: V = |raw ∪ target
     // grams|, N = total instances per side
     val tot = counts.agg(count(lit(1)).as("v"), sum("c_r").as("nr"), sum("c_t").as("nt")).head()
+    if (tot.getLong(0) == 0L) { // both corpora empty: no votes, empty result
+      counts.unpersist()
+      return raw.select(col(idCol)).where(lit(false))
+        .withColumn("n_target", lit(0L)).withColumn("n_raw", lit(0L))
+        .withColumn("margin", lit(0L))
+    }
     val (v, nR, nT) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     // p_t(g) > p_r(g) without doubles: (c_t+1)/(N_t+V) > (c_r+1)/(N_r+V)
-    // cross-multiplied in exact integer arithmetic
-    val lhs = (col("c_t") + 1L) * lit(nR + v)
-    val rhs = (col("c_r") + 1L) * lit(nT + v)
+    // cross-multiplied exactly — in DECIMAL(38), because two long factors
+    // can exceed 2^63 on a 100 TB corpus and non-ANSI long multiply would
+    // wrap silently (19+19 digits always fit in 38)
+    val dec = DecimalType(38, 0)
+    val lhs = (col("c_t") + 1L).cast(dec) * lit(nR + v).cast(dec)
+    val rhs = (col("c_r") + 1L).cast(dec) * lit(nT + v).cast(dec)
     val vote = when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
     rdg.join(counts.withColumn("vote", vote).select("g", "vote"), Seq("g"))
       .groupBy(col(idCol))
@@ -126,9 +140,8 @@ object Dsir {
    */
   def resampleTopK(df: DataFrame, idCol: String, textCol: String,
                    lambdas: Array[Double], k: Int): DataFrame = {
-    // u in (0,1): (conv+0.5)/2^32 never hits the log singularities
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0
+    // u in (0,1): the open-interval variant never hits the log singularities
+    val u = Sampling.hashUniformOpen(col(idCol))
     val gumbel = -log(-log(u))
     logWeights(df, idCol, textCol, lambdas)
       .withColumn("gumbel_key", col("log_w") + gumbel)

@@ -67,6 +67,12 @@ object Sampling {
     conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
 
+  /** [[hashUniform]] shifted to the OPEN interval (0, 1) — safe under
+    * log/log-log transforms (Gumbel keys) that blow up at the endpoints. */
+  def hashUniformOpen(keyCol: Column): Column =
+    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+
   /** Weighted deterministic sampling: keep a row iff hashUniform(key) <
     * weight — rows with weight 1.0 always survive, weight 0.25 survives a
     * quarter of the time, rerun-stable and join-stable. The quality-

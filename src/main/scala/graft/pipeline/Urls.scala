@@ -22,19 +22,22 @@ import org.apache.spark.sql.functions._
  *   5. lowercase the scheme and authority (path/query case is preserved —
  *      it is significant on most servers)
  *   6. drop a leading `www.` host label
- *   7. drop a single trailing `/`
+ *   7. drop trailing `/`s (all of them — idempotence)
  *
  * All steps are scan-local codegen'd column expressions: no shuffle, no
  * UDF, safe to run inside the parquet scan projection at any scale.
  */
 object Urls {
 
-  private val TrackingParam = "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+  // anchored to a [?&] separator (kept via $1) so a param merely ENDING in
+  // a tracking name (href=, pref=) or a path segment containing "ref=" is
+  // never touched
+  private val TrackingParam = "([?&])(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
 
   /** Steps 1-3: fragment + tracking-param removal, separator tidy-up. */
   private def stripNoise(u: Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*$", "")
-    val noTrack = regexp_replace(noFrag, TrackingParam, "")
+    val noTrack = regexp_replace(noFrag, TrackingParam, "$1")
     // tidy: "?&" -> "?", "&&"+ -> "&", then a dangling "?" or "&" at end
     val tidy1 = regexp_replace(noTrack, "\\?&+", "?")
     val tidy2 = regexp_replace(tidy1, "&&+", "&")
@@ -51,7 +54,9 @@ object Urls {
     val withLower = when(prefix === "", noPort).otherwise(
       concat(lower(prefix), substring_index_rest(noPort, prefix)))
     val noWww = regexp_replace(withLower, "^(https?://)www\\.", "$1")
-    regexp_replace(noWww, "/$", "")
+    // ALL trailing slashes after a non-slash char (one-at-a-time stripping
+    // would break idempotence on "path//"); no lookbehind — RE2-portable
+    regexp_replace(noWww, "([^/])/+$", "$1")
   }
 
   /** suffix of `u` after `prefix` — both are columns; length() is exact
@@ -76,12 +81,16 @@ object Urls {
 
   /**
    * Exact URL dedup: one survivor per normalized URL — the smallest id
-   * (first fetch under monotone ids) — plus the duplicate count. Single
-   * hash aggregate keyed by the normalized URL; at 100 TB this is the same
-   * shape as [[Dedup.exact]] (map-side combine, no row ever carries text).
+   * (first fetch under monotone ids) — plus the duplicate count. Rows with
+   * a NULL url are exempt (a missing URL is not "the same page" as every
+   * other missing URL — grouping them would collapse the whole un-URL'd
+   * corpus onto one survivor). Single hash aggregate keyed by the
+   * normalized URL; at 100 TB this is the same shape as exact text dedup
+   * (map-side combine, no row ever carries text).
    */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(normalize(col(urlCol)).as("url_norm"), col(idCol))
+    df.where(col(urlCol).isNotNull)
+      .select(normalize(col(urlCol)).as("url_norm"), col(idCol))
       .groupBy("url_norm")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 

@@ -107,6 +107,40 @@ object CurationStress {
       val shares = (0 until 16).map(i => s"s$i" -> 0.05).toMap
       Mixing.mixToBudget(srcd, "doc_id", "source", "text", shares, budgetTokens = 1000000L).count()
     }
+    time("url_dedup", nDocs) {
+      // synthetic messy URLs: ~nDocs/50 distinct pages after normalization
+      val pages = docs.withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site")).otherwise(lit("https://site")),
+        pmod(col("doc_id"), lit(20)), lit(".example/p/"),
+        (col("doc_id") % (nDocs / 50)).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit(""))))
+      Urls.urlDedup(pages, "doc_id", "url").count()
+    }
+    time("dsir_votes", nDocs) {
+      val target = docs.where(col("doc_id") % 11 === 0)
+      Dsir.voteScores(docs, target, "doc_id", "text")
+        .agg(sum(col("margin"))).collect()
+      nDocs
+    }
+    time("dsir_weights", nDocs) {
+      val target = docs.where(col("doc_id") % 11 === 0)
+      val lambdas = Dsir.logRatios(docs, target, "text", buckets = 10000)
+      Dsir.logWeights(docs, "doc_id", "text", lambdas)
+        .agg(sum(col("log_w"))).collect()
+      nDocs
+    }
+    time("quality_clf", nDocs) {
+      // train on a fixed-size sample (the production shape: labels are
+      // sampled, scoring is the corpus-wide pass being measured); the
+      // negative sample is vowel-mangled so the model has real signal to
+      // learn — corpus docs should then score as positives
+      val pos = docs.where(col("doc_id") % 97 === 0).limit(2000).select("text")
+      val neg = docs.where(col("doc_id") % 101 === 0).limit(2000)
+        .select(translate(col("text"), "aeiou", "zqxjv").as("text"))
+      val model = QualityClassifier.train(pos, neg, "text",
+        buckets = 1 << 14, iters = 5)
+      docs.where(QualityClassifier.probability(col("text"), model) >= 0.5).count()
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()

@@ -30,6 +30,11 @@ class UrlsSpec extends AnyFunSuite {
     assert(norm("https://e.com/p?utm_campaign=x&id=3") === "https://e.com/p?id=3")
     assert(norm("https://e.com/p?gclid=abc") === "https://e.com/p")
     assert(norm("https://e.com/p?fbclid=1&msclkid=2&ref=hn") === "https://e.com/p")
+    // 3b. params merely ENDING in a tracking name, or tracking-shaped path
+    // segments, are untouched (the [?&] anchor)
+    assert(norm("https://e.com/p?href=a") === "https://e.com/p?href=a")
+    assert(norm("https://e.com/p?pref=1&id=2") === "https://e.com/p?pref=1&id=2")
+    assert(norm("https://e.com/ref=abc/page") === "https://e.com/ref=abc/page")
     // 4. default ports stripped, non-default kept, cross-scheme kept
     assert(norm("http://e.com:80/a") === "http://e.com/a")
     assert(norm("https://e.com:443/a") === "https://e.com/a")
@@ -41,9 +46,11 @@ class UrlsSpec extends AnyFunSuite {
     // 6. www stripped (host label only)
     assert(norm("https://www.example.com/a") === "https://example.com/a")
     assert(norm("https://notwww.example.com/a") === "https://notwww.example.com/a")
-    // 7. trailing slash
+    // 7. trailing slashes (all of them — single-slash stripping would make
+    // "path//" non-idempotent)
     assert(norm("https://example.com/a/") === "https://example.com/a")
     assert(norm("https://example.com/") === "https://example.com")
+    assert(norm("https://example.com/a//") === "https://example.com/a")
     // combined (the path-final "/" survives: only a string-final slash is
     // stripped — "/Item/?q" vs "/Item?q" equivalence is server-dependent,
     // so the conservative rule keeps it)
@@ -58,7 +65,8 @@ class UrlsSpec extends AnyFunSuite {
       "  https://example.com/a  ", "HTTP://E.COM:80/x?utm_source=a&b=1#f",
       "https://www.a.b.co:443/p/?gclid=z", "http://x.io/p?a=1&utm_medium=m&c=2",
       "ftp://weird.example/z", "not a url at all", "",
-      "https://e.com/p?utm_a=1&utm_b=2&utm_c=3", "https://E.com//double//slash/")
+      "https://e.com/p?utm_a=1&utm_b=2&utm_c=3", "https://E.com//double//slash/",
+      "https://e.com/deep/path///", "https://e.com/p?href=x&utm_y=2")
     val once = messy.toDF("u").select(Urls.normalize(col("u")).as("n1"))
     val twice = once.select(col("n1"), Urls.normalize(col("n1")).as("n2"))
     twice.collect().foreach(r => assert(r.getString(0) === r.getString(1),
