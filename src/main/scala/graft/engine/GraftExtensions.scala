@@ -122,6 +122,37 @@ object GraftFunctions {
         if (exprs.length > 1) litDouble(exprs(1)) else 0.20,
         if (exprs.length > 2) litDouble(exprs(2)) else 0.18,
         if (exprs.length > 3) litDouble(exprs(3)) else 0.30), "scala_udf")
+    // DSIR feature expressions (round 5)
+    reg.createOrReplaceTempFunction("emo_gram_hashes",
+      exprs => graft.pipeline.GramHashesExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_gram_buckets",
+      exprs => graft.pipeline.GramBucketsExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    // URL canonicalization from raw catalyst nodes (same bridge caveat as
+    // the PII block), folded from the SAME step lists the Column API uses
+    // (graft.pipeline.Urls) — parity is spec-asserted per fixture
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Concat, EqualTo, Expression => CExpr, Length, Literal => CLit, Lower, RegExpExtract, RegExpReplace, StringTrim, Substring}
+      import graft.pipeline.Urls
+      def rre(e: CExpr, step: (String, String)): CExpr =
+        RegExpReplace(e, CLit.create(step._1), CLit.create(step._2))
+      def urlNormExpr(u0: CExpr): CExpr = {
+        val cleaned = Urls.PreLowerSteps.foldLeft[CExpr](StringTrim(u0))(rre)
+        val prefix = RegExpExtract(cleaned, CLit.create(Urls.PrefixRe), CLit(0))
+        val rest = Substring(cleaned, Add(Length(prefix), CLit(1)), Length(cleaned))
+        val lowered = CaseWhen(Seq((EqualTo(prefix, CLit.create("")), cleaned)),
+          Some(Concat(Seq(Lower(prefix), rest))))
+        Urls.PostLowerSteps.foldLeft[CExpr](lowered)(rre)
+      }
+      def hostExpr(u: CExpr): CExpr =
+        RegExpExtract(u, CLit.create(Urls.HostRe), CLit(1))
+      reg.createOrReplaceTempFunction("emo_url_normalize",
+        exprs => urlNormExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("emo_url_host",
+        exprs => hostExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("emo_url_domain",
+        exprs => RegExpExtract(hostExpr(exprs.head),
+          CLit.create(Urls.DomainRe), CLit(0)), "scala_udf")
+    }
   }
 
   /** Column-API variant of `emo_cond` with the condition as a Scala string. */

@@ -29,55 +29,63 @@ import org.apache.spark.sql.functions._
  */
 object Urls {
 
-  // anchored to a [?&] separator (kept via $1) so a param merely ENDING in
-  // a tracking name (href=, pref=) or a path segment containing "ref=" is
-  // never touched
-  private val TrackingParam = "([?&])(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
-
-  /** Steps 1-3: fragment + tracking-param removal, separator tidy-up. */
-  private def stripNoise(u: Column): Column = {
-    val noFrag = regexp_replace(trim(u), "#.*$", "")
-    val noTrack = regexp_replace(noFrag, TrackingParam, "$1")
+  /** The (pattern -> replacement) regexp steps BEFORE the prefix-lowercase
+    * step, in application order — shared verbatim with the SQL registry
+    * (`emo_url_normalize` builds raw catalyst nodes from this list, so the
+    * two surfaces cannot drift). The tracking-param pattern is anchored to
+    * a [?&] separator (kept via $1) so a param merely ENDING in a tracking
+    * name (href=, pref=) or a path segment containing "ref=" is never
+    * touched. */
+  private[graft] val PreLowerSteps: Seq[(String, String)] = Seq(
+    "#.*$" -> "",
+    "([?&])(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*" -> "$1",
     // tidy: "?&" -> "?", "&&"+ -> "&", then a dangling "?" or "&" at end
-    val tidy1 = regexp_replace(noTrack, "\\?&+", "?")
-    val tidy2 = regexp_replace(tidy1, "&&+", "&")
-    regexp_replace(tidy2, "[?&]+$", "")
-  }
+    "\\?&+" -> "?",
+    "&&+" -> "&",
+    "[?&]+$" -> "",
+    "(?i)^(http://[^/:?#]+):80([/?#]|$)" -> "$1$2",
+    "(?i)^(https://[^/:?#]+):443([/?#]|$)" -> "$1$2")
 
-  /** Steps 4-7 on a noise-free URL. */
-  private def canonicalize(u: Column): Column = {
-    val noPort = regexp_replace(
-      regexp_replace(u, "(?i)^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
-      "(?i)^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    // lowercase scheme://authority only; the rest of the string is untouched
-    val prefix = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
-    val withLower = when(prefix === "", noPort).otherwise(
-      concat(lower(prefix), substring_index_rest(noPort, prefix)))
-    val noWww = regexp_replace(withLower, "^(https?://)www\\.", "$1")
-    // ALL trailing slashes after a non-slash char (one-at-a-time stripping
-    // would break idempotence on "path//"); no lookbehind — RE2-portable
-    regexp_replace(noWww, "([^/])/+$", "$1")
-  }
+  /** Steps after the prefix-lowercase: www strip, then ALL trailing
+    * slashes after a non-slash char (one-at-a-time stripping would break
+    * idempotence on "path//"; no lookbehind — RE2-portable). */
+  private[graft] val PostLowerSteps: Seq[(String, String)] = Seq(
+    "^(https?://)www\\." -> "$1",
+    "([^/])/+$" -> "$1")
 
-  /** suffix of `u` after `prefix` — both are columns; length() is exact
-    * because `prefix` is always a true prefix of `u` here. */
-  private def substring_index_rest(u: Column, prefix: Column): Column =
-    u.substr(length(prefix) + 1, length(u))
+  /** scheme://authority prefix (the region the lowercase step covers). */
+  private[graft] val PrefixRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** capture group 1 = host (authority minus port/userinfo). */
+  private[graft] val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+
+  /** last two host labels. */
+  private[graft] val DomainRe = "[^.]+\\.[^.]+$"
 
   /** The full normalization pipeline (steps 1-7). Idempotent:
     * `normalize(normalize(u)) == normalize(u)` (spec-asserted). */
-  def normalize(url: Column): Column = canonicalize(stripNoise(url))
+  def normalize(url: Column): Column = {
+    val cleaned = PreLowerSteps.foldLeft(trim(url)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    // lowercase scheme://authority only; the rest of the string is untouched
+    val prefix = regexp_extract(cleaned, PrefixRe, 0)
+    val withLower = when(prefix === "", cleaned).otherwise(
+      concat(lower(prefix), cleaned.substr(length(prefix) + 1, length(cleaned))))
+    PostLowerSteps.foldLeft(withLower) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+  }
 
   /** Host (authority minus port/userinfo) of a normalized URL. */
-  def host(url: Column): Column =
-    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1)
+  def host(url: Column): Column = regexp_extract(url, HostRe, 1)
 
   /** Registered domain approximation: the last two host labels
     * (`a.b.example.co` -> `example.co`). Public-suffix-list precision is a
     * data problem, not an engine problem; two labels is the standard
     * corpus-curation default. */
   def registeredDomain(url: Column): Column =
-    regexp_extract(host(url), "[^.]+\\.[^.]+$", 0)
+    regexp_extract(host(url), DomainRe, 0)
 
   /**
    * Exact URL dedup: one survivor per normalized URL — the smallest id

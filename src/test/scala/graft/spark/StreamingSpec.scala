@@ -461,6 +461,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(gate.getBoolean(0) === false)
     assert(gate.getBoolean(1) === true)
     assert(gate.getString(2) === "see <URL> now")
+    // URL + gram surfaces through SQL; the registry folds the SAME step
+    // lists as the Column API, asserted per messy fixture
+    import graft.pipeline.{Dsir, Urls}
+    val messy = Seq(" HTTP://WWW.Shop.Example.COM:80/Item/?utm_source=m&id=7#top ",
+      "https://e.com/p?href=a", "https://a.b.example.co:443/x//", "plain text")
+    val sqlVsColumn = messy.toDF("u")
+      .selectExpr("emo_url_normalize(u) AS sqln", "u")
+      .select(col("sqln"), Urls.normalize(col("u")).as("coln"),
+        expr("emo_url_host(emo_url_normalize(u))").as("sqlh"),
+        Urls.host(Urls.normalize(col("u"))).as("colh"),
+        expr("emo_url_domain(emo_url_normalize(u))").as("sqld"),
+        Urls.registeredDomain(Urls.normalize(col("u"))).as("cold"))
+      .collect()
+    sqlVsColumn.foreach { r =>
+      assert(r.getString(0) === r.getString(1), "normalize parity")
+      assert(r.getString(2) === r.getString(3), "host parity")
+      assert(r.getString(4) === r.getString(5), "domain parity")
+    }
+    val grams = Seq("the cat sat on the mat").toDF("t")
+      .select(expr("emo_gram_hashes(t)").as("sqlg"), Dsir.gramHashes(col("t")).as("colg"),
+        expr("emo_gram_buckets(t, 64)").as("sqlb"),
+        Dsir.gramBuckets(col("t"), 64).as("colb"))
+      .collect()(0)
+    assert(grams.getSeq[Long](0) === grams.getSeq[Long](1))
+    assert(grams.getSeq[Int](2) === grams.getSeq[Int](3))
   }
 
   test("table purge control events tombstone every document; lag monitor sees progress") {
