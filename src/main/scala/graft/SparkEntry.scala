@@ -1259,6 +1259,21 @@ object SparkEntry {
         .orderBy(col("margin").desc, col("doc_id").asc)
         .limit(100)
         .select(col("doc_id"), col("margin"))
+    },
+
+    // incremental exact dedup: a new batch (fresh docs + planted copies of
+    // stored docs at ids+1000000) against the curated store's fingerprint
+    // table — store wins cross-batch, min id intra-batch
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val store = docs.where(col("doc_id") < 250)
+      val batch = docs.where(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.pipeline.Incremental.incrementalExact(batch, "doc_id", "text",
+          graft.pipeline.Incremental.exactFingerprints(store, "text"))
+        .select("doc_id")
+        .orderBy("doc_id")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -2350,6 +2365,16 @@ object SparkEntry {
         |        FROM g JOIN vt USING (gram) GROUP BY doc_id)
         |SELECT doc_id, margin FROM per
         |ORDER BY margin DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH store AS (SELECT text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |intra AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text)
+        |SELECT b.doc_id FROM batch b JOIN intra USING (doc_id)
+        |WHERE b.text NOT IN (SELECT text FROM store)
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_curation" ->
       """WITH dd AS (

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental dedup: curate a NEW batch of documents against an already-
+ * curated store without re-processing the store — the daily-crawl shape
+ * (the full-corpus operators in [[Dedup]] are the bootstrap; these are
+ * the steady state). The store persists FINGERPRINTS, never text:
+ *
+ *  - exact: md5 text hashes ([[exactFingerprints]], one narrow column);
+ *  - near-dup: MinHash signatures ([[minhashStore]], k longs per doc) —
+ *    band keys derive from the signature at match time, so the store
+ *    needs no band table, and verification uses the standard signature
+ *    estimator (matching slots / k, error ~ 1/sqrt(k)) because the
+ *    store's shingle sets are gone by design.
+ *
+ * Scale shape: every operation is keyed by hash/band — the increment
+ * (small) shuffles against the store's fingerprints; no text ever joins,
+ * and the store side is one narrow scan. Oversized store buckets
+ * (template spam accumulated over many increments) are capped exactly as
+ * in [[Dedup.minhashNearDuplicates]].
+ */
+object Incremental {
+
+  /** The exact-dedup fingerprint store of a curated corpus: distinct md5
+    * text hashes. Persist this (one narrow column) between runs. */
+  def exactFingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash")).distinct()
+
+  /**
+   * New docs that survive exact dedup against the store AND within the
+   * batch (min id wins intra-batch, store always wins cross-batch).
+   */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       fingerprints: DataFrame): DataFrame = {
+    val intra = Dedup.dropExactDuplicates(newDocs, textCol, idCol)
+    intra.join(fingerprints,
+      md5(intra(textCol)) === fingerprints("text_hash"), "left_anti")
+  }
+
+  /** The near-dup fingerprint store: (id, sig) MinHash signatures — k
+    * longs per doc, the single table a steady-state dedup pipeline
+    * persists and appends accepted increments to. */
+  def minhashStore(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      sketches.minhash(col(textCol), shingleN, k).as("sig"))
+
+  /** Signature-estimator Jaccard: fraction of matching MinHash slots. */
+  def sigJaccardEstimate(sig1: Column, sig2: Column): Column =
+    aggregate(zip_with(sig1, sig2, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sig1)
+
+  /**
+   * Near-duplicate hits of a new batch against a signature store:
+   * (new_id, store_id, est_jaccard) for every banded candidate whose
+   * signature estimate clears `threshold`. Band keys derive from the
+   * signatures on BOTH sides (no band table persisted); store-side
+   * buckets larger than `maxBucketSize` are dropped from candidate
+   * generation, same rationale as the batch operator.
+   */
+  def incrementalNearDupHits(newDocs: DataFrame, idCol: String, textCol: String,
+                             store: DataFrame, shingleN: Int = 3, k: Int = 32,
+                             bands: Int = 8, threshold: Double = 0.5,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val newSigs = minhashStore(newDocs, idCol, textCol, shingleN, k)
+    val newBands = Dedup.minhashBands(newSigs, "id", "sig", bands, rowsPerBand)
+      .withColumnRenamed("id", "new_id")
+    val storeBands = Dedup.minhashBands(store, "id", "sig", bands, rowsPerBand)
+      .withColumnRenamed("id", "store_id")
+    val okBuckets = storeBands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n")).where(col("n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val candidates = newBands
+      .join(storeBands.join(okBuckets, Seq("band", "band_hash"), "left_semi"),
+        Seq("band", "band_hash"))
+      .select("new_id", "store_id").distinct()
+    candidates
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(store.select(col("id").as("store_id"), col("sig").as("sig_s")), "store_id")
+      .withColumn("est_jaccard", sigJaccardEstimate(col("sig_n"), col("sig_s")))
+      .where(col("est_jaccard") >= threshold)
+      .select("new_id", "store_id", "est_jaccard")
+  }
+
+  /** New docs minus near-dup hits against the store (composes with
+    * [[incrementalExact]]; run exact first — it is cheaper). */
+  def incrementalNearDup(newDocs: DataFrame, idCol: String, textCol: String,
+                         store: DataFrame, shingleN: Int = 3, k: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.5,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val hits = incrementalNearDupHits(newDocs, idCol, textCol, store,
+      shingleN, k, bands, threshold, maxBucketSize)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(hits, Seq(idCol), "left_anti")
+  }
+}

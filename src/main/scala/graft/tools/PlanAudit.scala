@@ -15,7 +15,8 @@ object PlanAudit {
         "agg_salted", "sim_knn", "dedup_spans", "pipeline_report",
         "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles",
         "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate",
-        "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes")
+        "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes",
+        "dedup_incremental")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
