@@ -73,6 +73,40 @@ class UrlsSpec extends AnyFunSuite {
       s"not idempotent on ${r.getString(0)}"))
   }
 
+  test("PROPERTY: idempotence + invariants on randomly generated messy URLs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    def gen(): String = {
+      val scheme = Seq("http://", "HTTP://", "https://", "HTTPS://", "HtTpS://")(rnd.nextInt(5))
+      val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
+      val host = Seq("a.Example.COM", "sub.dom.example.org", "X9.io")(rnd.nextInt(3))
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/p", "/A/B", "/p/", "/x//y///")(rnd.nextInt(5))
+      val q = Seq("", "?id=1", "?utm_source=a", "?id=1&utm_b=2&c=3", "?href=z&ref=t",
+        "?gclid=g&gclid=h")(rnd.nextInt(6))
+      val frag = Seq("", "#f", "#Sec-2")(rnd.nextInt(3))
+      val pad = Seq("", " ", "  ")(rnd.nextInt(3))
+      pad + scheme + www + host + port + path + q + frag + pad
+    }
+    val urls = Seq.fill(300)(gen())
+    val rows = urls.toDF("u").select(col("u"),
+      graft.pipeline.Urls.normalize(col("u")).as("n1"))
+      .select(col("u"), col("n1"), graft.pipeline.Urls.normalize(col("n1")).as("n2"))
+      .collect()
+    rows.foreach { r =>
+      val (u, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n1 === n2, s"not idempotent on <$u>")
+      assert(!n1.contains("#"), s"fragment survived in <$n1>")
+      assert(!n1.matches(".*[?&](utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=.*"),
+        s"tracking param survived in <$n1>")
+      assert(!n1.endsWith("/"), s"trailing slash in <$n1>")
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*".r.findFirstIn(n1).foreach { pre =>
+        assert(pre === pre.toLowerCase, s"uppercase authority in <$n1>")
+      }
+    }
+  }
+
   test("host and registeredDomain") {
     val s = spark
     import s.implicits._
