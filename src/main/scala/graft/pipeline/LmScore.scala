@@ -40,9 +40,11 @@ object LmScore {
 
   /** Top-V corpus bigram vocabulary: ("w1 w2", cnt), deterministic
     * tie-break (count desc, gram asc). Same aggregate shape as
-    * [[vocabulary]] over [[TextAnalysis.wordNgrams]] pairs. */
+    * [[vocabulary]]; grams come from the single-pass
+    * [[WordNgramsExpr]] (builtin-parity asserted in CurationOpsSpec —
+    * the builtin's slice-per-gram walk is O(n²) per doc). */
   def bigramVocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame =
-    df.select(explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("gram"))
+    df.select(explode(textExpressions.wordNgrams(col(textCol), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(topV)

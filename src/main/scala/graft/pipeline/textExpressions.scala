@@ -251,7 +251,44 @@ case class BigramCoverageExpr(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Ordered, NON-distinct word n-grams in ONE tokenization pass — output
+  * parity with the builtin [[TextAnalysis.wordNgrams]] (whose
+  * slice-per-gram formulation costs O(n²) array work per document; this
+  * is the hot-path replacement for corpus-wide gram aggregates). */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val count = toks.length - n + 1
+    if (count <= 0) {
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[UTF8String])
+    } else {
+      val out = new Array[UTF8String](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textExpressions {
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(WordNgramsExpr(GraftBridge.expression(text), n))
+
   def bigramCoverage(text: Column, vocab: Seq[String]): Column =
     GraftBridge.column(BigramCoverageExpr(GraftBridge.expression(text), vocab))
 

@@ -629,6 +629,15 @@ class CurationOpsSpec extends AnyFunSuite {
     val builtin = LmScore.bigramCountsBuiltin(corpus, "id", "text", bigrams)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
     assert(builtin === counts)
+    // single-pass WordNgramsExpr == builtin wordNgrams, per doc and n
+    for (n <- 1 to 3) {
+      corpus.select(
+          graft.pipeline.textExpressions.wordNgrams(col("text"), n).as("fast"),
+          TextAnalysis.wordNgrams(col("text"), n).as("slow"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")
+        }
+    }
   }
 
   test("LmScore: vocab counts match a brute-force walk; likelihood ranks " +
