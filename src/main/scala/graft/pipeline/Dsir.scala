@@ -42,8 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object Dsir {
 
-  /** Unigram + bigram instances of a document — the feature stream.
-    * Tokenization parity: split(lower(trim(text)), "\s+"). */
+  /** Unigram + bigram instances of a document as STRINGS — the builtin
+    * cross-check formulation (tokenization parity:
+    * split(lower(trim(text)), "\s+")); production paths use the
+    * single-pass [[gramHashes]], whose xxhash64-parity with these strings
+    * is spec-asserted. */
   def gramInstances(textCol: Column): Column =
     concat(TextAnalysis.tokens(textCol), TextAnalysis.wordNgrams(textCol, 2))
 
@@ -166,17 +169,12 @@ object Dsir {
     GraftBridge.column(DsirWeightExpr(GraftBridge.expression(textCol), lambdas))
 }
 
-/** Raw 64-bit gram hashes of every unigram+bigram instance — one
-  * tokenization pass; parity with the builtin `xxhash64(gram)` (XXH64,
-  * seed 42) is asserted in DsirSpec. */
-case class GramHashesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+/** Shared gram walk of the DSIR feature expressions: the unigram+bigram
+  * instance hashes of a tokenized doc, in order — ONE definition so the
+  * three expressions below cannot drift (change the feature stream here
+  * and hashes/buckets/weights all follow). */
+private[pipeline] object GramWalk {
+  def hashes(toks: Array[String]): Array[Long] = {
     val n = toks.length
     val nBi = if (n >= 2) n - 1 else 0
     val out = new Array[Long](n + nBi)
@@ -190,8 +188,22 @@ case class GramHashesExpr(child: Expression)
       out(n + b) = SketchHash.hash(toks(b) + " " + toks(b + 1))
       b += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    out
   }
+}
+
+/** Raw 64-bit gram hashes of every unigram+bigram instance — one
+  * tokenization pass; parity with the builtin `xxhash64(gram)` (XXH64,
+  * seed 42) is asserted in DsirSpec. */
+case class GramHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      GramWalk.hashes(SketchHash.tokenize(input.asInstanceOf[UTF8String])))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -207,20 +219,12 @@ case class GramBucketsExpr(child: Expression, buckets: Int)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
-    val n = toks.length
-    val nBi = if (n >= 2) n - 1 else 0
-    val out = new Array[Int](n + nBi)
+    val hs = GramWalk.hashes(SketchHash.tokenize(input.asInstanceOf[UTF8String]))
+    val out = new Array[Int](hs.length)
     var i = 0
-    while (i < n) {
-      out(i) = java.lang.Math.floorMod(SketchHash.hash(toks(i)), buckets.toLong).toInt
+    while (i < hs.length) {
+      out(i) = java.lang.Math.floorMod(hs(i), buckets.toLong).toInt
       i += 1
-    }
-    var b = 0
-    while (b < nBi) {
-      out(n + b) = java.lang.Math.floorMod(
-        SketchHash.hash(toks(b) + " " + toks(b + 1)), buckets.toLong).toInt
-      b += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
@@ -238,19 +242,13 @@ case class DsirWeightExpr(child: Expression, lambdas: Array[Double])
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val hs = GramWalk.hashes(SketchHash.tokenize(input.asInstanceOf[UTF8String]))
     val b = lambdas.length.toLong
     var sum = 0.0
     var i = 0
-    while (i < toks.length) {
-      sum += lambdas(java.lang.Math.floorMod(SketchHash.hash(toks(i)), b).toInt)
+    while (i < hs.length) {
+      sum += lambdas(java.lang.Math.floorMod(hs(i), b).toInt)
       i += 1
-    }
-    var j = 0
-    while (j < toks.length - 1) {
-      sum += lambdas(java.lang.Math.floorMod(
-        SketchHash.hash(toks(j) + " " + toks(j + 1)), b).toInt)
-      j += 1
     }
     sum
   }
