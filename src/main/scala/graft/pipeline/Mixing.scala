@@ -47,6 +47,25 @@ object Mixing {
     }
   }
 
+  /** Temperature-scaled shares from observed token masses — the
+    * multilingual-LM mixing rule (mT5/XLM-R, public): share_d ∝ p_d^(1/T)
+    * where p_d is the source's fraction of corpus tokens. T=1 reproduces
+    * the natural distribution; T→∞ approaches uniform; T<1 sharpens
+    * toward the big sources. Output sums to 1 and feeds [[mixToBudget]]
+    * directly, so "mix with temperature 3.3" is two calls. */
+  def temperatureShares(df: DataFrame, srcCol: String, textCol: String,
+                        temperature: Double): Map[String, Double] = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val totals = sourceTokenTotals(df, srcCol, textCol).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val mass = totals.values.map(_.toDouble).sum
+    val raw = totals.map { case (src, toks) =>
+      src -> math.pow(toks.toDouble / mass, 1.0 / temperature)
+    }
+    val z = raw.values.sum
+    raw.map { case (src, w) => src -> w / z }
+  }
+
   /** The mixture filter: corpus rows from shared sources kept at their
     * computed rate, everything else dropped. */
   def mixToBudget(df: DataFrame, idCol: String, srcCol: String, textCol: String,

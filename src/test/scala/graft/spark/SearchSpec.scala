@@ -222,6 +222,31 @@ class SearchSpec extends AnyFunSuite {
     assert(gotIds.nonEmpty)
   }
 
+  test("temperatureShares: T=1 natural, T->inf uniform, monotone flattening") {
+    val s = spark
+    import s.implicits._
+    // token masses 10 : 30 : 60 across three sources
+    val rows = (0 until 100).flatMap { i =>
+      val (src, n) = if (i < 10) ("small", 10) else if (i < 40) ("mid", 10) else ("big", 10)
+      Seq((i.toLong, src, ("w " * (n - 1)) + "w"))
+    }
+    val d = rows.toDF("id", "source", "text")
+    val t1 = Mixing.temperatureShares(d, "source", "text", temperature = 1.0)
+    assert(math.abs(t1("small") - 0.1) < 1e-12)
+    assert(math.abs(t1("mid") - 0.3) < 1e-12)
+    assert(math.abs(t1("big") - 0.6) < 1e-12)
+    val t100 = Mixing.temperatureShares(d, "source", "text", temperature = 100.0)
+    t100.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 0.01))
+    // flattening is monotone in T: the small source's share only grows
+    val t33 = Mixing.temperatureShares(d, "source", "text", temperature = 3.3)
+    assert(t1("small") < t33("small") && t33("small") < t100("small"))
+    assert(t1("big") > t33("big") && t33("big") > t100("big"))
+    assert(math.abs(t33.values.sum - 1.0) < 1e-12)
+    // and the shares drop straight into the budget filter
+    val kept = Mixing.mixToBudget(d, "id", "source", "text", t33, budgetTokens = 400L)
+    assert(kept.count() > 0)
+  }
+
   test("mixToBudget with ample budget keeps every shared-source row") {
     val s = spark
     import s.implicits._
