@@ -36,6 +36,8 @@ object Curation {
       dsirBuckets: Int = 10000,
       qualityModel: Option[QualityClassifier.Model] = None, // trained gate
       minProbability: Double = 0.5,                // threshold for qualityModel
+      bpeModel: Option[Bpe.Model] = None,          // budget/packing counts in
+                                                   // learned-tokenizer units
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
@@ -171,15 +173,19 @@ object Curation {
       df = stage("source_cap",
         Sampling.capPerGroup(df, c.srcCol, idCol, c.maxDocs).drop("rank"))
     }
+    // budget/packing counts: learned-tokenizer units when a BPE model is
+    // configured (what a training run actually budgets in), otherwise the
+    // whitespace idiom; both are scan-local single passes
+    def budgetTokens: Column = cfg.bpeModel
+      .map(m => Bpe.tokenCount(col(textCol), m).cast("long"))
+      .getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
     cfg.tokenBudget.foreach { b =>
-      val tok = df.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      val tok = df.select(col(idCol), budgetTokens.as("__nt"))
       df = stage("token_budget", df.join(
         Packing.tokenBudgetSample(tok, idCol, "__nt", b).select(idCol), Seq(idCol)))
     }
     cfg.packBudget.foreach { b =>
-      val tok = df.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      val tok = df.select(col(idCol), budgetTokens.as("__nt"))
       val packed = Packing.packSequences(tok, idCol, "__nt", b)
         .select(col(idCol), col("seq_id"))
       df = df.join(packed, Seq(idCol))
