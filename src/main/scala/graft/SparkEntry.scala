@@ -1261,19 +1261,62 @@ object SparkEntry {
         .select(col("doc_id"), col("margin"))
     },
 
-    // incremental exact dedup: a new batch (fresh docs + planted copies of
-    // stored docs at ids+1000000) against the curated store's fingerprint
-    // table — store wins cross-batch, min id intra-batch
+    // incremental exact dedup: a new batch (fresh docs + planted CROSS-batch
+    // copies of stored docs at ids+1000000 + planted INTRA-batch copies of
+    // batch docs at ids+2000000) against the curated store's fingerprint
+    // table — store wins cross-batch, min id wins intra-batch; both planted
+    // branches guarantee hits at every scale factor
     "dedup_incremental" -> { (s, dir) =>
       val docs = Tables.read(s, dir, "documents")
       val store = docs.where(col("doc_id") < 250)
       val batch = docs.where(col("doc_id") >= 250).select("doc_id", "text")
         .unionByName(docs.where(col("doc_id") < 20)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       graft.pipeline.Incremental.incrementalExact(batch, "doc_id", "text",
           graft.pipeline.Incremental.exactFingerprints(store, "text"))
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // learned-BPE token counts under the driver gate: fixed dictionary +
+    // fixed merge count + fixed fixture docs = scale-independent golden
+    // (VALUES-pinned oracle, the cond_partition pattern — BPE is not
+    // SQL-expressible); whitespace counts ride along as the SQL-checkable
+    // control column
+    "text_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val model = graft.pipeline.Bpe.trainFromCounts(
+        Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), numMerges = 6)
+      Seq((1L, "low lower newest widest"), (2L, "the newest lowest"),
+          (3L, "wider low low"), (4L, ""))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.pipeline.Bpe.tokenCount(col("text"), model).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).cast("int").as("n_ws"))
+        .orderBy("doc_id")
+    },
+
+    // incremental near-dup hits as integers: fixed store/batch fixture,
+    // matching MinHash slots (est * k is exact — k a power of two) —
+    // VALUES-pinned golden for the banded+estimator path
+    "dedup_incremental_near" -> { (s, dir) =>
+      import s.implicits._
+      val store = graft.pipeline.Incremental.minhashStore(
+        Seq((1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+            (2L, "spark shuffle partitions and codegen stages form the execution backbone"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+        (11L, "the quick brown fox jumps over the lazy dog near the noisy river bank today"),
+        (12L, "completely unrelated content about language model training corpora"))
+        .toDF("doc_id", "text")
+      graft.pipeline.Incremental.incrementalNearDupHits(batch, "doc_id", "text",
+          store, threshold = 0.25)
+        .select(col("new_id"), col("store_id"),
+          (col("est_jaccard") * 32).cast("int").as("n_match_slots"))
+        .orderBy("new_id", "store_id")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -2370,11 +2413,30 @@ object SparkEntry {
       """WITH store AS (SELECT text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
         |          UNION ALL
-        |          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+        |          UNION ALL
+        |          SELECT doc_id + 2000000, text FROM documents
+        |          WHERE doc_id >= 250 AND doc_id < 260),
         |intra AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text)
         |SELECT b.doc_id FROM batch b JOIN intra USING (doc_id)
         |WHERE b.text NOT IN (SELECT text FROM store)
         |ORDER BY doc_id""".stripMargin,
+
+    // VALUES-pinned goldens (cond_partition pattern): BPE merges and the
+    // MinHash-slot estimator are not SQL-expressible; the pinned rows are
+    // hand-verified against the algorithms (see BpeSpec/IncrementalSpec)
+    "text_bpe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bpe AS INT) AS n_bpe,
+        |       CAST(n_ws AS INT) AS n_ws
+        |FROM (VALUES (1, 11, 4), (2, 7, 3), (3, 9, 3), (4, 0, 1))
+        |     t(doc_id, n_bpe, n_ws)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_near" ->
+      """SELECT CAST(new_id AS BIGINT) AS new_id, CAST(store_id AS BIGINT) AS store_id,
+        |       CAST(n_match_slots AS INT) AS n_match_slots
+        |FROM (VALUES (10, 1, 32), (11, 1, 23)) t(new_id, store_id, n_match_slots)
+        |ORDER BY new_id, store_id""".stripMargin,
 
     "pipeline_curation" ->
       """WITH dd AS (

@@ -66,10 +66,17 @@ object Incremental {
                              bands: Int = 8, threshold: Double = 0.5,
                              maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
+    // both signature tables feed two consumers each (band join + the
+    // estimator join); persist them so the k-permutation MinHash and the
+    // store scan run once — the same safeguard Dedup.minhashNearDuplicates
+    // documents for its band table
     val newSigs = minhashStore(newDocs, idCol, textCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val storeSigs = store
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = Dedup.minhashBands(newSigs, "id", "sig", bands, rowsPerBand)
       .withColumnRenamed("id", "new_id")
-    val storeBands = Dedup.minhashBands(store, "id", "sig", bands, rowsPerBand)
+    val storeBands = Dedup.minhashBands(storeSigs, "id", "sig", bands, rowsPerBand)
       .withColumnRenamed("id", "store_id")
     val okBuckets = storeBands.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("n")).where(col("n") <= maxBucketSize)
@@ -80,7 +87,7 @@ object Incremental {
       .select("new_id", "store_id").distinct()
     candidates
       .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(store.select(col("id").as("store_id"), col("sig").as("sig_s")), "store_id")
+      .join(storeSigs.select(col("id").as("store_id"), col("sig").as("sig_s")), "store_id")
       .withColumn("est_jaccard", sigJaccardEstimate(col("sig_n"), col("sig_s")))
       .where(col("est_jaccard") >= threshold)
       .select("new_id", "store_id", "est_jaccard")
