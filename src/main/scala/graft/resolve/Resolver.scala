@@ -23,7 +23,7 @@ final class Resolver(val table: String, val id: String, val placement: String) {
   private var firstUpdate: TimeUuid = _
   private var lastUpdate: TimeUuid = _
   private var lastMutate: TimeUuid = _
-  // canonical (sorted, -joined) tag set — string equality == set equality
+  // canonical (sorted, \u0001-joined) tag set — string equality == set equality
   private var lastTagsJoined: String = ""
   private var redundant: Long = 0L
   private var lastWasRedundant: Boolean = false
@@ -65,7 +65,7 @@ final class Resolver(val table: String, val id: String, val placement: String) {
     updateJoined(changeId, delta, Resolver.joinTags(tags))
 
   /** Hot-path variant taking the canonical joined tag form (sorted,
-    * -separated) — the batch engine canonicalizes in Tungsten. */
+    * \u0001-separated) — the batch engine canonicalizes in Tungsten. */
   def updateJoined(changeId: TimeUuid, delta: Delta, tagsJoined: String): Boolean = {
     // intrinsics view (ISO date formatting) only when the delta can see it
     val updated = DeltaEvaluator.eval(delta, content,
