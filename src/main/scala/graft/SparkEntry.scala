@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Decontaminate, Dedup, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
+import graft.pipeline.{Chunking, Decontaminate, Dedup, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -215,6 +215,15 @@ object SparkEntry {
         concat_ws("/", col("user_id"), col("event_type")).as("dedup_key"))
       graft.streaming.Queues.dedup(q, "dedup_key")
         .select("msg_id").orderBy("msg_id")
+    },
+
+    // gap-based sessionization of the event stream (12h gap): one shuffle
+    // on user_id, per-user lag + running sum, all-integer rollup
+    "events_sessionize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "ts_ms")
+      graft.streaming.Sessions.sessionStats(ev, "user_id", "ts_ms",
+          "event_id", gapMs = 43200000L)
+        .orderBy("user_id", "session_idx")
     },
 
     "databus_consolidation" -> { (s, dir) =>
@@ -532,7 +541,10 @@ object SparkEntry {
     // HashesSpec) — the same hash family store_pruned_scan verifies
     // semantically against partition directories
     "cond_partition" -> { (s, dir) =>
-      val docs = docsOf(s, dir)
+      // pinned to the ids 0..149 present at EVERY scale factor, so the
+      // VALUES oracle (murmur3 partition counts, not SQL-expressible) is
+      // SF-independent — at sf0.01 the filter is a no-op
+      val docs = docsOf(s, dir).where(col("id").cast("long") <= 149)
       docs.select(col("id"),
           expressions.emoPartition(col("table"), col("id"), 8).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n"))
@@ -652,16 +664,19 @@ object SparkEntry {
         .select("id1", "id2").orderBy("id1", "id2")
     },
 
-    // hamming-0 fingerprint pairs: the 20 planted identical-text copies
-    // plus the corpus's 4 natural simhash collisions (near-dup pairs whose
-    // +-1 bit sums cancel). Oracled as a VALUES pin of the independently
-    // cross-checked fingerprint function's output.
+    // hamming-0 fingerprint pairs, restricted to the 20 planted
+    // identical-text copies (id2 = id1 + 1000000): identical text gives an
+    // identical simhash, so the banded pipeline must recall every planted
+    // pair — a result that is SF-independent, unlike the corpus's natural
+    // simhash collisions (4 at sf0.01, dozens at sf0.1 — text is not
+    // prefix-stable across SFs, so those cannot be VALUES-pinned). Natural
+    // collision discovery stays covered by the Dedup specs.
     "dedup_simhash" -> { (s, dir) =>
       val docs = Tables.read(s, dir, "documents")
       val planted = docs.where(col("doc_id") < 20)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       Dedup.simhashCandidates(docs.unionByName(planted), "doc_id", "text", bands = 4)
-        .where(col("hamming") === 0)
+        .where(col("hamming") === 0 && col("id2") === col("id1") + 1000000L)
         .select("id1", "id2").orderBy("id1", "id2")
     },
 
@@ -792,6 +807,18 @@ object SparkEntry {
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // within-document sliding-window chunking (context-length cut with
+    // stride); scan-local explode, no shuffle — chunk text hashed so the
+    // artifact stays id-sized
+    "text_chunks" -> { (s, dir) =>
+      Chunking.slidingWindows(
+          Tables.read(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+          col("chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // the composed curation pipeline: exact-dedup -> quality gate -> langid
@@ -1389,6 +1416,24 @@ object SparkEntry {
       """SELECT min(event_id) AS msg_id FROM events
         |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
 
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                OR ts_ms - lag(ts_ms) OVER w > 43200000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event,
+        |       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
     "databus_consolidation" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
         |       arg_max(event_type, event_id) AS last_type,
@@ -1723,32 +1768,8 @@ object SparkEntry {
     // cross-checked SimHash64 expression, which the builtin 64-aggregate
     // formulation reproduces bit-for-bit in ScalaTest)
     "dedup_simhash" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)),
-        |  (CAST(1 AS BIGINT), CAST(1000001 AS BIGINT)),
-        |  (CAST(2 AS BIGINT), CAST(1000002 AS BIGINT)),
-        |  (CAST(3 AS BIGINT), CAST(1000003 AS BIGINT)),
-        |  (CAST(4 AS BIGINT), CAST(1000004 AS BIGINT)),
-        |  (CAST(5 AS BIGINT), CAST(1000005 AS BIGINT)),
-        |  (CAST(6 AS BIGINT), CAST(1000006 AS BIGINT)),
-        |  (CAST(7 AS BIGINT), CAST(1000007 AS BIGINT)),
-        |  (CAST(8 AS BIGINT), CAST(1000008 AS BIGINT)),
-        |  (CAST(9 AS BIGINT), CAST(1000009 AS BIGINT)),
-        |  (CAST(10 AS BIGINT), CAST(1000010 AS BIGINT)),
-        |  (CAST(11 AS BIGINT), CAST(1000011 AS BIGINT)),
-        |  (CAST(12 AS BIGINT), CAST(1000012 AS BIGINT)),
-        |  (CAST(13 AS BIGINT), CAST(1000013 AS BIGINT)),
-        |  (CAST(14 AS BIGINT), CAST(1000014 AS BIGINT)),
-        |  (CAST(15 AS BIGINT), CAST(1000015 AS BIGINT)),
-        |  (CAST(16 AS BIGINT), CAST(1000016 AS BIGINT)),
-        |  (CAST(17 AS BIGINT), CAST(1000017 AS BIGINT)),
-        |  (CAST(18 AS BIGINT), CAST(1000018 AS BIGINT)),
-        |  (CAST(19 AS BIGINT), CAST(1000019 AS BIGINT)),
-        |  (CAST(58 AS BIGINT), CAST(293 AS BIGINT)),
-        |  (CAST(61 AS BIGINT), CAST(185 AS BIGINT)),
-        |  (CAST(285 AS BIGINT), CAST(301 AS BIGINT)),
-        |  (CAST(393 AS BIGINT), CAST(420 AS BIGINT))
-        |) AS t(id1, id2) ORDER BY id1, id2""".stripMargin,
+      """SELECT CAST(i AS BIGINT) AS id1, CAST(i + 1000000 AS BIGINT) AS id2
+        |FROM range(20) t(i) ORDER BY id1, id2""".stripMargin,
 
     "sim_lsh" ->
       """WITH all_v AS (
@@ -1865,6 +1886,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |s AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start_token FROM n),
+        |f AS (SELECT * FROM s WHERE start_token = 0 OR start_token - 48 + 64 < n)
+        |SELECT doc_id,
+        |       CAST(start_token // 48 AS INT) AS chunk_idx,
+        |       CAST(start_token AS INT) AS start_token,
+        |       CAST(least(64, n - start_token) AS INT) AS chunk_tokens,
+        |       md5(array_to_string(toks[start_token+1 : start_token+64], ' ')) AS chunk_md5
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "decon_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Gap-based sessionization over event streams: consecutive events of the
+ * same entity belong to one session while the inter-event gap stays under
+ * `gapMs`; a larger gap starts a new session. The batch analogue of
+ * Structured Streaming's `session_window(ts, gap)` (same semantics:
+ * a session extends while each event arrives within `gap` of the
+ * previous one), pinned to a deterministic (ts, tie) total order so the
+ * result is reproducible and oracle-checkable.
+ *
+ * Scale shape: one hash shuffle on the entity key, then per-entity
+ * window functions (lag + running sum) over entity-local partitions —
+ * each task sorts only its entities' events, never the global stream.
+ * Per-entity volumes are bounded in practice (a user's events, a
+ * device's pings); for a pathological single hot entity, pre-split by a
+ * coarse time bucket first (sessions never span buckets longer than the
+ * retention window) — same pattern as the salted aggregates in
+ * [[graft.pipeline.Stats]].
+ */
+object Sessions {
+
+  /**
+   * Assign `session_idx` (0-based, per entity, in time order) to each
+   * event. `tsCol` must be epoch milliseconds (long); `tieCol` breaks
+   * equal-timestamp ties (any unique id) so the order — and therefore
+   * the session numbering — is total and deterministic.
+   */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 tieCol: String, gapMs: Long): DataFrame = {
+    val order = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(order)
+    df.withColumn("_brk",
+        when(prev.isNull || col(tsCol) - prev > gapMs, 1L).otherwise(0L))
+      // running sum over the same per-entity order; first event's brk=1
+      // makes the numbering 1..k, minus 1 for a 0-based session_idx
+      .withColumn("session_idx",
+        sum(col("_brk")).over(order.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - 1L)
+      .drop("_brk")
+  }
+
+  /**
+   * Per-session rollup: event count, id bounds, duration. All-integer
+   * output (oracle-safe); compose further aggregates on the sessionized
+   * frame when needed.
+   *
+   * Output: entityCol, session_idx, n_events, first_event, last_event,
+   * duration_ms.
+   */
+  def sessionStats(df: DataFrame, entityCol: String, tsCol: String,
+                   tieCol: String, gapMs: Long): DataFrame =
+    sessionize(df, entityCol, tsCol, tieCol, gapMs)
+      .groupBy(col(entityCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tieCol)).as("first_event"),
+        max(col(tieCol)).as("last_event"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"))
+
+  /** Streaming formulation of the same sessions: Structured Streaming's
+    * built-in session window (gap semantics identical to [[sessionize]]).
+    * Use on a `readStream` frame with a watermark on `tsCol`; tested for
+    * batch parity in StreamingSpec. */
+  def sessionWindowAgg(df: DataFrame, entityCol: String, tsCol: Column,
+                       gap: String): DataFrame =
+    df.groupBy(col(entityCol), session_window(tsCol, gap))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,99 @@
+package graft.spark
+
+import graft.streaming.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gap sessionization: pinned golden sessions, a single-threaded
+  * differential on random event streams, and parity with Structured
+  * Streaming's session_window on the same gap. */
+class SessionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("golden: gaps split sessions per entity; ties break on id") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: two sessions (gap 100 between t=250 and t=1000)
+      (1L, 10L, 100L), (1L, 11L, 150L), (1L, 12L, 250L),
+      (1L, 13L, 1000L), (1L, 14L, 1050L),
+      // user 2: equal timestamps — order pinned by event_id; one session
+      (2L, 20L, 500L), (2L, 21L, 500L),
+      // user 3: gap exactly == threshold stays in-session (strict >)
+      (3L, 30L, 0L), (3L, 31L, 100L)
+    ).toDF("user_id", "event_id", "ts_ms")
+    val got = Sessions.sessionStats(ev, "user_id", "ts_ms", "event_id", gapMs = 100L)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 0L, 3L, 10L, 12L, 150L),
+      (1L, 1L, 2L, 13L, 14L, 50L),
+      (2L, 0L, 2L, 20L, 21L, 0L),
+      (3L, 0L, 2L, 30L, 31L, 100L)))
+  }
+
+  private def naiveSessions(events: Seq[(Long, Long, Long)], gap: Long): Seq[(Long, Long, Long)] = {
+    // (user, session_idx, n_events) by single-threaded fold in (ts, id) order
+    events.groupBy(_._1).toSeq.flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var idx = -1L
+      var prev = Long.MinValue
+      val assigned = sorted.map { case (_, _, ts) =>
+        if (prev == Long.MinValue || ts - prev > gap) idx += 1
+        prev = ts
+        idx
+      }
+      assigned.groupBy(identity).toSeq.map { case (i, g) => (user, i, g.size.toLong) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("differential: random streams match the single-threaded fold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 5) {
+      val events = (0 until 400).map { i =>
+        (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(2000).toLong)
+      }
+      val gap = 50L + rnd.nextInt(200)
+      val got = Sessions.sessionStats(events.toDF("user_id", "event_id", "ts_ms"),
+          "user_id", "ts_ms", "event_id", gapMs = gap)
+        .orderBy("user_id", "session_idx")
+        .select("user_id", "session_idx", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === naiveSessions(events, gap), s"trial $trial gap=$gap")
+    }
+  }
+
+  test("session_window parity: same session count and sizes per entity") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val events = (0 until 300).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(500).toLong * 1000L)
+    }
+    // session_window is end-exclusive (event at exactly prev+gap starts a
+    // new session) while sessionize keeps it (strict >). ts values are
+    // multiples of 1000ms, so a gap of 29999ms can never land on the
+    // boundary and the two rules agree on every achievable gap.
+    val gap = 29999L
+    val df = events.toDF("user_id", "event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val viaWindow = Sessions.sessionWindowAgg(df, "user_id", col("ts"), "29999 milliseconds")
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaBatch = Sessions.sessionStats(df, "user_id", "ts_ms", "event_id", gapMs = gap)
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaWindow === viaBatch)
+  }
+}
