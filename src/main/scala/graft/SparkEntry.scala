@@ -889,6 +889,23 @@ object SparkEntry {
         .orderBy("split")
     },
 
+    // leak-safe split: keyed on normalized CONTENT, so the planted exact
+    // copies (ids + 1000000) must land on the same side as their sources —
+    // n_texts counts distinct contents, proving copies never straddle
+    // (train_texts + eval_texts = distinct texts overall)
+    "pipeline_leak_split" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      docs.unionByName(planted)
+        .withColumn("split",
+          graft.pipeline.Sampling.contentSplitColumn(col("text"), trainFraction = 0.8))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(lower(trim(col("text")))).as("n_texts"))
+        .orderBy("split")
+    },
+
     // benchmark decontamination: training docs sharing any word 5-gram with
     // the eval set (docs 0..19) are flagged — planted full copies guarantee
     // hits, natural boilerplate overlap adds the rest. The distinct eval
@@ -1846,6 +1863,19 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "pipeline_leak_split" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |t AS (
+        |  SELECT CASE WHEN substr(md5(lower(trim(text))), 1, 4) < 'cccd'
+        |              THEN 'train' ELSE 'eval' END AS split,
+        |         lower(trim(text)) AS norm
+        |  FROM all_docs)
+        |SELECT split, count(*) AS n, count(DISTINCT norm) AS n_texts
+        |FROM t GROUP BY 1 ORDER BY split""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -40,6 +40,35 @@ object Sampling {
     when(hashPrefix(keyCol) < lit(hexThreshold(trainFraction)), "train")
       .otherwise("eval")
 
+  /** Content-keyed split: hashes the NORMALIZED TEXT rather than the id,
+    * so exact duplicates land on the same side regardless of what ids
+    * they carry — the leak-safe default for corpora that may contain
+    * copies (an id-keyed split lets a duplicated document straddle
+    * train/eval and leak). Scan-local, no shuffle. */
+  def contentSplitColumn(textCol: Column, trainFraction: Double): Column =
+    splitColumn(lower(trim(textCol)), trainFraction)
+
+  /** Near-duplicate-safe split: every connected duplicate cluster over
+    * `pairs` (id1/id2 edges — minhash/simhash candidates; include exact-dup
+    * edges too, or an exact copy missing from `pairs` can still straddle)
+    * co-travels, keyed by its cluster label from
+    * [[Dedup.duplicateClusters]]; rows outside any cluster fall back to
+    * the content key. The label join is corpus-by-cluster-table — AQE
+    * broadcasts the (near-dup-sized, ~% of corpus) label side when small
+    * and shuffles co-keyed otherwise; nothing collects at the driver
+    * beyond duplicateClusters' own bounded fast path. */
+  def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame, trainFraction: Double): DataFrame = {
+    val labels = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        when(col("cluster_id").isNotNull,
+          splitColumn(col("cluster_id"), trainFraction))
+          .otherwise(contentSplitColumn(col(textCol), trainFraction)))
+      .drop("cluster_id")
+  }
+
   def trainEvalSplit(df: DataFrame, keyCol: String,
                      trainFraction: Double): (DataFrame, DataFrame) = {
     val tagged = df.withColumn("__split", splitColumn(col(keyCol), trainFraction))

@@ -141,6 +141,19 @@ object CurationStress {
         buckets = 1 << 14, iters = 5)
       docs.where(QualityClassifier.probability(col("text"), model) >= 0.5).count()
     }
+    time("chunking", nDocs) {
+      Chunking.slidingWindows(docs, "doc_id", "text", size = 64, stride = 48)
+        .select(md5(col("chunk_text")).as("h"))
+        .agg(count(col("h"))).collect()(0).getLong(0)
+    }
+    time("sessionize", nDocs) {
+      // synthetic event stream: ~nDocs events over nDocs/64 entities
+      val ev = docs.select(col("doc_id").as("event_id"),
+        pmod(col("doc_id"), lit(nDocs / 64)).as("user_id"),
+        (col("doc_id") * 37L % 1000000000L).as("ts_ms"))
+      graft.streaming.Sessions.sessionStats(ev, "user_id", "ts_ms",
+        "event_id", gapMs = 100000L).count()
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()

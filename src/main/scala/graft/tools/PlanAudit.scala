@@ -16,7 +16,8 @@ object PlanAudit {
         "search_keyword", "pipeline_mixing", "decon_bloom", "stats_quantiles",
         "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate",
         "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes",
-        "dedup_incremental")
+        "dedup_incremental", "text_chunks", "events_sessionize",
+        "pipeline_leak_split")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
