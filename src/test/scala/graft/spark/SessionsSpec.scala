@@ -2,6 +2,7 @@ package graft.spark
 
 import graft.streaming.Sessions
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -95,5 +96,39 @@ class SessionsSpec extends AnyFunSuite {
       .orderBy("user_id", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaWindow === viaBatch)
+  }
+
+  test("streaming: session_window closes sessions once the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = input.toDS().toDF("user_id", "event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+    val query = Sessions.sessionWindowAgg(stream, "user_id", col("ts"), "5 seconds")
+      .select("user_id", "n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sess").toString)
+      .start()
+    try {
+      // user 1: two events 2s apart (one session); user 2: one event
+      input.addData((1L, 1L, 1000L), (1L, 2L, 3000L), (2L, 3L, 2000L))
+      query.processAllAvailable()
+      // watermark jumps to 100000-10000=90000ms: both early sessions close
+      input.addData((1L, 4L, 100000L))
+      query.processAllAvailable()
+      // push the watermark past 100000+gap so user 1's second session closes
+      input.addData((1L, 5L, 300000L))
+      query.processAllAvailable()
+      val emitted = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the session at ts=300000 is still open (nothing advanced the
+      // watermark past it), so exactly three closed sessions are emitted —
+      // the same sessions the batch rule finds on the closed prefix
+      assert(emitted === Set((1L, 2L), (2L, 1L), (1L, 1L)))
+    } finally query.stop()
   }
 }
