@@ -226,6 +226,16 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     },
 
+    // first-order event-type transition counts within sessions (12h gap):
+    // same single entity shuffle as sessionize, |types|^2-bounded rollup
+    "events_transitions" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms", "event_type")
+      graft.streaming.Sessions.transitionCounts(ev, "user_id", "ts_ms",
+          "event_id", "event_type", gapMs = 43200000L)
+        .orderBy("from_type", "to_type")
+    },
+
     "databus_consolidation" -> { (s, dir) =>
       Databus.consolidate(
           EventLog.changes(s, dir).withColumn("etype", element_at(col("tags"), 1)),
@@ -1450,6 +1460,19 @@ object SparkEntry {
         |       min(event_id) AS first_event, max(event_id) AS last_event,
         |       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |m AS (
+        |  SELECT event_type AS to_type,
+        |         lag(event_type) OVER w AS from_type,
+        |         ts_ms - lag(ts_ms) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM m WHERE from_type IS NOT NULL AND gap <= 43200000
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "databus_consolidation" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,

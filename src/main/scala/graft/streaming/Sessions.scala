@@ -62,6 +62,28 @@ object Sessions {
         max(col(tieCol)).as("last_event"),
         (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"))
 
+  /**
+   * Within-session transition counts — first-order Markov statistics over
+   * the event-type sequence: one row per (from_type, to_type) pair of
+   * consecutive same-entity events whose gap stays within `gapMs` (pass
+   * `Long.MaxValue` to count across session boundaries too).
+   *
+   * Scale shape: the same single entity-hash shuffle + entity-local lag as
+   * [[sessionize]], then a groupBy whose key domain is |event types|² —
+   * the aggregate map-side-combines to a tiny result no matter the corpus
+   * size.
+   */
+  def transitionCounts(df: DataFrame, entityCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, gapMs: Long): DataFrame = {
+    val order = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(order)
+    df.withColumn("_from", lag(col(typeCol), 1).over(order))
+      .withColumn("_gap_ok", col(tsCol) - prevTs <= gapMs)
+      .where(col("_from").isNotNull && col("_gap_ok"))
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming formulation of the same sessions: Structured Streaming's
     * built-in session window (gap semantics identical to [[sessionize]]).
     * Use on a `readStream` frame with a watermark on `tsCol`; tested for

@@ -98,6 +98,30 @@ class SessionsSpec extends AnyFunSuite {
     assert(viaWindow === viaBatch)
   }
 
+  test("transitionCounts matches a single-threaded bigram fold (randomized)") {
+    val s = spark
+    import s.implicits._
+    val types = Array("view", "click", "purchase", "error")
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val events = (0 until 500).map { i =>
+        (rnd.nextInt(10).toLong, i.toLong, rnd.nextInt(3000).toLong,
+          types(rnd.nextInt(types.length)))
+      }
+      val gap = 100L + rnd.nextInt(300)
+      val got = graft.streaming.Sessions.transitionCounts(
+          events.toDF("user_id", "event_id", "ts_ms", "event_type"),
+          "user_id", "ts_ms", "event_id", "event_type", gapMs = gap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        evs.sortBy(e => (e._3, e._2)).sliding(2).collect {
+          case Seq((_, _, t1, ty1), (_, _, t2, ty2)) if t2 - t1 <= gap => (ty1, ty2)
+        }
+      }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      assert(got === expected, s"trial $trial gap=$gap")
+    }
+  }
+
   test("streaming: session_window closes sessions once the watermark passes the gap") {
     val s = spark
     import s.implicits._
