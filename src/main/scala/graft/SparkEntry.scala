@@ -611,6 +611,25 @@ object SparkEntry {
       a.unionByName(b).orderBy("ms", "seq").select(col("seq").as("event_id")).limit(100)
     },
 
+    // as-of join (attribution): each purchase matched to the user's latest
+    // click at-or-before it within 24h — union + per-key carry window, ONE
+    // shuffle, no join explosion (AsofJoin.scala)
+    "join_asof" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms", "event_type")
+      val purchases = ev.where(col("event_type") === "purchase").drop("event_type")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_id").as("click_event_id"))
+      AsofJoin.asof(purchases, clicks, "user_id", "ts_ms", "event_id",
+          Seq("click_event_id"), horizon = 86400000L)
+        .where(col("asof_click_event_id").isNotNull)
+        .select(col("event_id"),
+          col("asof_click_event_id").as("click_event_id"),
+          (col("ts_ms") - col("asof_ts")).as("gap_ms"))
+        .orderBy("event_id")
+    },
+
     // ========================================================= §2.6 sorts/limits
     "sort_topk" -> { (s, dir) =>
       Tables.read(s, dir, "orders")
@@ -1721,6 +1740,28 @@ object SparkEntry {
 
     "join_timeline_merge" ->
       """SELECT event_id FROM events ORDER BY epoch_ms(ts), event_id LIMIT 100""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |         last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+        |           OVER w2 AS click_event_id,
+        |         last_value(CASE WHEN event_type='click' THEN ts_ms END IGNORE NULLS)
+        |           OVER w2 AS click_ts
+        |  FROM e WINDOW w2 AS (
+        |    PARTITION BY user_id
+        |    ORDER BY ts_ms, CASE WHEN event_type='click' THEN 0 ELSE 1 END, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, click_event_id,
+        |       CAST(ts_ms - click_ts AS BIGINT) AS gap_ms
+        |FROM w
+        |WHERE event_type='purchase' AND click_event_id IS NOT NULL
+        |  AND ts_ms - click_ts <= 86400000
+        |ORDER BY event_id""".stripMargin,
 
     "sort_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

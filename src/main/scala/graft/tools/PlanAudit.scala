@@ -17,7 +17,7 @@ object PlanAudit {
         "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate",
         "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes",
         "dedup_incremental", "text_chunks", "events_sessionize",
-        "pipeline_leak_split", "events_transitions")
+        "pipeline_leak_split", "events_transitions", "join_asof")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
