@@ -611,6 +611,25 @@ object SparkEntry {
       a.unionByName(b).orderBy("ms", "seq").select(col("seq").as("event_id")).limit(100)
     },
 
+    // range join (point-in-interval): views falling inside any 6h
+    // post-purchase window of the same user — bucketed equi-join, not the
+    // per-key nested loop Spark would plan for a raw between() join
+    "join_range" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms", "event_type")
+      val views = ev.where(col("event_type") === "view")
+        .select("user_id", "event_id", "ts_ms")
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts_ms").as("w_start"), (col("ts_ms") + 21600000L).as("w_end"))
+      RangeJoin.pointInInterval(views, windows, "user_id", "ts_ms",
+          "w_start", "w_end", bucketWidth = 21600000L)
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_id")).as("n_views"),
+          countDistinct(col("window_id")).as("n_windows"))
+        .orderBy("user_id")
+    },
+
     // as-of join (attribution): each purchase matched to the user's latest
     // click at-or-before it within 24h — union + per-key carry window, ONE
     // shuffle, no join explosion (AsofJoin.scala)
@@ -1740,6 +1759,21 @@ object SparkEntry {
 
     "join_timeline_merge" ->
       """SELECT event_id FROM events ORDER BY epoch_ms(ts), event_id LIMIT 100""".stripMargin,
+
+    "join_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |v AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS window_id, ts_ms AS ws,
+        |             ts_ms + 21600000 AS we
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id,
+        |       count(DISTINCT v.event_id) AS n_views,
+        |       count(DISTINCT p.window_id) AS n_windows
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |             AND v.ts_ms BETWEEN p.ws AND p.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (

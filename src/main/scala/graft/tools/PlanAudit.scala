@@ -17,7 +17,8 @@ object PlanAudit {
         "pipeline_group_cap", "stats_top_tokens", "decon_report", "text_boilerplate",
         "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes",
         "dedup_incremental", "text_chunks", "events_sessionize",
-        "pipeline_leak_split", "events_transitions", "join_asof")
+        "pipeline_leak_split", "events_transitions", "join_asof",
+        "join_range")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
