@@ -154,6 +154,25 @@ object CurationStress {
       graft.streaming.Sessions.sessionStats(ev, "user_id", "ts_ms",
         "event_id", gapMs = 100000L).count()
     }
+    val evs = docs.select(col("doc_id").as("tie"),
+      pmod(col("doc_id"), lit(nDocs / 64)).as("k"),
+      (col("doc_id") * 37L % 1000000000L).as("ts"))
+    time("asof_join", nDocs) {
+      val left = evs.where(pmod(col("tie"), lit(3)) === 0)
+      val right = evs.where(pmod(col("tie"), lit(3)) =!= 0)
+        .withColumn("v", col("tie"))
+      graft.engine.AsofJoin.asof(left, right, "k", "ts", "tie", Seq("v"),
+        horizon = 10000000L).count()
+    }
+    time("range_join", nDocs) {
+      val pts = evs.where(pmod(col("tie"), lit(3)) === 0)
+        .select(col("k"), col("ts"), col("tie").as("pid"))
+      val iv = evs.where(pmod(col("tie"), lit(50)) === 1)
+        .select(col("k"), col("ts").as("st"),
+          (col("ts") + 200000L).as("en"), col("tie").as("iid"))
+      graft.engine.RangeJoin.pointInInterval(pts, iv, "k", "ts", "st", "en",
+        bucketWidth = 200000L).count()
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
