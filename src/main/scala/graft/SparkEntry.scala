@@ -1221,6 +1221,18 @@ object SparkEntry {
         .orderBy("lang", "rank")
     },
 
+    // KMV distinct sketch (custom merge-able TypedImperativeAggregate,
+    // O(k) state per group, raw values never shuffle): exact while the
+    // true distinct count stays below k, so at the driver SFs (users per
+    // type ≪ 65536) the oracle is plain COUNT(DISTINCT); the approximate
+    // regime and merge invariance are KmvSpec's job
+    "stats_kmv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_type", "user_id")
+      ev.groupBy("event_type")
+        .agg(graft.pipeline.Kmv.distinctCount(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // corpus-profiling quantiles: histogram-first exact discrete quantiles
     // (the window runs over #distinct token counts, never corpus rows)
     "stats_quantiles" -> { (s, dir) =>
@@ -2165,6 +2177,10 @@ object SparkEntry {
         |  SELECT lang, value, cnt, row_number() OVER (PARTITION BY lang
         |    ORDER BY cnt DESC, value ASC) AS rank FROM c)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "stats_kmv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "stats_quantiles" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v

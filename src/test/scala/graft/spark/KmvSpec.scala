@@ -1,0 +1,61 @@
+package graft.spark
+
+import graft.pipeline.Kmv
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV distinct sketch: exact below k, bounded error above k,
+  * partitioning-invariant merges, null/string handling. */
+class KmvSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("exact regime: estimate equals countDistinct while distinct < k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val values = Seq.fill(5000)(rnd.nextInt(800).toLong) // ~800 distinct, dups
+    val df = values.toDF("v")
+    val Row = df.agg(
+      Kmv.distinctCount(col("v"), k = 1024).as("kmv"),
+      countDistinct(col("v")).as("exact")).collect()(0)
+    assert(Row.getLong(0) === Row.getLong(1))
+  }
+
+  test("approximate regime: relative error within KMV bounds (deterministic)") {
+    val s = spark
+    import s.implicits._
+    val n = 60000L
+    val df = spark.range(n).select((col("id") * 2654435761L).as("v"))
+    val est = df.agg(Kmv.distinctCount(col("v"), k = 1024)).collect()(0).getLong(0)
+    // rse ~ 1/sqrt(k-2) ~ 3.1%; deterministic inputs give a fixed estimate
+    val relErr = math.abs(est - n).toDouble / n
+    assert(relErr < 0.1, s"estimate $est for $n distinct, relErr $relErr")
+  }
+
+  test("estimate is invariant to partitioning (merge correctness)") {
+    val s = spark
+    import s.implicits._
+    val df = spark.range(30000).select((col("id") % 7000).as("v"))
+    val ests = Seq(1, 3, 16).map { p =>
+      df.repartition(p).agg(Kmv.distinctCount(col("v"), k = 512))
+        .collect()(0).getLong(0)
+    }
+    assert(ests.distinct.size === 1, s"partitioning changed the estimate: $ests")
+  }
+
+  test("nulls ignored; string input supported; grouped aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")),
+      ("b", Some("x")), ("b", Some("x"))).toDF("g", "v")
+    val got = df.groupBy("g").agg(Kmv.distinctCount(col("v"), k = 64).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
+}
