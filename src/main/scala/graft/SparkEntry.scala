@@ -226,6 +226,19 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     },
 
+    // ordered funnel view -> click -> purchase: per-stage bounded min
+    // aggregates co-keyed on user, strict-ts advancement. Scoped to the
+    // first days of the stream so depths actually spread (the full month
+    // funnels every user to depth 3)
+    "events_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_ms", "event_type")
+        .where(col("ts_ms") < 1704412800000L)
+      graft.streaming.Sessions.funnelDepth(ev, "user_id", "ts_ms",
+          "event_type", Seq("view", "click", "purchase"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+    },
+
     // first-order event-type transition counts within sessions (12h gap):
     // same single entity shuffle as sessionize, |types|^2-bounded rollup
     "events_transitions" -> { (s, dir) =>
@@ -1510,6 +1523,30 @@ object SparkEntry {
         |       min(event_id) AS first_event, max(event_id) AS last_event,
         |       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+        |  WHERE epoch_ns(ts) // 1000000 < 1704412800000),
+        |v AS (SELECT user_id, min(ts_ms) AS r FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_ms) AS r FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_ms > v.r GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_ms) AS r FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_ms > c.r GROUP BY 1),
+        |d AS (
+        |  SELECT u.user_id,
+        |         CASE WHEN p.user_id IS NOT NULL THEN 3
+        |              WHEN c.user_id IS NOT NULL THEN 2
+        |              WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id)
+        |SELECT CAST(depth AS INT) AS depth, count(*) AS n_users
+        |FROM d GROUP BY 1 ORDER BY depth""".stripMargin,
 
     "events_transitions" ->
       """WITH e AS (

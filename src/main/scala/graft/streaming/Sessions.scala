@@ -84,6 +84,43 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Ordered funnel: how far each entity progresses through `stages` (an
+   * event-type sequence), where each stage must occur STRICTLY after the
+   * time the previous stage was first reached (equal-timestamp
+   * transitions do not advance — strict ts keeps the semantics
+   * tie-key-free and engine-portable). Returns (entityCol, depth) with
+   * depth in 0..stages.length for every entity in `df`.
+   *
+   * Scale shape: one bounded `min` aggregate per stage, each joined
+   * co-keyed on the entity — K aggregates on the SAME hash key (exchange
+   * reuse, no per-entity sequence materialization, no window over the
+   * full stream). Stage frames shrink monotonically: stage i+1 only scans
+   * entities that reached stage i.
+   */
+  def funnelDepth(df: DataFrame, entityCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var depth = df.select(col(entityCol)).distinct()
+      .withColumn("depth", lit(0))
+    var prev: Option[DataFrame] = None
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val cand = df.where(col(typeCol) === stage)
+        .select(col(entityCol), col(tsCol))
+      val reached = (prev match {
+        case None => cand
+        case Some(p) => cand.join(p, entityCol).where(col(tsCol) > col("_reach"))
+      }).groupBy(entityCol).agg(min(col(tsCol)).as("_reach"))
+      depth = depth.join(reached.select(col(entityCol), lit(1).as("_hit")),
+          Seq(entityCol), "left")
+        .withColumn("depth",
+          when(col("_hit").isNotNull, lit(i + 1)).otherwise(col("depth")))
+        .drop("_hit")
+      prev = Some(reached)
+    }
+    depth
+  }
+
   /** Streaming formulation of the same sessions: Structured Streaming's
     * built-in session window (gap semantics identical to [[sessionize]]).
     * Use on a `readStream` frame with a watermark on `tsCol`; tested for

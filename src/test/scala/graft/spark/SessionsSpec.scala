@@ -122,6 +122,34 @@ class SessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelDepth matches a nested-min reference; strict-ts advancement (randomized)") {
+    val s = spark
+    import s.implicits._
+    val types = Array("view", "click", "purchase", "error")
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 3) {
+      val events = (0 until 400).map { i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(60).toLong, // coarse ts: forces ties
+          types(rnd.nextInt(types.length)))
+      }
+      val got = graft.streaming.Sessions.funnelDepth(
+          events.toDF("user_id", "ts_ms", "event_type"),
+          "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = events.groupBy(_._1).map { case (u, evs) =>
+        def minAfter(t: String, after: Option[Long]): Option[Long] = {
+          val c = evs.filter(e => e._3 == t && after.forall(e._2 > _)).map(_._2)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val v = minAfter("view", None)
+        val c = v.flatMap(vt => minAfter("click", Some(vt)))
+        val p = c.flatMap(ct => minAfter("purchase", Some(ct)))
+        u -> (if (p.isDefined) 3 else if (c.isDefined) 2 else if (v.isDefined) 1 else 0)
+      }
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("streaming: session_window closes sessions once the watermark passes the gap") {
     val s = spark
     import s.implicits._
