@@ -950,6 +950,15 @@ object SparkEntry {
         .orderBy("split")
     },
 
+    // deterministic training-shard export: the reproducible global shuffle
+    // (md5 shuffle key -> shard + within-shard read position); the oracle
+    // replays the identical permutation from the same md5 arithmetic
+    "pipeline_shards" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Sharding.shardAssignments(docs, "doc_id", nShards = 8, seed = 42)
+        .orderBy("shard", "pos")
+    },
+
     // leak-safe split: keyed on normalized CONTENT, so the planted exact
     // copies (ids + 1000000) must land on the same side as their sources —
     // n_texts counts distinct contents, proving copies never straddle
@@ -2010,6 +2019,16 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "pipeline_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(h % 8 AS INTEGER) AS shard,
+        |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos,
+        |       doc_id
+        |FROM k ORDER BY shard, pos""".stripMargin,
 
     "pipeline_leak_split" ->
       """WITH all_docs AS (
