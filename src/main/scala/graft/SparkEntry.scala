@@ -1313,6 +1313,26 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // payload-level resize: BMPs nearest-neighbor downsampled to fit 8px and
+    // RE-ENCODED, then decoded again — dims and byte size of the new payload
+    // follow exact integer arithmetic the oracle replays; WAVs pass through
+    "multimodal_resize" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(Multimodal.resizeMedia(media, maxDim = 8)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
+        .orderBy("media_id")
+    },
+
+    // windowed audio features: every WAV yields ceil(nFrames/hop) windows
+    // (30 ms window, 20 ms hop at 8 kHz); the oracle replays the schedule
+    // (rms/peak are sample-dependent — covered by MultimodalSpec goldens)
+    "multimodal_audio" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
+      Multimodal.audioWindows(media, windowMs = 30, hopMs = 20)
+        .select("media_id", "window_idx", "start_ms", "n_frames")
+        .orderBy("media_id", "window_idx")
+    },
+
     // ========================================================= pipeline: urls
     // URL canonicalization: messy URLs are constructed deterministically per
     // doc (scheme/WWW case, default ports, tracking params, fragments,
@@ -2548,6 +2568,36 @@ object SparkEntry {
         |       THEN 54 + (1 + doc_id % 16) * (((1 + octet_length(encode(text)) % 32) * 3 + 3) // 4 * 4)
         |       ELSE 44 + (100 + octet_length(encode(text)) % 500) * 2 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + octet_length(encode(text)) % 32 ELSE 0 END AS w0,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 0 END AS h0
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN doc_id % 2 = 0 AND greatest(w0, h0) > 8
+        |         THEN (w0 * 8 + greatest(w0, h0) - 1) // greatest(w0, h0) ELSE w0 END AS w1,
+        |    CASE WHEN doc_id % 2 = 0 AND greatest(w0, h0) > 8
+        |         THEN (h0 * 8 + greatest(w0, h0) - 1) // greatest(w0, h0) ELSE h0 END AS h1
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(w1 AS INTEGER) AS width,
+        |  CAST(h1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + h1 * ((w1 * 3 + 3) // 4 * 4)
+        |       ELSE 44 + (100 + len % 500) * 2 END AS BIGINT) AS n_bytes
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    "multimodal_audio" ->
+      """WITH w AS (
+        |  SELECT doc_id, 100 + octet_length(encode(text)) % 500 AS nf
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |e AS (
+        |  SELECT doc_id, nf, unnest(range(0, (nf + 159) // 160)) AS g FROM w)
+        |SELECT doc_id AS media_id, CAST(g AS INTEGER) AS window_idx,
+        |  CAST(g * 160 * 1000 // 8000 AS BIGINT) AS start_ms,
+        |  CAST(least(nf, g * 160 + 240) - g * 160 AS INTEGER) AS n_frames
+        |FROM e ORDER BY media_id, window_idx""".stripMargin,
 
     "url_normalize" ->
       """WITH raw AS (

@@ -232,13 +232,133 @@ object Multimodal {
 
   // ------------------------------------------------------------ pipelines
 
-  /** Resize planning: a metadata-level operation (target dims recorded; a
-    * real impl would re-encode the payload through the codec). */
+  /** Resize planning: a metadata-level operation (target dims from the
+    * same ceil-division [[resizeBmp]] performs on the payload). */
   def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
     val f = features.toDF()
     val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
     f.withColumn("out_width", ceil(col("width") * scale).cast("int"))
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** REAL downsample of a 24-bpp BMP payload: nearest-neighbor resample so
+    * the longest side is <= maxDim, re-encoded as a spec-conformant BMP.
+    * Output dims use exact integer ceil-division
+    * (`(dim * maxDim + longest - 1) / longest`) so they are reproducible in
+    * integer SQL; source pixel for output (x, y) is the floor-scaled
+    * (x * w / outW, y * h / outH). Images already within bounds pass
+    * through byte-identical; non-BMP/malformed payloads return None. */
+  def resizeBmp(b: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    val height = math.abs(rawHeight)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length) return None
+    val longest = math.max(width, height)
+    if (longest <= maxDim) return Some(b)
+    val outW = ((width.toLong * maxDim + longest - 1) / longest).toInt
+    val outH = ((height.toLong * maxDim + longest - 1) / longest).toInt
+    def src(x: Int, y: Int): (Int, Int, Int) = {
+      val sx = (x.toLong * width / outW).toInt
+      val sy = (y.toLong * height / outH).toInt
+      val srcRow = if (rawHeight > 0) height - 1 - sy else sy
+      val base = pixelOffset + srcRow * rowSize + sx * 3
+      ((b(base + 2) & 0xff, b(base + 1) & 0xff, b(base) & 0xff))
+    }
+    Some(encodeBmp(outW, outH, src))
+  }
+
+  /** Payload-level resize over a media stream: BMP payloads re-encoded
+    * through [[resizeBmp]], everything else passed through untouched —
+    * scan-local batches, nothing collects. */
+  def resizeMedia(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      resizeBmp(if (r.media == null) Array.emptyByteArray else r.media, maxDim)
+        .map(out => r.copy(media = out)).getOrElse(r)
+    })
+  }
+
+  /** Windowed audio features — the frame-sample path with real samples:
+    * each 16-bit PCM WAV yields one row per analysis window (`windowMs`
+    * long, advancing by `hopMs`, final partial window kept) with the RMS
+    * and peak of the window's normalized samples across all channels.
+    * Non-WAV payloads yield no rows. Scan-local (flatMap in partition
+    * batches); window count per item is ceil(nFrames / hopFrames). */
+  def audioWindows(media: Dataset[MediaRow], windowMs: Int, hopMs: Int): DataFrame = {
+    require(windowMs > 0 && hopMs > 0, s"windowMs/hopMs must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val b = if (r.media == null) Array.emptyByteArray else r.media
+      parseWavSamples(b) match {
+        case None => Iterator.empty
+        case Some((sampleRate, channels, samples)) =>
+          val nFrames = samples.length / channels
+          val winF = math.max(1, sampleRate.toLong * windowMs / 1000).toInt
+          val hopF = math.max(1, sampleRate.toLong * hopMs / 1000).toInt
+          Iterator.range(0, nFrames, hopF).zipWithIndex.map { case (startF, idx) =>
+            val endF = math.min(nFrames, startF + winF)
+            var sumSq = 0.0
+            var peak = 0.0
+            var i = startF * channels
+            val end = endF * channels
+            while (i < end) {
+              val s = samples(i) / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val n = end - startF * channels
+            (r.media_id, idx, startF.toLong * 1000 / sampleRate,
+              endF - startF, math.sqrt(sumSq / n), peak)
+          }
+      }
+    }.toDF("media_id", "window_idx", "start_ms", "n_frames", "rms", "peak")
+  }
+
+  /** WAV parse down to raw 16-bit samples (interleaved) — shared by
+    * [[decodeWav]]-style feature paths that need the sample stream. */
+  private def parseWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataStart = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val tag = new String(b, pos, 4, StandardCharsets.US_ASCII)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      tag match {
+        case "fmt " =>
+          if (len < 16 || buf.getShort(pos + 8) != 1) return None
+          channels = buf.getShort(pos + 10) & 0xffff
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+        case "data" =>
+          dataStart = pos + 8
+          dataLen = len
+        case _ =>
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataStart < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(dataStart + i * 2); i += 1 }
+    Some((sampleRate, channels, out))
   }
 
   /** Frame sampling for video-like payloads: every nth chunk index. */

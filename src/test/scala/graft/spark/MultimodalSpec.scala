@@ -73,4 +73,70 @@ class MultimodalSpec extends AnyFunSuite {
     val empty = Multimodal.decode(MediaRow(7L, "x", null))
     assert(empty.n_bytes === 0L)
   }
+
+  test("resizeBmp: golden nearest-neighbor mapping, pass-through, mean preservation") {
+    // 4x2 gradient; maxDim=2 -> outW=2, outH=1; src pixel = floor(x*4/2, y*2/1)
+    val srcPix = (x: Int, y: Int) => (x * 10 + y, x * 20, y * 30)
+    val small = Multimodal.resizeBmp(Multimodal.encodeBmp(4, 2, srcPix), 2).get
+    val expect = Multimodal.encodeBmp(2, 1, (x, y) => srcPix(x * 2, y * 2))
+    assert(small.toSeq === expect.toSeq)
+    // within bounds: byte-identical pass-through
+    val tiny = Multimodal.encodeBmp(3, 2, srcPix)
+    assert(Multimodal.resizeBmp(tiny, 8).get eq tiny)
+    // uniform color survives any resample exactly
+    val uni = Multimodal.encodeBmp(37, 23, (_, _) => (10, 200, 60))
+    val f = Multimodal.decode(MediaRow(1L, "image/bmp",
+      Multimodal.resizeBmp(uni, 8).get))
+    assert(f.width === 8 && f.height === 5) // ceil(37*8/37), ceil(23*8/37)
+    val lum = (77 * 10 + 150 * 200 + 29 * 60) >> 8
+    assert(math.abs(f.mean_level - lum) < 1e-9)
+    // non-BMP payloads are refused, not mangled
+    assert(Multimodal.resizeBmp("RIFF....WAVE".getBytes, 8).isEmpty)
+  }
+
+  test("audioWindows: constant-amplitude goldens, partial final window, non-WAV drops") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 2500 frames at 1 kHz mono, constant 0.5 amplitude: windowMs=1000,
+    // hopMs=1000 -> windows of 1000, 1000, 500 frames, rms=peak=~0.5
+    val amp = math.round(0.5 * 32767.0) / 32768.0
+    val wav = Multimodal.encodeWav(2500, 1000, 1, (_, _) => 0.5)
+    val media = Seq(MediaRow(1L, "audio/wav", wav),
+      MediaRow(2L, "text/plain", "not audio".getBytes)).toDS()
+    val rows = Multimodal.audioWindows(media, windowMs = 1000, hopMs = 1000)
+      .orderBy("media_id", "window_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 0, 0L, 1000), (1L, 1, 1000L, 1000), (1L, 2, 2000L, 500)))
+    rows.foreach { t =>
+      assert(math.abs(t._5 - amp) < 1e-9, s"rms ${t._5}")
+      assert(math.abs(t._6 - amp) < 1e-9, s"peak ${t._6}")
+    }
+  }
+
+  test("resizeMedia bounds every BMP; WAV passes through untouched") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, ("x" * (1 + i.toInt % 97)) + "y"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeMedia(media, maxDim = 8)
+    val feats = Multimodal.extractFeatures(resized).collect()
+    feats.foreach { f =>
+      if (f.mime == "image/bmp") {
+        assert(f.width <= 8 && f.height <= 8 && f.width > 0, s"dims $f")
+      }
+    }
+    // WAV payloads byte-identical to the originals
+    val origWav = media.collect().filter(_.mime == "audio/wav")
+      .map(r => r.media_id -> r.media.toSeq).toMap
+    resized.collect().filter(_.mime == "audio/wav").foreach { r =>
+      assert(r.media.toSeq === origWav(r.media_id))
+    }
+  }
 }
