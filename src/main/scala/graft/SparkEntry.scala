@@ -643,6 +643,26 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // interval-overlap join: 2h view sessions x +-1h error windows per user,
+    // bucketed equi-join with exactly-once pair emission (no post-distinct)
+    "join_interval" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms", "event_type")
+      val sessions = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_ms").as("v_start"), (col("ts_ms") + 7200000L).as("v_end"))
+      val outages = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          (col("ts_ms") - 3600000L).as("e_start"), (col("ts_ms") + 3600000L).as("e_end"))
+      RangeJoin.intervalOverlap(sessions, outages, "user_id",
+          "v_start", "v_end", "e_start", "e_end", bucketWidth = 7200000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(col("err_id")).as("n_errors"))
+        .orderBy("user_id")
+    },
+
     // as-of join (attribution): each purchase matched to the user's latest
     // click at-or-before it within 24h — union + per-key carry window, ONE
     // shuffle, no join explosion (AsofJoin.scala)
@@ -1851,6 +1871,21 @@ object SparkEntry {
         |       count(DISTINCT p.window_id) AS n_windows
         |FROM v JOIN p ON v.user_id = p.user_id
         |             AND v.ts_ms BETWEEN p.ws AND p.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_interval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts_ms AS vs,
+        |             ts_ms + 7200000 AS ve FROM e WHERE event_type = 'view'),
+        |x AS (SELECT user_id, event_id AS err_id, ts_ms - 3600000 AS es,
+        |             ts_ms + 3600000 AS ee FROM e WHERE event_type = 'error')
+        |SELECT v.user_id, count(*) AS n_pairs,
+        |       count(DISTINCT view_id) AS n_views,
+        |       count(DISTINCT err_id) AS n_errors
+        |FROM v JOIN x ON v.user_id = x.user_id
+        |             AND v.vs <= x.ee AND x.es <= v.ve
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof" ->

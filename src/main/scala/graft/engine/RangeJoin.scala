@@ -58,4 +58,38 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /**
+   * Interval-overlap join: all same-key pairs whose CLOSED intervals
+   * intersect (`lStart <= rEnd && rStart <= lEnd`) — schedule conflicts,
+   * session-vs-outage attribution, span containment.
+   *
+   * Same bucket decomposition as [[pointInInterval]], with BOTH sides
+   * exploded to their covered buckets. A pair sharing k buckets would
+   * surface k times from the equi-join, so each pair is claimed by exactly
+   * one bucket — the one containing the overlap's start `max(lStart,
+   * rStart)` (truncation is monotone, so that bucket is `max(lStart div W,
+   * rStart div W)`, always among the shared buckets): no post-join
+   * distinct, which would shuffle the matched payload a second time.
+   */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keyCol: String,
+                      lStartCol: String, lEndCol: String,
+                      rStartCol: String, rEndCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"column collision between sides: ${overlap.mkString(", ")} — alias first")
+    def buckets(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bucket", explode(sequence(
+        expr(s"cast(`$s` as bigint) div $bucketWidth"),
+        expr(s"cast(`$e` as bigint) div $bucketWidth"))))
+    buckets(left, lStartCol, lEndCol)
+      .join(buckets(right, rStartCol, rEndCol), Seq(keyCol, "_bucket"))
+      .where(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
+        col("_bucket") === greatest(
+          expr(s"cast(`$lStartCol` as bigint) div $bucketWidth"),
+          expr(s"cast(`$rStartCol` as bigint) div $bucketWidth")))
+      .drop("_bucket")
+  }
 }

@@ -18,7 +18,8 @@ object PlanAudit {
         "url_normalize", "url_dedup", "url_domain_cap", "dsir_votes",
         "dedup_incremental", "text_chunks", "events_sessionize",
         "pipeline_leak_split", "events_transitions", "join_asof",
-        "join_range", "stats_kmv", "events_funnel")
+        "join_range", "stats_kmv", "events_funnel", "pipeline_shards",
+        "multimodal_resize", "multimodal_audio")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -71,4 +71,47 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collision"))
   }
+
+  test("intervalOverlap differential: random interval sets, exactly-once pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 4) {
+      val span = if (trial == 3) 150 else 1500
+      val shift = if (trial == 3) -75 else 0
+      def mk(n: Int, tag: Long) = (0 until n).map { i =>
+        val st = (rnd.nextInt(span) + shift).toLong
+        (rnd.nextInt(4).toLong, st, st + rnd.nextInt(200).toLong, tag + i)
+      }
+      val ls = mk(120, 0L)
+      val rs = mk(90, 1000L)
+      val width = 40L + rnd.nextInt(150)
+      val got = RangeJoin.intervalOverlap(
+          ls.toDF("k", "ls", "le", "lid"),
+          rs.toDF("k", "rs", "re", "rid"),
+          "k", "ls", "le", "rs", "re", bucketWidth = width)
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = for {
+        (lk, lst, len0, lid) <- ls
+        (rk, rst, ren, rid) <- rs
+        if lk == rk && lst <= ren && rst <= len0
+      } yield (lid, rid)
+      assert(got.sorted === expected.sorted, s"trial $trial width=$width")
+      assert(got.length === got.distinct.length, s"trial $trial dup pairs")
+    }
+  }
+
+  test("intervalOverlap plan contract: equi-join, no nested loop") {
+    val s = spark
+    import s.implicits._
+    val ls = (0 until 60).map(i => (i.toLong % 4, i.toLong, i.toLong + 20, i.toLong))
+      .toDF("k", "ls", "le", "lid")
+    val rs = (0 until 40).map(i => (i.toLong % 4, i.toLong * 2, i.toLong * 2 + 15, i.toLong))
+      .toDF("k", "rs", "re", "rid")
+    val plan = RangeJoin.intervalOverlap(ls, rs, "k", "ls", "le", "rs", "re", 25L)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("nestedloop") && !plan.contains("cartesian"),
+      s"interval overlap must not plan a nested loop:\n$plan")
+  }
 }
