@@ -1064,6 +1064,19 @@ object SparkEntry {
         .orderBy("seq_id")
     },
 
+    // the export tail of the training-data path composed end-to-end:
+    // token counts -> packed sequences -> deterministic shard shuffle ->
+    // per-shard sequence/token totals (level shards, reproducible layout)
+    "pipeline_export" -> { (s, dir) =>
+      val tok = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val seqs = Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 512L)
+      graft.pipeline.Sharding.withShard(seqs, "seq_id", nShards = 8, seed = 42)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("shard")
+    },
+
     // token-budget carving: keep docs in deterministic md5 order until the
     // running token total hits the budget — "give me exactly ~20k tokens";
     // only (id, n_tokens, hash) go through the prefix-sum exchange
@@ -2355,6 +2368,19 @@ object SparkEntry {
         |SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    "pipeline_export" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |  sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS st
+        |  FROM t),
+        |s AS (SELECT CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
+        |        CAST(sum(nt) AS BIGINT) AS n_tokens
+        |      FROM c GROUP BY 1)
+        |SELECT CAST(CAST('0x' || substr(md5('42:' || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |       count(*) AS n_seqs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "pipeline_report" ->
       """WITH all_docs AS (

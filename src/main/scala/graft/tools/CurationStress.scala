@@ -173,6 +173,35 @@ object CurationStress {
       graft.engine.RangeJoin.pointInInterval(pts, iv, "k", "ts", "st", "en",
         bucketWidth = 200000L).count()
     }
+    time("interval_join", nDocs) {
+      val ls = evs.where(pmod(col("tie"), lit(3)) === 0)
+        .select(col("k"), col("ts").as("ls"), (col("ts") + 150000L).as("le"),
+          col("tie").as("lid"))
+      val rs = evs.where(pmod(col("tie"), lit(50)) === 1)
+        .select(col("k"), col("ts").as("rs"), (col("ts") + 300000L).as("re"),
+          col("tie").as("rid"))
+      graft.engine.RangeJoin.intervalOverlap(ls, rs, "k", "ls", "le", "rs", "re",
+        bucketWidth = 300000L).count()
+    }
+    time("shard_export", nDocs) {
+      Sharding.shardAssignments(docs, "doc_id", nShards = 256, seed = 42)
+        .agg(sum(col("pos"))).collect()
+      nDocs
+    }
+    time("media_decode", nDocs) {
+      // real BMP/WAV payloads synthesized from the text, decoded + resized +
+      // windowed: the full multimodal pass over ~nDocs binary payloads
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      Multimodal.extractFeatures(Multimodal.resizeMedia(media, maxDim = 8))
+        .toDF().agg(sum(col("n_bytes"))).collect()
+      nDocs
+    }
+    time("audio_windows", nDocs) {
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      Multimodal.audioWindows(media, windowMs = 30, hopMs = 20)
+        .agg(sum(col("n_frames"))).collect()
+      nDocs
+    }
     val queries = emb.where(col("vec_id") < 10)
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
