@@ -229,13 +229,23 @@ object Dedup {
     * ids in production ([[Similarity.ivfBuild]]), [[signCluster]] where
     * engine-portable determinism matters.
     *
-    * Scale shape: the self-join is an equi-join on the cluster key, and
-    * only (id, cluster) pairs travel through it — vectors re-join by id for
-    * the within-cluster candidate pairs (ids-only-through-the-shuffle, as
-    * in [[Dedup.minhashNearDuplicates]] / embeddingNearDuplicates).
-    * Clusters above `maxClusterSize` are excluded from pairwise scoring
-    * (their members keep `kept = true`) — size the cluster count so cells
-    * stay bounded, exactly the IVF nCells-grows-with-corpus rule.
+    * Scale shape: exact-identical vectors are first collapsed to one
+    * representative per (cluster, vector) — the min id — because a copy of
+    * a lower-id vector sits at cosine exactly 1 and is dropped by
+    * definition whenever `tau <= 1`. That collapse costs one linear
+    * (cluster, vec) aggregation + join-back, and removes the quadratic
+    * blow-up that exact-duplicate-heavy corpora (the common case before
+    * dedup) otherwise hit in the pairwise stage; a rep x is dropped for a
+    * lower-id member y of another group iff that group's rep (<= y) is
+    * similar, so rep-level pairwise decides every member exactly. The
+    * pairwise self-join itself is an equi-join on the cluster key, and
+    * only (id, cluster) pairs travel through it — vectors re-join by id
+    * for the within-cluster candidate pairs (ids-only-through-the-shuffle,
+    * as in [[Dedup.minhashNearDuplicates]] / embeddingNearDuplicates).
+    * Clusters with more than `maxClusterSize` DISTINCT vectors are
+    * excluded from pairwise scoring (their representatives keep
+    * `kept = true`; exact copies still drop) — size the cluster count so
+    * cells stay bounded, exactly the IVF nCells-grows-with-corpus rule.
     *
     * Returns (id, cluster, kept). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
@@ -243,7 +253,10 @@ object Dedup {
                     maxClusterSize: Int = 100000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       clusterCol.as("cluster"))
-    val keys = base.select(col("id"), col("cluster"))
+    // one representative per distinct vector within a cluster
+    val reps = base.groupBy(col("cluster"), col("vec"))
+      .agg(min(col("id")).as("rep_id"))
+    val keys = reps.select(col("rep_id").as("id"), col("cluster"))
     val sized = keys.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
     val capped = keys.join(
       sized.where(col("cluster_n") <= maxClusterSize).select("cluster"),
@@ -258,9 +271,13 @@ object Dedup {
       .where(Similarity.cosine(col("v1"), col("v2")) >= tau)
       .select(col("id2").as("id")).distinct()
       .withColumn("is_dropped", lit(true))
-    base.join(dropped, Seq("id"), "left_outer")
+    // fan the rep decision back out: non-rep members are exact copies of a
+    // lower-id vector (cosine 1) — dropped iff tau <= 1
+    base.join(reps, Seq("cluster", "vec"))
+      .join(dropped.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left_outer")
       .select(col("id"), col("cluster"),
-        (coalesce(col("is_dropped"), lit(false)) === false).as("kept"))
+        when(col("id") =!= col("rep_id"), lit(!(tau <= 1.0)))
+          .otherwise(coalesce(col("is_dropped"), lit(false)) === false).as("kept"))
   }
 
   /**

@@ -751,12 +751,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> true, 2L -> true))
   }
 
-  test("semanticDedup skips clusters above maxClusterSize (members kept)") {
-    val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+  test("semanticDedup skips clusters above maxClusterSize; exact copies still drop") {
+    // 3 DISTINCT near-dup vectors in one cluster, cap 2: pairwise skipped,
+    // all representatives kept
+    val v = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.001f)), (3L, Seq(1.0f, 0.002f)))
     val got = Dedup.semanticDedup(v, "id", "vec", Dedup.signCluster(col("vec"), 1),
         tau = 0.99, maxClusterSize = 2)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got === Map(1L -> true, 2L -> true, 3L -> true))
+    // exact copies collapse BEFORE the cap (cosine exactly 1 needs no
+    // pairwise pass): 3 copies + 1 distinct = 2 representatives <= cap,
+    // copies drop, distinct reps survive the pairwise check
+    val c = vecs((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))
+    val got2 = Dedup.semanticDedup(c, "id", "vec", Dedup.signCluster(col("vec"), 1),
+        tau = 0.99, maxClusterSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got2 === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
   test("PROPERTY: semanticDedup matches a driver-side reference on random vectors") {
