@@ -1100,6 +1100,28 @@ object SparkEntry {
 
     // SemDeDup: cluster-scoped semantic dedup; the sign-signature clusterer
     // keeps the assignment engine-portable so the oracle reproduces it
+    // int8 scalar quantization of the embedding store: per-vector affine
+    // range + 8-bit codes (4x at-rest footprint); codes are IEEE-exact
+    // double arithmetic, replayed verbatim by the oracle
+    "emb_quantize" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.pipeline.Quantize.quantizeAll(emb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("qmin"), col("qscale"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+        .orderBy("vec_id")
+    },
+
+    // serving-path top-k over the QUANTIZED store (midpoint dequantize +
+    // exact cosine): the oracle dequantizes with the same arithmetic
+    "sim_quantized" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val qCorpus = graft.pipeline.Quantize.quantizeAll(emb, "vec_id", "embedding")
+      graft.pipeline.Quantize.quantizedTopK(qCorpus, queries, "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
     "dedup_semantic" -> { (s, dir) =>
       val emb = Tables.read(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id"), col("embedding"))
@@ -2596,6 +2618,30 @@ object SparkEntry {
         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans
         |FROM all_docs a LEFT JOIN p ON a.doc_id = p.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id, list_min(e) AS qmin,
+        |        (list_max(e) - list_min(e)) / 255 AS qscale, e FROM v)
+        |SELECT vec_id, qmin, qscale,
+        |  CAST(list_sum(list_transform(e, x -> CASE WHEN qscale = 0 THEN 0
+        |    ELSE CAST(least(255, floor((x - qmin) / qscale)) AS BIGINT) END)) AS BIGINT) AS code_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "sim_quantized" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+        |qz AS (SELECT vec_id, list_min(e) AS qmin,
+        |         (list_max(e) - list_min(e)) / 255 AS qscale, e FROM v),
+        |d AS (SELECT vec_id AS neighbor_id,
+        |        list_transform(e, x -> CASE WHEN qscale = 0 THEN qmin
+        |          ELSE qmin + (least(255, floor((x - qmin) / qscale)) + 0.5) * qscale END) AS cv
+        |      FROM qz)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+        |  FROM q, d WHERE query_id <> neighbor_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" ->
       """WITH v AS (
