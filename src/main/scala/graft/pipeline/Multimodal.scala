@@ -76,10 +76,13 @@ object Multimodal {
     val rawHeight = buf.getInt(22)
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+        bpp != 24 || compression != 0) return None
     val height = math.abs(rawHeight)
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length) return None
+    // long arithmetic: a hostile header's width*3 overflows int
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
+    val rowSize = rowSizeL.toInt // bounded by b.length after the check
     val hist = new Array[Double](16)
     var lumSum = 0.0
     var y = 0
@@ -151,7 +154,7 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val tag = new String(b, pos, 4, StandardCharsets.US_ASCII)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return None
+      if (len < 0 || pos.toLong + 8 + len > b.length) return None // long: hostile len overflows int
       tag match {
         case "fmt " =>
           if (len < 16 || buf.getShort(pos + 8) != 1) return None // PCM only
@@ -257,10 +260,13 @@ object Multimodal {
     val rawHeight = buf.getInt(22)
     val bpp = buf.getShort(28) & 0xffff
     val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+        bpp != 24 || compression != 0) return None
     val height = math.abs(rawHeight)
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSize.toLong * height > b.length) return None
+    // long arithmetic: a hostile header's width*3 overflows int
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
+    val rowSize = rowSizeL.toInt // bounded by b.length after the check
     val longest = math.max(width, height)
     if (longest <= maxDim) return Some(b)
     val outW = ((width.toLong * maxDim + longest - 1) / longest).toInt
@@ -339,7 +345,7 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val tag = new String(b, pos, 4, StandardCharsets.US_ASCII)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return None
+      if (len < 0 || pos.toLong + 8 + len > b.length) return None // long: hostile len overflows int
       tag match {
         case "fmt " =>
           if (len < 16 || buf.getShort(pos + 8) != 1) return None

@@ -203,6 +203,15 @@ object CurationStress {
       nDocs
     }
     val queries = emb.where(col("vec_id") < 10)
+    time("quantize", nVecs) {
+      Quantize.quantizeAll(emb, "vec_id", "embedding")
+        .agg(sum(col("qscale"))).collect()
+      nVecs
+    }
+    time("quantized_topk", nVecs) {
+      val qc = Quantize.quantizeAll(emb, "vec_id", "embedding")
+      Quantize.quantizedTopK(qc, queries, "vec_id", "embedding", k = 3).count()
+    }
     time("lsh_topk", nVecs) {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3).count()
     }

@@ -19,7 +19,8 @@ object PlanAudit {
         "dedup_incremental", "text_chunks", "events_sessionize",
         "pipeline_leak_split", "events_transitions", "join_asof",
         "join_range", "stats_kmv", "events_funnel", "pipeline_shards",
-        "multimodal_resize", "multimodal_audio")
+        "multimodal_resize", "multimodal_audio", "join_interval",
+        "pipeline_export", "emb_quantize", "sim_quantized")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -74,6 +74,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty.n_bytes === 0L)
   }
 
+  test("decode and resizeBmp never throw on fuzzed/truncated payloads") {
+    val rnd = new scala.util.Random(31)
+    val wav = Multimodal.encodeWav(100, 8000, 1, (f, _) => math.sin(f * 0.1))
+    val bmp = Multimodal.encodeBmp(9, 7, (x, y) => (x * 20, y * 30, 40))
+    val payloads =
+      (0 until 200).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)) ++
+      (0 until wav.length by 7).map(wav.take) ++   // truncated WAVs
+      (0 until bmp.length by 7).map(bmp.take) ++   // truncated BMPs
+      Seq(bmp.clone(), wav.clone()).map { b =>     // valid magic, mangled body
+        (20 until b.length).foreach(i => b(i) = rnd.nextInt(256).toByte); b
+      } ++
+      (0 until 100).map { _ =>                     // valid magic, fuzzed header
+        val b = (if (rnd.nextBoolean()) bmp else wav).clone()
+        (0 until 8).foreach { _ =>
+          b(4 + rnd.nextInt(50 min (b.length - 4))) = rnd.nextInt(256).toByte
+        }
+        b
+      }
+    payloads.zipWithIndex.foreach { case (b, i) =>
+      val f = Multimodal.decode(MediaRow(i.toLong, "x", b))
+      assert(f.n_bytes === b.length.toLong, s"payload $i")
+      Multimodal.resizeBmp(b, 4) // must return, never throw
+    }
+    // the sample-level WAV parse behind audioWindows survives the same fuzz
+    val s = spark
+    import s.implicits._
+    val media = payloads.zipWithIndex.map { case (b, i) => MediaRow(i.toLong, "x", b) }.toDS()
+    Multimodal.audioWindows(media, windowMs = 10, hopMs = 10).count()
+  }
+
+  lazy val spark: org.apache.spark.sql.SparkSession = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("resizeBmp preserves top-down (negative height) row order") {
+    // hand-build a top-down 4x2 24bpp BMP: same pixels as the bottom-up
+    // encoder output, stored in reading order with height = -2
+    val srcPix = (x: Int, y: Int) => (x * 9 + y, 200 - x * 3, y * 50)
+    val bottomUp = Multimodal.encodeBmp(4, 2, srcPix)
+    val topDown = bottomUp.clone()
+    val bb = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2) // height: top-down
+    // swap the two pixel rows (bottom-up stores row 1 first)
+    val rowSize = ((4 * 3 + 3) / 4) * 4
+    val r0 = topDown.slice(54, 54 + rowSize)
+    System.arraycopy(topDown, 54 + rowSize, topDown, 54, rowSize)
+    System.arraycopy(r0, 0, topDown, 54 + rowSize, rowSize)
+    // both encodings decode to the same image, so both resizes must too
+    val a = Multimodal.decode(MediaRow(1L, "image/bmp",
+      Multimodal.resizeBmp(bottomUp, 2).get))
+    val b = Multimodal.decode(MediaRow(2L, "image/bmp",
+      Multimodal.resizeBmp(topDown, 2).get))
+    assert(a.width === b.width && a.height === b.height)
+    assert(a.mean_level === b.mean_level)
+    assert(a.histogram.toSeq === b.histogram.toSeq)
+  }
+
   test("resizeBmp: golden nearest-neighbor mapping, pass-through, mean preservation") {
     // 4x2 gradient; maxDim=2 -> outW=2, outH=1; src pixel = floor(x*4/2, y*2/1)
     val srcPix = (x: Int, y: Int) => (x * 10 + y, x * 20, y * 30)
