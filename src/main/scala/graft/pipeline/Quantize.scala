@@ -26,7 +26,13 @@ object Quantize {
   private val Levels = 255
 
   /** Struct column (qmin, qscale, codes: array<int>) for an array<float/
-    * double> vector. Scan-local, no shuffle. */
+    * double> vector. Scan-local, no shuffle.
+    *
+    * NOTE: as a single Column the range reductions are re-evaluated inside
+    * the per-element lambda (higher-order functions are interpreted and
+    * Catalyst does not CSE across a lambda boundary — O(dims^2) per row);
+    * prefer [[quantizeAll]], which stages qmin/qscale through projection
+    * boundaries so each is reduced once per row. */
   def quantize(vecCol: Column): Column = {
     val dv = transform(vecCol, _.cast("double"))
     val qmin = array_min(dv)
@@ -48,11 +54,20 @@ object Quantize {
         .otherwise(qmin + (c.cast("double") + 0.5) * qscale))
   }
 
-  /** Corpus in quantized form: (id, qmin, qscale, codes). */
+  /** Corpus in quantized form: (id, qmin, qscale, codes). The range
+    * reductions are staged through projection boundaries (CollapseProject
+    * keeps non-cheap multi-referenced aliases apart), so qmin/qscale are
+    * computed once per row and the code lambda reads scalars — O(dims),
+    * not the O(dims^2) a single inlined expression pays. */
   def quantizeAll(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
-      .select(col("id"), col("q.qmin").as("qmin"), col("q.qscale").as("qscale"),
-        col("q.codes").as("codes"))
+    df.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("dv"))
+      .select(col("id"), col("dv"), array_min(col("dv")).as("qmin"),
+        ((array_max(col("dv")) - array_min(col("dv"))) / Levels).as("qscale"))
+      .select(col("id"), col("qmin"), col("qscale"),
+        transform(col("dv"), x =>
+          when(col("qscale") === 0.0, lit(0))
+            .otherwise(least(lit(Levels), floor((x - col("qmin")) / col("qscale")))
+              .cast("int"))).as("codes"))
 
   /** Exact top-k cosine against a QUANTIZED corpus (queries stay float):
     * the serving path where only the 8-bit store is resident. Same

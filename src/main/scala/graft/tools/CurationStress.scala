@@ -204,8 +204,10 @@ object CurationStress {
     }
     val queries = emb.where(col("vec_id") < 10)
     time("quantize", nVecs) {
+      // consume the codes, not just the ranges — a range-only action lets
+      // Catalyst prune the code lambda and times nothing but min/max
       Quantize.quantizeAll(emb, "vec_id", "embedding")
-        .agg(sum(col("qscale"))).collect()
+        .agg(sum(aggregate(col("codes"), lit(0L), (a, c) => a + c))).collect()
       nVecs
     }
     time("quantized_topk", nVecs) {
