@@ -59,7 +59,9 @@ object Quantize {
     * keeps non-cheap multi-referenced aliases apart), so qmin/qscale are
     * computed once per row and the code lambda reads scalars — O(dims),
     * not the O(dims^2) a single inlined expression pays. */
-  def quantizeAll(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantizeAll(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require(idCol != "dv" && idCol != "qmin" && idCol != "qscale" && idCol != "codes",
+      s"id column '$idCol' collides with a quantization output column — alias first")
     df.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("dv"))
       .select(col("id"), col("dv"), array_min(col("dv")).as("qmin"),
         ((array_max(col("dv")) - array_min(col("dv"))) / Levels).as("qscale"))
@@ -68,6 +70,7 @@ object Quantize {
           when(col("qscale") === 0.0, lit(0))
             .otherwise(least(lit(Levels), floor((x - col("qmin")) / col("qscale")))
               .cast("int"))).as("codes"))
+  }
 
   /** Exact top-k cosine against a QUANTIZED corpus (queries stay float):
     * the serving path where only the 8-bit store is resident. Same

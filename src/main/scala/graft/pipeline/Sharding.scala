@@ -41,6 +41,9 @@ object Sharding {
     * shuffle; the minimal columns a custom writer needs. */
   def withShard(df: DataFrame, idCol: String, nShards: Int, seed: Long): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    val taken = df.columns.toSet.intersect(Set("h", "shard"))
+    require(taken.isEmpty,
+      s"input already has reserved column(s): ${taken.mkString(", ")} — alias first")
     val h = shuffleKey(col(idCol), seed)
     df.withColumn("h", h).withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
   }
