@@ -127,6 +127,11 @@ object GraftFunctions {
       exprs => graft.pipeline.GramHashesExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("emo_gram_buckets",
       exprs => graft.pipeline.GramBucketsExpr(exprs(0), litInt(exprs(1))), "scala_udf")
+    // merge-able distinct-count sketch as a SQL aggregate (exact below k)
+    reg.createOrReplaceTempFunction("emo_kmv_distinct",
+      exprs => graft.pipeline.KmvDistinct(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1)) else 65536).toAggregateExpression(),
+      "scala_udf")
     // URL canonicalization from raw catalyst nodes (same bridge caveat as
     // the PII block), folded from the SAME step lists the Column API uses
     // (graft.pipeline.Urls) — parity is spec-asserted per fixture

@@ -58,4 +58,18 @@ class KmvSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("SQL surface: emo_kmv_distinct aggregates and groups like the Column API") {
+    val s = spark
+    import s.implicits._
+    graft.engine.GraftFunctions.register(s)
+    Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 3L), ("b", 3L))
+      .toDF("g", "v").createOrReplaceTempView("kmv_t")
+    val got = s.sql(
+        "SELECT g, emo_kmv_distinct(v, 64) AS n FROM kmv_t GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("a" -> 2L, "b" -> 1L))
+    // default-k single-arg form, whole-table aggregate
+    assert(s.sql("SELECT emo_kmv_distinct(v) FROM kmv_t").head().getLong(0) === 3L)
+  }
 }
