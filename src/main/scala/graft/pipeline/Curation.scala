@@ -30,6 +30,11 @@ object Curation {
   final case class UrlConfig(urlCol: String, dedup: Boolean = true,
                              domainCap: Option[Int] = None)
 
+  /** Shard-export stage: deterministic global shuffle of the final corpus
+    * (or packed sequences when `packBudget` is set) into `nShards`
+    * reproducible shards. See [[Sharding]]. */
+  final case class ShardConfig(nShards: Int, seed: Long = 42L)
+
   final case class Config(
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
       dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
@@ -55,7 +60,8 @@ object Curation {
       sourceMix: Option[MixConfig] = None,         // per-source budget mixing
       sourceCap: Option[CapConfig] = None,         // <= n docs per source
       tokenBudget: Option[Long] = None,            // carve to ~B tokens
-      packBudget: Option[Long] = None)             // emit seq_id when set
+      packBudget: Option[Long] = None,             // emit seq_id when set
+      shards: Option[ShardConfig] = None)          // emit shard/pos when set
 
   final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)])
 
@@ -189,6 +195,15 @@ object Curation {
       val packed = Packing.packSequences(tok, idCol, "__nt", b)
         .select(col(idCol), col("seq_id"))
       df = df.join(packed, Seq(idCol))
+    }
+    // export tail: reproducible shard + read position for the training
+    // run, keyed on packed sequences when packing is on (a sequence
+    // co-travels), else on the document id
+    cfg.shards.foreach { sc =>
+      val key = if (cfg.packBudget.isDefined) "seq_id" else idCol
+      val assign = Sharding.shardAssignments(
+        df.select(key).distinct(), key, sc.nShards, sc.seed)
+      df = df.join(assign, Seq(key))
     }
     Result(df, counts.toSeq)
   }

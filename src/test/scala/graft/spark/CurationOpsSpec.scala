@@ -353,15 +353,22 @@ class CurationOpsSpec extends AnyFunSuite {
       (6L, s"$good mail bob@x.io"))            // pii (scrubbed, not dropped)
     val evalSet = docs((0L, s"$good with a twist at the end"))  // contaminates 5
     val res = Curation.run(v, "id", "text",
-      Curation.Config(scrubPii = true, packBudget = Some(8L)),
+      Curation.Config(scrubPii = true, packBudget = Some(8L),
+        shards = Some(Curation.ShardConfig(nShards = 2, seed = 7))),
       evalSet = Some(evalSet.select(col("text"))))
     val kept = res.docs.select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 6L))
     // doc 6 survived with its email scrubbed
     val t6 = res.docs.where(col("id") === 6L).select("text").collect()(0).getString(0)
     assert(t6.contains("<EMAIL>") && !t6.contains("@"))
-    // every surviving doc carries a sequence assignment
+    // every surviving doc carries a sequence assignment AND, with the
+    // shard stage on, a reproducible shard/read-position keyed on seq_id
     assert(res.docs.columns.contains("seq_id"))
+    assert(res.docs.columns.contains("shard") && res.docs.columns.contains("pos"))
+    val shardBySeq = res.docs.select("seq_id", "shard").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.docs.select("seq_id", "shard").collect()
+      .forall(r => shardBySeq(r.getLong(0)) === r.getInt(1)), "a sequence straddled shards")
     val funnel = res.stageCounts.toMap
     assert(funnel("input") === 6L)
     assert(funnel("exact_dedup") === 5L)   // dup of 1 dropped
