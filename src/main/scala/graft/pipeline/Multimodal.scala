@@ -281,13 +281,66 @@ object Multimodal {
     Some(encodeBmp(outW, outH, src))
   }
 
+  /** Box-filter (area-average) downsample of a 24-bpp BMP: each output
+    * pixel averages its exact source rectangle `[x*w/outW, (x+1)*w/outW) x
+    * [y*h/outH, (y+1)*h/outH)` per channel (integer-truncated mean) — the
+    * anti-aliased quality baseline where [[resizeBmp]]'s nearest-neighbor
+    * aliases. Same integer ceil-division output dims; same pass-through /
+    * rejection behavior. */
+  def resizeBmpBox(b: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+        bpp != 24 || compression != 0) return None
+    val height = math.abs(rawHeight)
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
+    val rowSize = rowSizeL.toInt
+    val longest = math.max(width, height)
+    if (longest <= maxDim) return Some(b)
+    val outW = ((width.toLong * maxDim + longest - 1) / longest).toInt
+    val outH = ((height.toLong * maxDim + longest - 1) / longest).toInt
+    def avg(x: Int, y: Int): (Int, Int, Int) = {
+      val x0 = (x.toLong * width / outW).toInt
+      val x1 = math.max(x0 + 1, ((x + 1).toLong * width / outW).toInt)
+      val y0 = (y.toLong * height / outH).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * height / outH).toInt)
+      var r = 0L; var g = 0L; var bl = 0L
+      var sy = y0
+      while (sy < y1) {
+        val srcRow = if (rawHeight > 0) height - 1 - sy else sy
+        val rowBase = pixelOffset + srcRow * rowSize
+        var sx = x0
+        while (sx < x1) {
+          val base = rowBase + sx * 3
+          bl += b(base) & 0xff; g += b(base + 1) & 0xff; r += b(base + 2) & 0xff
+          sx += 1
+        }
+        sy += 1
+      }
+      val n = (x1 - x0).toLong * (y1 - y0)
+      ((r / n).toInt, (g / n).toInt, (bl / n).toInt)
+    }
+    Some(encodeBmp(outW, outH, avg))
+  }
+
   /** Payload-level resize over a media stream: BMP payloads re-encoded
-    * through [[resizeBmp]], everything else passed through untouched —
-    * scan-local batches, nothing collects. */
-  def resizeMedia(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    * through [[resizeBmp]] (nearest-neighbor) or [[resizeBmpBox]]
+    * (area-average) per `antialias`, everything else passed through
+    * untouched — scan-local batches, nothing collects. */
+  def resizeMedia(media: Dataset[MediaRow], maxDim: Int,
+                  antialias: Boolean = false): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    val f: Array[Byte] => Option[Array[Byte]] =
+      if (antialias) resizeBmpBox(_, maxDim) else resizeBmp(_, maxDim)
     media.mapPartitions(_.map { r =>
-      resizeBmp(if (r.media == null) Array.emptyByteArray else r.media, maxDim)
+      f(if (r.media == null) Array.emptyByteArray else r.media)
         .map(out => r.copy(media = out)).getOrElse(r)
     })
   }

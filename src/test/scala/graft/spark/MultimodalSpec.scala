@@ -131,6 +131,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.histogram.toSeq === b.histogram.toSeq)
   }
 
+  test("resizeBmpBox: exact block averages, uniform preservation, fuzz safety") {
+    // 4x2 -> 2x1: each output pixel averages its exact 2x2 block
+    val pix = Array(
+      Array((10, 20, 30), (20, 40, 50), (100, 0, 0), (200, 0, 0)),
+      Array((30, 60, 70), (40, 80, 90), (0, 0, 100), (0, 0, 200)))
+    val src = Multimodal.encodeBmp(4, 2, (x, y) => pix(y)(x))
+    val out = Multimodal.resizeBmpBox(src, 2).get
+    val expect = Multimodal.encodeBmp(2, 1, (x, _) => {
+      val block = for (dy <- 0 to 1; dx <- 0 to 1) yield pix(dy)(x * 2 + dx)
+      (block.map(_._1).sum / 4, block.map(_._2).sum / 4, block.map(_._3).sum / 4)
+    })
+    assert(out.toSeq === expect.toSeq)
+    // uniform color is exact under any box size; within-bounds passes through
+    val uni = Multimodal.encodeBmp(33, 17, (_, _) => (7, 77, 177))
+    val f = Multimodal.decode(MediaRow(1L, "image/bmp",
+      Multimodal.resizeBmpBox(uni, 8).get))
+    assert(math.abs(f.mean_level - ((77 * 7 + 150 * 77 + 29 * 177) >> 8)) < 1e-9)
+    assert(Multimodal.resizeBmpBox(src, 8).get eq src)
+    // never throws on junk
+    val rnd = new scala.util.Random(17)
+    (0 until 100).foreach { _ =>
+      Multimodal.resizeBmpBox(Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte), 4)
+    }
+  }
+
   test("resizeBmp: golden nearest-neighbor mapping, pass-through, mean preservation") {
     // 4x2 gradient; maxDim=2 -> outW=2, outH=1; src pixel = floor(x*4/2, y*2/1)
     val srcPix = (x: Int, y: Int) => (x * 10 + y, x * 20, y * 30)

@@ -375,6 +375,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming media: decode/resize/window run unchanged under readStream") {
+    import graft.pipeline.{MediaRow, Multimodal}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real BMP/WAV payloads through the SAME stateless codec path the
+    // batch pipeline uses; verdicts must match the batch run exactly
+    val docs = (0L until 30L).map(i => (i, s"stream doc $i " + ("x" * i.toInt)))
+    val media = Multimodal.syntheticMedia(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().toSeq
+    val input = MemoryStream[MediaRow]
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resizeMedia(input.toDS(), maxDim = 8)).toDF()
+      .select("media_id", "mime", "width", "height", "duration_ms", "n_bytes")
+    val query = feats.writeStream.outputMode("append")
+      .format("memory").queryName("media_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_media").toString)
+      .start()
+    try {
+      input.addData(media.take(15): _*)
+      query.processAllAvailable()
+      input.addData(media.drop(15): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("media_stream_out").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      val batch = Multimodal.extractFeatures(
+          Multimodal.resizeMedia(media.toDS(), maxDim = 8)).toDF()
+        .select("media_id", "mime", "width", "height", "duration_ms", "n_bytes")
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      assert(streamed === batch)
+      assert(streamed.values.forall { case (mime, w, h, _, _) =>
+        mime != "image/bmp" || (w <= 8 && h <= 8) })
+    } finally query.stop()
+  }
+
   test("ref resolution classifies pending refs into the retry channel") {
     import graft.streaming.RefResolver
     val s = spark
