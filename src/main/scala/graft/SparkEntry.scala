@@ -1189,6 +1189,26 @@ object SparkEntry {
     // PII redaction: emails/URLs/phone spans -> typed placeholders; planted
     // rows exercise every pattern (the corpus itself is clean), and the
     // md5 of the scrubbed text pins exact regex parity with the oracle
+    // HTML-to-text extraction: deterministic messy HTML wrapped around each
+    // doc (script/style payloads with raw < >, comments, entities, blocks);
+    // the oracle SQL is GENERATED from the same Html.Steps list, so parity
+    // is by construction — md5 of the extraction pins every step
+    "text_html" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2 && 0 > 3;</script><style>.c{color:red}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1>"),
+        when(col("doc_id") % 3 === 0, lit("<!-- hidden -->")).otherwise(lit("")),
+        lit("<p>"), col("text"), lit(" &amp; more &lt;tags&gt;&nbsp;here</p>"),
+        when(col("doc_id") % 2 === 0, lit("<ul><li>alpha</li><li>beta</li></ul>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      docs.select(col("doc_id"), graft.pipeline.Html.toText(html).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("clean_md5"),
+          length(col("t")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "text_clean" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2503,6 +2523,20 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(iv, 0) AS n_invocab_bigrams, coalesce(ov, 0) AS n_oov_bigrams
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_html" -> {
+      val htmlExpr =
+        "'<html><head><script type=\"text/javascript\">var x = 1 < 2 && 0 > 3;</script><style>.c{color:red}</style></head><body><h1>Doc '" +
+          " || CAST(doc_id AS VARCHAR) || '</h1>'" +
+          " || CASE WHEN doc_id % 3 = 0 THEN '<!-- hidden -->' ELSE '' END" +
+          " || '<p>' || text || ' &amp; more &lt;tags&gt;&nbsp;here</p>'" +
+          " || CASE WHEN doc_id % 2 = 0 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END" +
+          " || '</body></html>'"
+      val ext = graft.pipeline.Html.oracleSql(s"($htmlExpr)")
+      s"""SELECT doc_id, md5($ext) AS clean_md5,
+         |  CAST(length($ext) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "text_clean" ->
       """WITH all_docs AS (

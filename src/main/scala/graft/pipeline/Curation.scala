@@ -36,6 +36,7 @@ object Curation {
   final case class ShardConfig(nShards: Int, seed: Long = 42L)
 
   final case class Config(
+      extractHtml: Boolean = false,                // HTML-to-text before any text op
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
       dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
       dsirBuckets: Int = 10000,
@@ -89,6 +90,10 @@ object Curation {
       }
     var df = input
     if (trackFunnel) counts += ("input" -> df.count())
+
+    // raw crawl payloads become text before any content operator sees them
+    if (cfg.extractHtml)
+      df = stage("html_extract", df.withColumn(textCol, Html.toText(col(textCol))))
 
     // URL stage before any content work: a page fetched twice should cost
     // one content pass, not two. NULL-url rows are exempt from both

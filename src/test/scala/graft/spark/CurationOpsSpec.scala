@@ -352,8 +352,10 @@ class CurationOpsSpec extends AnyFunSuite {
       (5L, s"$good with a twist at the end"),
       (6L, s"$good mail bob@x.io"))            // pii (scrubbed, not dropped)
     val evalSet = docs((0L, s"$good with a twist at the end"))  // contaminates 5
-    val res = Curation.run(v, "id", "text",
-      Curation.Config(scrubPii = true, packBudget = Some(8L),
+    val res = Curation.run(
+      v.withColumn("text", concat(lit("<p>"), col("text"), lit("</p><script>junk()</script>"))),
+      "id", "text",
+      Curation.Config(extractHtml = true, scrubPii = true, packBudget = Some(8L),
         shards = Some(Curation.ShardConfig(nShards = 2, seed = 7))),
       evalSet = Some(evalSet.select(col("text"))))
     val kept = res.docs.select("id").collect().map(_.getLong(0)).toSet
