@@ -173,6 +173,13 @@ object CurationStress {
       graft.engine.RangeJoin.pointInInterval(pts, iv, "k", "ts", "st", "en",
         bucketWidth = 200000L).count()
     }
+    time("html_extract", nDocs) {
+      val html = concat(lit("<html><body><script>var j = 1 < 2;</script><p>"),
+        col("text"), lit("</p><ul><li>x</li></ul></body></html>"))
+      docs.select(md5(Html.toText(html)).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
     time("interval_join", nDocs) {
       val ls = evs.where(pmod(col("tie"), lit(3)) === 0)
         .select(col("k"), col("ts").as("ls"), (col("ts") + 150000L).as("le"),
