@@ -1404,8 +1404,34 @@ object SparkEntry {
     "multimodal_audio" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
       Multimodal.audioWindows(media, windowMs = 30, hopMs = 20)
-        .select("media_id", "window_idx", "start_ms", "n_frames")
+        .select("media_id", "window_idx", "start_ms", "end_ms", "n_frames")
         .orderBy("media_id", "window_idx")
+    },
+
+    // VAD-style energy segmentation plumbing: threshold 0 keeps every
+    // window, so the merge must produce exactly one full-file segment per
+    // WAV — schedule arithmetic the oracle replays; real thresholding is
+    // MultimodalSpec's silence-split golden
+    "multimodal_segments" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
+      Multimodal.audioSegments(media, windowMs = 30, hopMs = 20, minRms = 0.0)
+        .orderBy("media_id", "segment")
+    },
+
+    // image-space dedup: perceptual aHash + hamming-banded candidate join;
+    // planted byte-identical copies (ids + 1000000, offset divisible by 16
+    // so the synthetic payload is reproduced exactly) must surface at
+    // hamming 0 — the output filters to the planted pairs so the oracle is
+    // exact by construction at any SF
+    "dedup_image" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      val copies = Multimodal.syntheticMedia(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L), "doc_id", "text")
+      Multimodal.imageNearDuplicates(media.unionAll(copies), maxHamming = 3)
+        .where(col("id2") === col("id1") + 1000000L)
+        .orderBy("id1")
     },
 
     // ========================================================= pipeline: urls
@@ -2737,8 +2763,21 @@ object SparkEntry {
         |  SELECT doc_id, nf, unnest(range(0, (nf + 159) // 160)) AS g FROM w)
         |SELECT doc_id AS media_id, CAST(g AS INTEGER) AS window_idx,
         |  CAST(g * 160 * 1000 // 8000 AS BIGINT) AS start_ms,
+        |  CAST(least(nf, g * 160 + 240) * 1000 // 8000 AS BIGINT) AS end_ms,
         |  CAST(least(nf, g * 160 + 240) - g * 160 AS INTEGER) AS n_frames
         |FROM e ORDER BY media_id, window_idx""".stripMargin,
+
+    "multimodal_segments" ->
+      """SELECT doc_id AS media_id, 0 AS segment, CAST(0 AS BIGINT) AS start_ms,
+        |  CAST(nf * 1000 // 8000 AS BIGINT) AS end_ms,
+        |  CAST((nf + 159) // 160 AS INTEGER) AS n_windows
+        |FROM (SELECT doc_id, 100 + octet_length(encode(text)) % 500 AS nf
+        |      FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY media_id""".stripMargin,
+
+    "dedup_image" ->
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2, 0 AS hamming
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY id1""".stripMargin,
 
     "url_normalize" ->
       """WITH raw AS (

@@ -330,6 +330,98 @@ object Multimodal {
     Some(encodeBmp(outW, outH, avg))
   }
 
+  /** 64-bit average-hash (aHash) of a 24-bpp BMP — the perceptual
+    * fingerprint for image dedup: luminance box-averaged onto a fixed 8x8
+    * grid, bit (8*gy+gx) set when the cell mean >= the global mean.
+    * Identical payloads hash identically; small pixel noise flips few
+    * bits, so near-duplicate frames sit at small Hamming distance.
+    * Non-BMP/malformed payloads return None. */
+  def imageAHash(b: Array[Byte]): Option[Long] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
+        bpp != 24 || compression != 0) return None
+    val height = math.abs(rawHeight)
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
+    val rowSize = rowSizeL.toInt
+    val cell = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = (gy.toLong * height / 8).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * height / 8).toInt)
+      var gx = 0
+      while (gx < 8) {
+        val x0 = (gx.toLong * width / 8).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * width / 8).toInt)
+        var sum = 0L
+        var sy = y0
+        while (sy < y1) {
+          val srcRow = if (rawHeight > 0) height - 1 - sy else sy
+          val rowBase = pixelOffset + srcRow * rowSize
+          var sx = x0
+          while (sx < x1) {
+            val base = rowBase + sx * 3
+            sum += (77 * (b(base + 2) & 0xff) + 150 * (b(base + 1) & 0xff) +
+              29 * (b(base) & 0xff)) >> 8
+            sx += 1
+          }
+          sy += 1
+        }
+        cell(gy * 8 + gx) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cell.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (cell(i) >= mean) hash |= 1L << i; i += 1 }
+    Some(hash)
+  }
+
+  /** Perceptual hashes of the BMP payloads in a media stream:
+    * (media_id, ahash). Non-BMP rows are absent. Scan-local. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      imageAHash(if (r.media == null) Array.emptyByteArray else r.media)
+        .map(h => (r.media_id, h))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs (id1 < id2) within `maxHamming` bits of
+    * aHash distance — image-space dedup on the same banded-LSH shape as
+    * the text paths: the 64-bit hash splits into `bands` equal chunks,
+    * candidates share at least one chunk (guaranteed complete for
+    * maxHamming < bands by pigeonhole; approximate above), and the exact
+    * `bit_count(xor)` verifies. Only (id, hash) travels — no payloads. */
+  def imageNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3,
+                          bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    val bits = 64 / bands
+    val hashes = imageHashes(media)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until bands).map(bd =>
+        shiftrightunsigned(col("ahash"), bd * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id1"), col("r.media_id").as("id2"),
+        col("l.ahash").as("h1"), col("r.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** Payload-level resize over a media stream: BMP payloads re-encoded
     * through [[resizeBmp]] (nearest-neighbor) or [[resizeBmpBox]]
     * (area-average) per `antialias`, everything else passed through
@@ -377,10 +469,32 @@ object Multimodal {
             }
             val n = end - startF * channels
             (r.media_id, idx, startF.toLong * 1000 / sampleRate,
+              endF.toLong * 1000 / sampleRate,
               endF - startF, math.sqrt(sumSq / n), peak)
           }
       }
-    }.toDF("media_id", "window_idx", "start_ms", "n_frames", "rms", "peak")
+    }.toDF("media_id", "window_idx", "start_ms", "end_ms", "n_frames", "rms", "peak")
+  }
+
+  /** Active-audio segments — VAD-style energy segmentation: windows with
+    * RMS >= `minRms` merge when CONSECUTIVE (adjacent hop indices) into
+    * (media_id, segment, start_ms, end_ms, n_windows). The grouping is the
+    * classic idx-minus-rank trick; the per-media window partitions the
+    * bounded per-item window list, never corpus rows. */
+  def audioSegments(media: Dataset[MediaRow], windowMs: Int, hopMs: Int,
+                    minRms: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = audioWindows(media, windowMs, hopMs)
+      .where(col("rms") >= minRms)
+    val w = Window.partitionBy("media_id").orderBy("window_idx")
+    active
+      .withColumn("grp", col("window_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("start_ms")).as("start_ms"), max(col("end_ms")).as("end_ms"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .withColumn("segment",
+        (row_number().over(Window.partitionBy("media_id").orderBy("start_ms")) - 1))
+      .select("media_id", "segment", "start_ms", "end_ms", "n_windows")
   }
 
   /** WAV parse down to raw 16-bit samples (interleaved) — shared by

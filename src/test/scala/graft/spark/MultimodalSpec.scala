@@ -189,14 +189,65 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRow(2L, "text/plain", "not audio".getBytes)).toDS()
     val rows = Multimodal.audioWindows(media, windowMs = 1000, hopMs = 1000)
       .orderBy("media_id", "window_idx")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
-        r.getDouble(4), r.getDouble(5)))
-    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
-      Seq((1L, 0, 0L, 1000), (1L, 1, 1000L, 1000), (1L, 2, 2000L, 500)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq ===
+      Seq((1L, 0, 0L, 1000L, 1000), (1L, 1, 1000L, 2000L, 1000),
+        (1L, 2, 2000L, 2500L, 500)))
     rows.foreach { t =>
-      assert(math.abs(t._5 - amp) < 1e-9, s"rms ${t._5}")
-      assert(math.abs(t._6 - amp) < 1e-9, s"peak ${t._6}")
+      assert(math.abs(t._6 - amp) < 1e-9, s"rms ${t._6}")
+      assert(math.abs(t._7 - amp) < 1e-9, s"peak ${t._7}")
     }
+  }
+
+  test("audioSegments merges consecutive active windows; silence splits") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 5 s at 1 kHz: loud [0,2s), silent [2,3s), loud [3,5s)
+    val wav = Multimodal.encodeWav(5000, 1000, 1,
+      (f, _) => if (f < 2000 || f >= 3000) 0.5 else 0.0)
+    val media = Seq(MediaRow(1L, "audio/wav", wav)).toDS()
+    val segs = Multimodal.audioSegments(media, windowMs = 1000, hopMs = 1000,
+        minRms = 0.1)
+      .orderBy("segment").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(segs.toSeq === Seq((0, 0L, 2000L, 2), (1, 3000L, 5000L, 2)))
+  }
+
+  test("imageAHash: identical payloads collide, noise stays near, dedup finds planted pairs") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def noisy(seed: Int, flips: Int): Array[Byte] = {
+      val r2 = new scala.util.Random(seed)
+      val img = Multimodal.encodeBmp(32, 32,
+        (x, y) => { val v = (x * 8 + y * 3 + seed * 7) % 256; (v, 255 - v, v / 2) })
+      (0 until flips).foreach { _ =>
+        img(54 + r2.nextInt(img.length - 54)) = r2.nextInt(256).toByte
+      }
+      img
+    }
+    val base = noisy(1, 0)
+    assert(Multimodal.imageAHash(base) === Multimodal.imageAHash(base.clone()))
+    // a few flipped bytes move the hash only slightly
+    val near = Multimodal.imageAHash(noisy(1, 12)).get
+    val ham = java.lang.Long.bitCount(Multimodal.imageAHash(base).get ^ near)
+    assert(ham <= 8, s"noise moved hash too far: $ham")
+    assert(Multimodal.imageAHash("RIFFxxxxWAVE".getBytes).isEmpty)
+    // banded dedup: planted copies found at hamming 0, disjoint images not
+    val media = (Seq(
+      MediaRow(1L, "image/bmp", noisy(1, 0)),
+      MediaRow(2L, "image/bmp", noisy(1, 0)),      // exact copy of 1
+      MediaRow(3L, "image/bmp", noisy(99, 0)),     // unrelated
+      MediaRow(4L, "audio/wav", Multimodal.encodeWav(10, 1000, 1, (_, _) => 0.1))))
+      .toDS()
+    val pairs = Multimodal.imageNearDuplicates(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
   test("resizeMedia bounds every BMP; WAV passes through untouched") {
