@@ -20,7 +20,8 @@ object PlanAudit {
         "pipeline_leak_split", "events_transitions", "join_asof",
         "join_range", "stats_kmv", "events_funnel", "pipeline_shards",
         "multimodal_resize", "multimodal_audio", "join_interval",
-        "pipeline_export", "emb_quantize", "sim_quantized")
+        "pipeline_export", "emb_quantize", "sim_quantized", "text_html",
+        "dedup_image", "multimodal_segments")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
