@@ -205,6 +205,9 @@ object Curation {
     // run, keyed on packed sequences when packing is on (a sequence
     // co-travels), else on the document id
     cfg.shards.foreach { sc =>
+      val taken = df.columns.toSet.intersect(Set("shard", "pos"))
+      require(taken.isEmpty, "shard-export stage would clobber existing " +
+        s"column(s): ${taken.mkString(", ")} — rename or drop them first")
       val key = if (cfg.packBudget.isDefined) "seq_id" else idCol
       val assign = Sharding.shardAssignments(
         df.select(key).distinct(), key, sc.nShards, sc.seed)

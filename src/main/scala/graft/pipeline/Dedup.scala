@@ -272,11 +272,14 @@ object Dedup {
       .select(col("id2").as("id")).distinct()
       .withColumn("is_dropped", lit(true))
     // fan the rep decision back out: non-rep members are exact copies of a
-    // lower-id vector (cosine 1) — dropped iff tau <= 1
-    base.join(reps, Seq("cluster", "vec"))
+    // lower-id vector (cosine 1) — dropped iff tau <= 1. LEFT join: a null
+    // vec (or cluster) matches no rep group under equi-join semantics, and
+    // such rows must surface kept=true (not comparable), as pre-collapse
+    base.join(reps, Seq("cluster", "vec"), "left_outer")
       .join(dropped.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left_outer")
       .select(col("id"), col("cluster"),
-        when(col("id") =!= col("rep_id"), lit(!(tau <= 1.0)))
+        when(col("rep_id").isNull, lit(true))
+          .when(col("id") =!= col("rep_id"), lit(!(tau <= 1.0)))
           .otherwise(coalesce(col("is_dropped"), lit(false)) === false).as("kept"))
   }
 

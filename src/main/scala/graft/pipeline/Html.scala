@@ -41,11 +41,13 @@ object Html {
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
     ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
     // whitespace normalization: runs of spaces, space around newlines,
-    // 3+ newlines -> paragraph break, outer trim (regex, engine-uniform)
+    // 3+ newlines -> paragraph break, outer trim. Classes are spelled out
+    // explicitly — \s differs between Java regex (includes \x0B vertical
+    // tab) and RE2/DuckDB (excludes it), which would break engine parity
     ("[ \\t\\f\\r]+", " "),
     ("\\n ", "\n"), (" \\n", "\n"),
     ("\\n{3,}", "\n\n"),
-    ("^\\s+", ""), ("\\s+$", ""))
+    ("^[ \\t\\n\\f\\r]+", ""), ("[ \\t\\n\\f\\r]+$", ""))
 
   /** Extracted text Column — scan-local, codegen'd regexp chain. */
   def toText(html: Column): Column =

@@ -64,11 +64,21 @@ object Multimodal {
 
   // ------------------------------------------------------------------ BMP
 
-  /** 24-bpp uncompressed BMP parse: BITMAPFILEHEADER (2B magic, 4B size,
-    * 4B reserved, 4B pixel offset) + BITMAPINFOHEADER (4B size, 4B width,
-    * 4B height — negative = top-down, 2B planes, 2B bpp, 4B compression).
-    * Luminance = ITU-R BT.601 integer approx (77R + 150G + 29B) >> 8. */
-  private def decodeBmp(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] = {
+  /** Validated 24-bpp uncompressed BMP header. */
+  private final case class BmpHeader(pixelOffset: Int, width: Int,
+                                     rawHeight: Int, height: Int, rowSize: Int) {
+    /** File row index for IMAGE row y (bottom-up unless rawHeight < 0). */
+    def srcRow(y: Int): Int = if (rawHeight > 0) height - 1 - y else y
+  }
+
+  /** The ONE header parse/validate for every BMP operator (decode, resize,
+    * box resize, aHash): BITMAPFILEHEADER (2B magic, 4B size, 4B reserved,
+    * 4B pixel offset) + BITMAPINFOHEADER (4B size, 4B width, 4B height —
+    * negative = top-down, 2B planes, 2B bpp, 4B compression). All size
+    * checks run in LONG arithmetic — a hostile width*3 or rowSize*height
+    * overflows int past the bound check — and Int.MinValue height (whose
+    * abs is negative) is rejected. */
+  private def parseBmpHeader(b: Array[Byte]): Option[BmpHeader] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = buf.getInt(10)
@@ -79,34 +89,37 @@ object Multimodal {
     if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
         bpp != 24 || compression != 0) return None
     val height = math.abs(rawHeight)
-    // long arithmetic: a hostile header's width*3 overflows int
     val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
     if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
-    val rowSize = rowSizeL.toInt // bounded by b.length after the check
-    val hist = new Array[Double](16)
-    var lumSum = 0.0
-    var y = 0
-    while (y < height) {
-      // bottom-up storage unless height was negative (top-down)
-      val srcRow = if (rawHeight > 0) height - 1 - y else y
-      var x = 0
-      val base = pixelOffset + srcRow * rowSize
-      while (x < width) {
-        val blue = b(base + x * 3) & 0xff
-        val green = b(base + x * 3 + 1) & 0xff
-        val red = b(base + x * 3 + 2) & 0xff
-        val lum = (77 * red + 150 * green + 29 * blue) >> 8
-        hist(lum >> 4) += 1
-        lumSum += lum
-        x += 1
-      }
-      y += 1
-    }
-    val n = width.toLong * height
-    Some(MediaFeatures(id, mime, b.length.toLong, width, height,
-      sample_rate = 0, channels = 0, duration_ms = 0L,
-      mean_level = lumSum / n, histogram = hist.map(_ / n)))
+    Some(BmpHeader(pixelOffset, width, rawHeight, height, rowSizeL.toInt))
   }
+
+  /** Pixel stats: mean luminance + 16-bin histogram (ITU-R BT.601 integer
+    * approx (77R + 150G + 29B) >> 8). */
+  private def decodeBmp(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] =
+    parseBmpHeader(b).map { h =>
+      val hist = new Array[Double](16)
+      var lumSum = 0.0
+      var y = 0
+      while (y < h.height) {
+        var x = 0
+        val base = h.pixelOffset + h.srcRow(y) * h.rowSize
+        while (x < h.width) {
+          val blue = b(base + x * 3) & 0xff
+          val green = b(base + x * 3 + 1) & 0xff
+          val red = b(base + x * 3 + 2) & 0xff
+          val lum = (77 * red + 150 * green + 29 * blue) >> 8
+          hist(lum >> 4) += 1
+          lumSum += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = h.width.toLong * h.height
+      MediaFeatures(id, mime, b.length.toLong, h.width, h.height,
+        sample_rate = 0, channels = 0, duration_ms = 0L,
+        mean_level = lumSum / n, histogram = hist.map(_ / n))
+    }
 
   /** Build a 24-bpp bottom-up BMP from a pixel function (x, y) => (r, g, b).
     * A real, spec-conformant file — Java ImageIO reads it. */
@@ -138,57 +151,30 @@ object Multimodal {
 
   // ------------------------------------------------------------------ WAV
 
-  /** RIFF/WAVE PCM parse: chunk walk to `fmt ` (format 1, channels, sample
-    * rate, bits/sample) and `data` (payload). 16-bit samples only (the
-    * canonical PCM form); level = RMS over normalized [-1, 1] samples. */
-  private def decodeWav(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] = {
-    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
-    var channels = 0
-    var sampleRate = 0
-    var bits = 0
-    var dataStart = -1
-    var dataLen = 0
-    while (pos + 8 <= b.length) {
-      val tag = new String(b, pos, 4, StandardCharsets.US_ASCII)
-      val len = buf.getInt(pos + 4)
-      if (len < 0 || pos.toLong + 8 + len > b.length) return None // long: hostile len overflows int
-      tag match {
-        case "fmt " =>
-          if (len < 16 || buf.getShort(pos + 8) != 1) return None // PCM only
-          channels = buf.getShort(pos + 10) & 0xffff
-          sampleRate = buf.getInt(pos + 12)
-          bits = buf.getShort(pos + 22) & 0xffff
-        case "data" =>
-          dataStart = pos + 8
-          dataLen = len
-        case _ => // skip unknown chunks (LIST, fact, ...)
+  /** Per-file stats over the PCM samples from [[parseWavSamples]] — the
+    * one RIFF chunk walk all WAV operators share. Level = RMS over
+    * normalized [-1, 1] samples; 16-bin amplitude histogram. */
+  private def decodeWav(id: Long, mime: String, b: Array[Byte]): Option[MediaFeatures] =
+    parseWavSamples(b).map { case (sampleRate, channels, samples) =>
+      val nFrames = samples.length / channels
+      val hist = new Array[Double](16)
+      var sumSq = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i) / 32768.0
+        sumSq += s * s
+        // amplitude bin over [-1, 1): (s+1)/2 * 16
+        val bin = math.min(15, ((s + 1.0) * 8).toInt)
+        hist(bin) += 1
+        i += 1
       }
-      pos += 8 + len + (len & 1) // chunks are word-aligned
+      val nSamples = samples.length
+      MediaFeatures(id, mime, b.length.toLong, width = 0, height = 0,
+        sample_rate = sampleRate, channels = channels,
+        duration_ms = nFrames.toLong * 1000L / sampleRate,
+        mean_level = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+        histogram = if (nSamples == 0) hist else hist.map(_ / nSamples))
     }
-    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataStart < 0) return None
-    val frameBytes = channels * 2
-    val nFrames = dataLen / frameBytes
-    val hist = new Array[Double](16)
-    var sumSq = 0.0
-    var i = 0
-    val nSamples = dataLen / 2
-    while (i < nSamples) {
-      val s = buf.getShort(dataStart + i * 2) / 32768.0
-      sumSq += s * s
-      // amplitude bin over [-1, 1): (s+1)/2 * 16
-      val bin = math.min(15, ((s + 1.0) * 8).toInt)
-      hist(bin) += 1
-      i += 1
-    }
-    Some(MediaFeatures(id, mime, b.length.toLong, width = 0, height = 0,
-      sample_rate = sampleRate, channels = channels,
-      duration_ms = nFrames.toLong * 1000L / sampleRate,
-      mean_level = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
-      histogram = if (nSamples == 0) hist else hist.map(_ / nSamples)))
-  }
 
   /** Build a 16-bit PCM RIFF/WAVE file from a sample function (frame index,
     * channel) => [-1, 1]. */
@@ -253,32 +239,20 @@ object Multimodal {
     * through byte-identical; non-BMP/malformed payloads return None. */
   def resizeBmp(b: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
     require(maxDim > 0, s"maxDim must be positive: $maxDim")
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    val pixelOffset = buf.getInt(10)
-    val width = buf.getInt(18)
-    val rawHeight = buf.getInt(22)
-    val bpp = buf.getShort(28) & 0xffff
-    val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
-        bpp != 24 || compression != 0) return None
-    val height = math.abs(rawHeight)
-    // long arithmetic: a hostile header's width*3 overflows int
-    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
-    val rowSize = rowSizeL.toInt // bounded by b.length after the check
-    val longest = math.max(width, height)
-    if (longest <= maxDim) return Some(b)
-    val outW = ((width.toLong * maxDim + longest - 1) / longest).toInt
-    val outH = ((height.toLong * maxDim + longest - 1) / longest).toInt
-    def src(x: Int, y: Int): (Int, Int, Int) = {
-      val sx = (x.toLong * width / outW).toInt
-      val sy = (y.toLong * height / outH).toInt
-      val srcRow = if (rawHeight > 0) height - 1 - sy else sy
-      val base = pixelOffset + srcRow * rowSize + sx * 3
-      ((b(base + 2) & 0xff, b(base + 1) & 0xff, b(base) & 0xff))
+    parseBmpHeader(b).map { h =>
+      val longest = math.max(h.width, h.height)
+      if (longest <= maxDim) b
+      else {
+        val outW = ((h.width.toLong * maxDim + longest - 1) / longest).toInt
+        val outH = ((h.height.toLong * maxDim + longest - 1) / longest).toInt
+        encodeBmp(outW, outH, (x, y) => {
+          val sx = (x.toLong * h.width / outW).toInt
+          val sy = (y.toLong * h.height / outH).toInt
+          val base = h.pixelOffset + h.srcRow(sy) * h.rowSize + sx * 3
+          ((b(base + 2) & 0xff, b(base + 1) & 0xff, b(base) & 0xff))
+        })
+      }
     }
-    Some(encodeBmp(outW, outH, src))
   }
 
   /** Box-filter (area-average) downsample of a 24-bpp BMP: each output
@@ -289,45 +263,34 @@ object Multimodal {
     * rejection behavior. */
   def resizeBmpBox(b: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
     require(maxDim > 0, s"maxDim must be positive: $maxDim")
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    val pixelOffset = buf.getInt(10)
-    val width = buf.getInt(18)
-    val rawHeight = buf.getInt(22)
-    val bpp = buf.getShort(28) & 0xffff
-    val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
-        bpp != 24 || compression != 0) return None
-    val height = math.abs(rawHeight)
-    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
-    val rowSize = rowSizeL.toInt
-    val longest = math.max(width, height)
-    if (longest <= maxDim) return Some(b)
-    val outW = ((width.toLong * maxDim + longest - 1) / longest).toInt
-    val outH = ((height.toLong * maxDim + longest - 1) / longest).toInt
-    def avg(x: Int, y: Int): (Int, Int, Int) = {
-      val x0 = (x.toLong * width / outW).toInt
-      val x1 = math.max(x0 + 1, ((x + 1).toLong * width / outW).toInt)
-      val y0 = (y.toLong * height / outH).toInt
-      val y1 = math.max(y0 + 1, ((y + 1).toLong * height / outH).toInt)
-      var r = 0L; var g = 0L; var bl = 0L
-      var sy = y0
-      while (sy < y1) {
-        val srcRow = if (rawHeight > 0) height - 1 - sy else sy
-        val rowBase = pixelOffset + srcRow * rowSize
-        var sx = x0
-        while (sx < x1) {
-          val base = rowBase + sx * 3
-          bl += b(base) & 0xff; g += b(base + 1) & 0xff; r += b(base + 2) & 0xff
-          sx += 1
-        }
-        sy += 1
+    parseBmpHeader(b).map { h =>
+      val longest = math.max(h.width, h.height)
+      if (longest <= maxDim) b
+      else {
+        val outW = ((h.width.toLong * maxDim + longest - 1) / longest).toInt
+        val outH = ((h.height.toLong * maxDim + longest - 1) / longest).toInt
+        encodeBmp(outW, outH, (x, y) => {
+          val x0 = (x.toLong * h.width / outW).toInt
+          val x1 = math.max(x0 + 1, ((x + 1).toLong * h.width / outW).toInt)
+          val y0 = (y.toLong * h.height / outH).toInt
+          val y1 = math.max(y0 + 1, ((y + 1).toLong * h.height / outH).toInt)
+          var r = 0L; var g = 0L; var bl = 0L
+          var sy = y0
+          while (sy < y1) {
+            val rowBase = h.pixelOffset + h.srcRow(sy) * h.rowSize
+            var sx = x0
+            while (sx < x1) {
+              val base = rowBase + sx * 3
+              bl += b(base) & 0xff; g += b(base + 1) & 0xff; r += b(base + 2) & 0xff
+              sx += 1
+            }
+            sy += 1
+          }
+          val n = (x1 - x0).toLong * (y1 - y0)
+          ((r / n).toInt, (g / n).toInt, (bl / n).toInt)
+        })
       }
-      val n = (x1 - x0).toLong * (y1 - y0)
-      ((r / n).toInt, (g / n).toInt, (bl / n).toInt)
     }
-    Some(encodeBmp(outW, outH, avg))
   }
 
   /** 64-bit average-hash (aHash) of a 24-bpp BMP — the perceptual
@@ -336,34 +299,20 @@ object Multimodal {
     * Identical payloads hash identically; small pixel noise flips few
     * bits, so near-duplicate frames sit at small Hamming distance.
     * Non-BMP/malformed payloads return None. */
-  def imageAHash(b: Array[Byte]): Option[Long] = {
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    val pixelOffset = buf.getInt(10)
-    val width = buf.getInt(18)
-    val rawHeight = buf.getInt(22)
-    val bpp = buf.getShort(28) & 0xffff
-    val compression = buf.getInt(30)
-    if (width <= 0 || rawHeight == 0 || rawHeight == Int.MinValue ||
-        bpp != 24 || compression != 0) return None
-    val height = math.abs(rawHeight)
-    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
-    val rowSize = rowSizeL.toInt
+  def imageAHash(b: Array[Byte]): Option[Long] = parseBmpHeader(b).map { h =>
     val cell = new Array[Double](64)
     var gy = 0
     while (gy < 8) {
-      val y0 = (gy.toLong * height / 8).toInt
-      val y1 = math.max(y0 + 1, ((gy + 1).toLong * height / 8).toInt)
+      val y0 = (gy.toLong * h.height / 8).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h.height / 8).toInt)
       var gx = 0
       while (gx < 8) {
-        val x0 = (gx.toLong * width / 8).toInt
-        val x1 = math.max(x0 + 1, ((gx + 1).toLong * width / 8).toInt)
+        val x0 = (gx.toLong * h.width / 8).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * h.width / 8).toInt)
         var sum = 0L
         var sy = y0
         while (sy < y1) {
-          val srcRow = if (rawHeight > 0) height - 1 - sy else sy
-          val rowBase = pixelOffset + srcRow * rowSize
+          val rowBase = h.pixelOffset + h.srcRow(sy) * h.rowSize
           var sx = x0
           while (sx < x1) {
             val base = rowBase + sx * 3
@@ -382,7 +331,7 @@ object Multimodal {
     var hash = 0L
     var i = 0
     while (i < 64) { if (cell(i) >= mean) hash |= 1L << i; i += 1 }
-    Some(hash)
+    hash
   }
 
   /** Perceptual hashes of the BMP payloads in a media stream:
@@ -405,11 +354,14 @@ object Multimodal {
                           bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     val bits = 64 / bands
+    // -1L >>> (64-bits) is correct at bits=64 too; (1L << 64) - 1 would
+    // overflow to 0 and collapse every hash into one cross-product bucket
+    val mask = -1L >>> (64 - bits)
     val hashes = imageHashes(media)
     val banded = hashes.select(col("media_id"), col("ahash"),
       posexplode(array((0 until bands).map(bd =>
         shiftrightunsigned(col("ahash"), bd * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*)))
+          .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
@@ -452,8 +404,14 @@ object Multimodal {
         case None => Iterator.empty
         case Some((sampleRate, channels, samples)) =>
           val nFrames = samples.length / channels
-          val winF = math.max(1, sampleRate.toLong * windowMs / 1000).toInt
-          val hopF = math.max(1, sampleRate.toLong * hopMs / 1000).toInt
+          // clamp BEFORE truncating to int: a hostile fmt-chunk sample rate
+          // (sampleRate near 2^31) times windowMs overflows the int cast,
+          // giving zero/negative frame counts (divide-by-zero NaN rms)
+          def frames(ms: Int): Int =
+            math.min(Int.MaxValue.toLong,
+              math.max(1L, sampleRate.toLong * ms / 1000)).toInt
+          val winF = frames(windowMs)
+          val hopF = frames(hopMs)
           Iterator.range(0, nFrames, hopF).zipWithIndex.map { case (startF, idx) =>
             val endF = math.min(nFrames, startF + winF)
             var sumSq = 0.0

@@ -64,7 +64,9 @@ object Quantize {
       s"id column '$idCol' collides with a quantization output column — alias first")
     df.select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("dv"))
       .select(col("id"), col("dv"), array_min(col("dv")).as("qmin"),
-        ((array_max(col("dv")) - array_min(col("dv"))) / Levels).as("qscale"))
+        array_max(col("dv")).as("qmax"))
+      .select(col("id"), col("dv"), col("qmin"),
+        ((col("qmax") - col("qmin")) / Levels).as("qscale"))
       .select(col("id"), col("qmin"), col("qscale"),
         transform(col("dv"), x =>
           when(col("qscale") === 0.0, lit(0))
