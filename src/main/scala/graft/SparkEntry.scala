@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Chunking, Decontaminate, Dedup, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
+import graft.pipeline.{Chunking, Decontaminate, Dedup, Lines, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1036,6 +1036,60 @@ object SparkEntry {
       Decontaminate.contaminatedIdsBloom(corpus, "doc_id", "text", evalSet, "text",
           n = 5, fpp = 0.01)
         .orderBy("contaminated_id")
+    },
+
+    // fuzzy decontamination: exact 5-gram-set Jaccard >= 3/10 against the
+    // broadcast eval set, tested by integer cross-multiplication (no float
+    // epsilon) — flags the planted eval copies (Jaccard 1) plus any natural
+    // doc that substantially paraphrases an eval item
+    "decon_fuzzy" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Decontaminate.fuzzyContaminated(corpus, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 5, jaccardNum = 3, jaccardDen = 10)
+        .orderBy("contaminated_id")
+    },
+
+    // CCNet-style corpus-global segment dedup WITH reconstruction: disjoint
+    // 5-token windows hashed corpus-wide, windows seen in >= 2 distinct docs
+    // dropped, documents re-assembled from survivors — the planted copies of
+    // docs 0-19 force their windows over the threshold, natural boilerplate
+    // windows add the rest
+    "text_seg_dedup" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Lines.dedupSegments(corpus, "doc_id", "text", segSize = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // per-doc trigram novelty: the fraction (as exact integers) of a doc's
+    // distinct 3-grams appearing nowhere else in the corpus — the
+    // cross-document repetition signal Gopher's within-doc filters miss
+    "text_novelty" -> { (s, dir) =>
+      Lines.noveltyStats(Tables.read(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // quality-aware canonical selection over the planted duplicate chains:
+    // scores 5 / 9 / 9 across the d / d+1M / d+2M tiers make the +1M member
+    // win (max score, then min id) — exercising both the argmax and the
+    // tie-break, and distinguishing the rule from min-id canonicalization
+    "dedup_keep_best" -> { (s, dir) =>
+      val ids = Tables.read(s, dir, "documents")
+        .where(col("doc_id") < 10).select(col("doc_id").cast("long").as("d"))
+      val chain = ids.select(col("d").as("id1"), (col("d") + 1000000L).as("id2"))
+        .unionByName(ids.select((col("d") + 1000000L).as("id1"),
+          (col("d") + 2000000L).as("id2")))
+      val members = ids.select(col("d").as("doc_id"), lit(5L).as("score"))
+        .unionByName(ids.select((col("d") + 1000000L).as("doc_id"), lit(9L).as("score")))
+        .unionByName(ids.select((col("d") + 2000000L).as("doc_id"), lit(9L).as("score")))
+      Dedup.canonicalByScore(members, "doc_id", "score", chain)
+        .orderBy("doc_id")
     },
 
     // Gopher-style repetition signals (dup segments, most-frequent 2-/3-gram
@@ -2277,6 +2331,72 @@ object SparkEntry {
         |x AS (SELECT doc_id, unnest(grams) AS gram FROM corpus)
         |SELECT DISTINCT x.doc_id AS contaminated_id FROM x JOIN e USING (gram)
         |ORDER BY contaminated_id""".stripMargin,
+
+    "decon_fuzzy" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(len(toks)-4),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]))
+        |        ELSE [] END AS grams FROM t),
+        |e AS (SELECT doc_id AS eval_doc_id, grams AS eg FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id >= 20
+        |           UNION ALL SELECT doc_id + 1000000, grams FROM g WHERE doc_id < 20),
+        |p AS (SELECT c.doc_id, e.eval_doc_id,
+        |        len(list_intersect(c.grams, e.eg)) AS n_inter,
+        |        len(c.grams) + len(e.eg) - len(list_intersect(c.grams, e.eg)) AS n_union
+        |      FROM corpus c, e),
+        |q AS (SELECT * FROM p WHERE n_union > 0 AND n_inter * 10 >= n_union * 3),
+        |r AS (SELECT doc_id, eval_doc_id, n_inter, n_union,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(n_inter AS DOUBLE)/n_union DESC, eval_doc_id ASC) AS rn FROM q)
+        |SELECT doc_id AS contaminated_id, eval_doc_id,
+        |       CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union
+        |FROM r WHERE rn = 1 ORDER BY contaminated_id""".stripMargin,
+
+    "text_seg_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM base),
+        |s AS (SELECT doc_id, list_transform(range(0, greatest(len(tk), 1), 5),
+        |        st -> array_to_string(tk[st+1:st+5], ' ')) AS segs FROM t),
+        |r AS (SELECT doc_id, unnest(range(len(segs))) AS seg_idx, segs FROM s),
+        |r2 AS (SELECT doc_id, seg_idx, segs[seg_idx+1] AS seg FROM r WHERE segs[seg_idx+1] <> ''),
+        |dup AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS c FROM r2 GROUP BY seg)
+        |        WHERE c >= 2),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM r2 WHERE seg NOT IN (SELECT seg FROM dup)),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_segs FROM r2 GROUP BY doc_id),
+        |d AS (SELECT doc_id, count(*) AS n_dropped FROM r2
+        |      WHERE seg IN (SELECT seg FROM dup) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(coalesce(n.n_segs, 0) AS INT) AS n_segs,
+        |       CAST(coalesce(d.n_dropped, 0) AS INT) AS n_dropped,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM (SELECT DISTINCT doc_id FROM base) b
+        |LEFT JOIN n USING (doc_id) LEFT JOIN d USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks)-2),
+        |          i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))
+        |        ELSE [] END AS grams FROM t),
+        |x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |c AS (SELECT gram, count(*) AS n_docs FROM x GROUP BY gram),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM x
+        |       JOIN (SELECT gram FROM c WHERE n_docs = 1) u USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel
+        |FROM g LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, cluster_id, kept FROM (
+        |  SELECT d AS doc_id, d AS cluster_id, FALSE AS kept FROM m
+        |  UNION ALL SELECT d + 1000000, d, TRUE FROM m
+        |  UNION ALL SELECT d + 2000000, d, FALSE FROM m)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

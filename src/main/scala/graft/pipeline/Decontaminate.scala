@@ -96,6 +96,58 @@ object Decontaminate {
       .select(col("eval_id"), coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
   }
 
+  /**
+   * Fuzzy decontamination: flag corpus documents whose distinct word
+   * n-gram set has Jaccard similarity >= `jaccardNum/jaccardDen` with some
+   * eval document — the overlap rule used when eval items are paraphrased
+   * or lightly edited into the crawl, where the any-shared-13-gram rule
+   * either misses (grams broken by edits) or over-fires (one boilerplate
+   * gram). The threshold is a RATIONAL (numerator/denominator) and the
+   * test is integer cross-multiplication `den*|A∩B| >= num*|A∪B|` — no
+   * float epsilon, so an external oracle reproduces it bit-exactly.
+   *
+   * Output: (contaminated_id, eval_doc_id, n_inter, n_union) — one row per
+   * flagged corpus doc, matched to its best eval doc (highest Jaccard,
+   * ties to the smallest eval id).
+   *
+   * Scale shape: the eval side is benchmark-sized, so its (eval_id,
+   * gram_hash) pairs broadcast; corpus gram hashes explode scan-locally
+   * (text never shuffles) and only (corpus id, eval id) pair counts cross
+   * the one shuffle. Per-doc gram-set sizes ride the same scan. The
+   * argmax window partitions by corpus id over at most |eval| rows each —
+   * no corpus-sized partition exists anywhere in the plan.
+   */
+  def fuzzyContaminated(corpus: DataFrame, idCol: String, textCol: String,
+                        evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+                        n: Int = 5, jaccardNum: Int = 3, jaccardDen: Int = 10): DataFrame = {
+    require(jaccardNum > 0 && jaccardDen > 0 && jaccardNum <= jaccardDen,
+      s"threshold must be a fraction in (0,1]: $jaccardNum/$jaccardDen")
+    val evalGrams = broadcast(
+      evalSet.select(col(evalIdCol).as("eval_doc_id"),
+        explode(sketches.hashedShingles(col(evalTextCol), n)).as("gram_hash")))
+    val evalSizes = broadcast(
+      evalSet.select(col(evalIdCol).as("eval_doc_id"),
+        size(sketches.hashedShingles(col(evalTextCol), n)).cast("long").as("n_b")))
+    val inter = gramRows(corpus, idCol, textCol, n)
+      .join(evalGrams, Seq("gram_hash"))
+      .groupBy("id", "eval_doc_id").agg(count(lit(1)).as("n_inter"))
+    val corpusSizes = corpus.select(col(idCol).as("id"),
+      size(sketches.hashedShingles(col(textCol), n)).cast("long").as("n_a"))
+    val scored = inter
+      .join(corpusSizes, Seq("id"))
+      .join(evalSizes, Seq("eval_doc_id"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .where(col("n_inter") * jaccardDen >= col("n_union") * jaccardNum)
+    import org.apache.spark.sql.expressions.Window
+    val best = org.apache.spark.sql.functions.row_number().over(
+      Window.partitionBy(col("id"))
+        .orderBy((col("n_inter").cast("double") / col("n_union")).desc,
+          col("eval_doc_id").asc))
+    scored.withColumn("rn", best).where(col("rn") === 1)
+      .select(col("id").as("contaminated_id"), col("eval_doc_id"),
+        col("n_inter"), col("n_union"))
+  }
+
   /** Corpus minus contaminated documents (left-anti against the flagged
     * id set — the write side of a decontamination job). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,

@@ -496,4 +496,42 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(nonCanonical, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Quality-aware canonical selection: instead of keeping each duplicate
+   * cluster's min-id member (an arbitrary survivor), keep the member with
+   * the HIGHEST score (ties to the smallest id) — the curation rule when
+   * near-duplicates differ in quality (a clean original vs. its
+   * ad-injected scrape: drop the scrape regardless of which id is lower).
+   *
+   * `members` must carry (idCol, scoreCol); every member id gets a row.
+   * Output: (idCol, cluster_id, kept) — cluster_id is the component's
+   * min id from [[duplicateClusters]] (ids not in any pair cluster to
+   * themselves and are kept).
+   *
+   * Scale shape: clusters come from the tiered connected-components
+   * engine; the score join is keyed by id; the per-cluster argmax is a
+   * max-of-struct aggregate — one shuffle keyed by cluster_id over small
+   * groups (bucket caps bound cluster size upstream), no windows, no
+   * driver state beyond what [[duplicateClusters]] already uses.
+   */
+  def canonicalByScore(members: DataFrame, idCol: String, scoreCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val scored = members.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        col("score"))
+    // argmax score, min id on ties: max over (score, -id) structs — struct
+    // ordering is lexicographic, so negating the id makes the smaller id
+    // win the tie. Works for numeric ids; a string-id corpus supplies a
+    // numeric surrogate (or uses dropNearDuplicates' min-id rule).
+    val best = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id"),
+        (col("id") === col("best_id")).as("kept"))
+  }
 }

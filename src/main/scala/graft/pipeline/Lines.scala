@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-global segment-level deduplication with text RECONSTRUCTION — the
+ * CCNet paragraph-dedup stage (Wenzek et al. 2020 §3.1: hash every
+ * paragraph, drop paragraphs whose hash repeats across the corpus) adapted
+ * to segment = disjoint token window so it also applies to corpora without
+ * newline structure. Unlike [[Dedup.crossDocSpanStats]] (which only
+ * REPORTS shared spans), this operator emits the cleaned text: each
+ * document is re-assembled from its surviving segments in order.
+ *
+ * Relation to [[TextClean.stripBoilerplate]]: that operator targets the
+ * top-k boilerplate REGIME — it collects a bounded, frequency-ranked
+ * segment list to the driver and strips scan-locally, which is the right
+ * shape when the condemned set is small (site chrome, legal footers). This
+ * one is the full-dedup regime: the condemned set stays distributed (CCNet
+ * removes EVERY repeated paragraph — at 100 TB that set does not fit on a
+ * driver), at the cost of one extra hash-keyed join.
+ *
+ * Scale shape (the part that matters at 100 TB):
+ *  - segmentation is scan-local (split → window slice → posexplode);
+ *  - only (id, seg_idx, seg_hash) triples cross the first shuffle — never
+ *    segment text;
+ *  - the condemned-hash table (hashes seen in >= minDocs distinct docs) is
+ *    produced by one hash-keyed aggregate and consumed by a hash-keyed
+ *    left-semi join — boilerplate-heavy corpora make this table large, so
+ *    it is NOT broadcast;
+ *  - per-doc drop lists collapse to an int-array (doc_id, dropped_idxs)
+ *    before the join back to the corpus, so the only row-sized shuffle
+ *    carries one small array per AFFECTED document (untouched docs flow
+ *    through the left join unscathed);
+ *  - reconstruction re-derives the segment array from the original text
+ *    scan-locally and filters by index — document text itself never
+ *    shuffles.
+ */
+object Lines {
+
+  /** Case-preserving whitespace tokens (reconstruction must round-trip). */
+  private def toks(textCol: org.apache.spark.sql.Column) =
+    split(trim(textCol), "\\s+")
+
+  /** Disjoint token windows of `size` as an array<string>; the final
+    * window may be short. Empty docs yield a single "" segment which every
+    * consumer filters out. */
+  private def segArray(textCol: org.apache.spark.sql.Column, segSize: Int) = {
+    val t = toks(textCol)
+    transform(
+      sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(segSize)),
+      s => concat_ws(" ", slice(t, s + 1, lit(segSize))))
+  }
+
+  /** (id, seg_idx, seg_hash) rows, scan-local; empty segments dropped. */
+  def segmentHashes(df: DataFrame, idCol: String, textCol: String,
+                    segSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(segArray(col(textCol), segSize)).as(Seq("seg_idx", "seg")))
+      .where(col("seg") =!= "")
+      .select(col("id"), col("seg_idx"), xxhash64(col("seg")).as("seg_hash"))
+
+  /**
+   * Drop every segment whose hash occurs in >= `minDocs` DISTINCT
+   * documents; rebuild each document from the survivors.
+   *
+   * Output: all input columns except `textCol`, plus
+   *   n_segs      int     non-empty segments in the original document
+   *   n_dropped   int     segments removed as corpus-wide duplicates
+   *   clean_text  string  surviving segments joined by single spaces
+   *                       ("" when everything was dropped)
+   *
+   * A segment repeated WITHIN one document does not condemn itself — the
+   * count is distinct-documents, per CCNet (repetition inside a doc is a
+   * quality signal, handled by [[TextAnalysis.repetitionStats]]).
+   */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                    segSize: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(segSize > 0, s"segSize must be positive: $segSize")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val segs = segmentHashes(df, idCol, textCol, segSize)
+    val condemned = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("seg_hash")
+    val dropIdx = segs.join(condemned, Seq("seg_hash"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_set(col("seg_idx"))).as("dropped_idxs"))
+      .withColumnRenamed("id", "_drop_id")
+    val joined = df.join(dropIdx, df(idCol) === col("_drop_id"), "left")
+      .drop("_drop_id")
+    val allSegs = segArray(col(textCol), segSize)
+    val dropped = coalesce(col("dropped_idxs"), array().cast("array<int>"))
+    val keptIdxs = filter(
+      sequence(lit(0), size(allSegs) - 1),
+      i => element_at(col("_seg_tmp"), i + 1) =!= "" && !array_contains(dropped, i))
+    val keep = df.columns.filterNot(_ == textCol).map(col)
+    joined
+      .withColumn("_seg_tmp", allSegs)
+      .withColumn("_kept", keptIdxs)
+      .select(keep :+
+        size(filter(col("_seg_tmp"), s => s =!= "")).as("n_segs") :+
+        size(dropped).as("n_dropped") :+
+        concat_ws(" ",
+          transform(col("_kept"), i => element_at(col("_seg_tmp"), i + 1)))
+          .as("clean_text"): _*)
+  }
+
+  /**
+   * Per-document n-gram novelty: how much of a document's (distinct) word
+   * n-gram vocabulary appears NOWHERE else in the corpus. The inverse of a
+   * contamination signal — high-novelty documents carry information the
+   * corpus doesn't already have, low-novelty documents are recombinations
+   * of corpus boilerplate (the documents Gopher-style repetition filters
+   * miss because the repetition is ACROSS documents, not within one).
+   *
+   * Output: (idCol, n_grams, n_novel) — integer numerator/denominator; the
+   * caller divides (kept exact here so results hash stably).
+   *
+   * Scale shape: per-doc distinct gram hashes come from the single-pass
+   * [[sketches.hashedShingles]] expression; only (id, gram_hash) pairs
+   * shuffle; the gram→doc-count aggregate is hash-keyed (counts, not
+   * countDistinct — grams are already distinct per doc); novel grams
+   * collapse back to per-doc counts before rejoining the id universe.
+   */
+  def noveltyStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(sketches.hashedShingles(col(textCol), n)).as("gram_hash"))
+    val counts = grams.groupBy("gram_hash").agg(count(lit(1)).as("n_docs"))
+    val novel = grams.join(counts.where(col("n_docs") === 1).select("gram_hash"),
+        Seq("gram_hash"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_novel"))
+    df.select(col(idCol).as("id"),
+        size(sketches.hashedShingles(col(textCol), n)).as("n_grams"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+}
