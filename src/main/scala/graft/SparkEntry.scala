@@ -2,7 +2,7 @@ package graft
 
 import graft.condition.Intrinsic
 import graft.engine._
-import graft.pipeline.{Chunking, Decontaminate, Dedup, Lines, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
+import graft.pipeline.{Chunking, Curriculum, Decontaminate, Dedup, Lines, Mixing, Multimodal, Packing, Search, Similarity, Sources, TextAnalysis, TextClean}
 import graft.resolve.ResolveEngine
 import graft.streaming.{Databus, Subscription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -775,6 +775,27 @@ object SparkEntry {
           "vec_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    },
+
+    // contrastive hard-negative mining: top-3 by cosine within [0.05, 0.45]
+    // — the band excludes the trivial negatives below and would exclude
+    // near-duplicate positives above (natural sf0.01 cosines top out ~0.51,
+    // so the cap actively bites)
+    "sim_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, minSim = 0.05, maxSim = 0.45)
+        .orderBy("query_id", "rank")
+    },
+
+    // curriculum bucketing by document length: 0-based global rank under
+    // (n_chars, doc_id) via the distributed two-phase prefix sum, bucket =
+    // rank*10 DIV N — all-integer, no ntile edge semantics, no global window
+    "pipeline_curriculum" -> { (s, dir) =>
+      Curriculum.difficultyBuckets(
+          Tables.read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", nBuckets = 10)
+        .orderBy("doc_id")
     },
 
     // planted-fixture oracle: each query vector's exact copy rides in the
@@ -2094,6 +2115,27 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
         |  FROM q, c WHERE qid <> nid)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, c WHERE qid <> nid
+        |    AND list_cosine_similarity(qv, cv) >= 0.05
+        |    AND list_cosine_similarity(qv, cv) <= 0.45)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "pipeline_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn,
+        |             count(*) OVER () AS n
+        |           FROM documents)
+        |SELECT doc_id, n_chars, CAST((rn * 10) // n AS INT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (

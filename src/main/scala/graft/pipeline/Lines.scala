@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
  *    left-semi join — boilerplate-heavy corpora make this table large, so
  *    it is NOT broadcast;
  *  - per-doc drop lists collapse to an int-array (doc_id, dropped_idxs)
- *    before the join back to the corpus, so the only row-sized shuffle
- *    carries one small array per AFFECTED document (untouched docs flow
- *    through the left join unscathed);
+ *    before the join back to the corpus — one small array per AFFECTED
+ *    document. When few documents are affected that side broadcasts (AQE)
+ *    and corpus text never moves; in the worst case (most docs carry
+ *    dups) the corpus shuffles exactly once, on its id — the floor for
+ *    any operator that must emit rewritten text per document;
  *  - reconstruction re-derives the segment array from the original text
  *    scan-locally and filters by index — document text itself never
  *    shuffles.

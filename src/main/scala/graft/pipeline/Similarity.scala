@@ -96,6 +96,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /**
+   * Hard-negative mining for contrastive training (the DPR / SimCSE
+   * retrieval recipe): per query, the top-k most similar corpus vectors
+   * whose cosine falls in `[minSim, maxSim]` — below `maxSim` to exclude
+   * positives/near-duplicates (which would poison the negative set), above
+   * `minSim` to exclude easy negatives the model already separates.
+   *
+   * Output: (query_id, rank, neighbor_id) ranked by cosine desc within the
+   * band, ties to the smaller neighbor id.
+   *
+   * Scale shape: identical to [[bruteForceTopK]] — queries broadcast, the
+   * similarity band filters candidates scan-side BEFORE the bounded
+   * per-partition heaps, so the rank stage sees at most k × partitions
+   * rows per query and no corpus-sized partition exists. An LSH/IVF
+   * candidate generator can replace the scan when queries stop being
+   * broadcast-sized.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, minSim: Double = 0.0,
+                    maxSim: Double = 0.95): DataFrame = {
+    require(minSim <= maxSim, s"need minSim <= maxSim: $minSim > $maxSim")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .where(col("score") >= minSim && col("score") <= maxSim)
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * a fixed hash mapped to [-1, 1). Shared by all rows — equivalent to a
     * broadcast random matrix without needing an RNG at plan time. */

@@ -229,6 +229,25 @@ object CurationStress {
         Dedup.signCluster(col("embedding"), 14), tau = 0.99,
         maxClusterSize = 2000).where(col("kept")).count()
     }
+    // round-5e: corpus-global segment dedup WITH reconstruction — the
+    // replicated corpus is the worst case (every window appears `mult`
+    // times, every doc is rewritten, so the text-side join cannot
+    // broadcast); consume the rebuilt text so the rewrite isn't pruned
+    time("seg_dedup", nDocs) {
+      Lines.dedupSegments(docs, "doc_id", "text", segSize = 5, minDocs = 2)
+        .agg(sum(length(col("clean_text"))), sum(col("n_dropped"))).collect()
+      nDocs
+    }
+    time("novelty", nDocs) {
+      Lines.noveltyStats(docs, "doc_id", "text", n = 3)
+        .agg(sum(col("n_novel")), sum(col("n_grams"))).collect()
+      nDocs
+    }
+    time("fuzzy_decon", nDocs) {
+      Decontaminate.fuzzyContaminated(docs, "doc_id", "text",
+        docs0.where(col("doc_id") < 20).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 5, jaccardNum = 3, jaccardDen = 10).count()
+    }
     spark.stop()
   }
 }
