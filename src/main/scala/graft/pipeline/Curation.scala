@@ -35,6 +35,14 @@ object Curation {
     * reproducible shards. See [[Sharding]]. */
   final case class ShardConfig(nShards: Int, seed: Long = 42L)
 
+  /** Corpus-global segment-dedup stage (CCNet paragraph dedup adapted to
+    * token windows): see [[Lines.dedupSegments]]. */
+  final case class SegDedupConfig(segSize: Int = 5, minDocs: Int = 2)
+
+  /** Curriculum annotation: ordinal difficulty bucket from the global rank
+    * of `scoreCol` (ties on the id). See [[Curriculum.difficultyBuckets]]. */
+  final case class CurriculumConfig(scoreCol: String, nBuckets: Int = 10)
+
   final case class Config(
       extractHtml: Boolean = false,                // HTML-to-text before any text op
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
@@ -45,8 +53,12 @@ object Curation {
       bpeModel: Option[Bpe.Model] = None,          // budget/packing counts in
                                                    // learned-tokenizer units
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
+      segDedup: Option[SegDedupConfig] = None,     // full corpus-global segment dedup
+                                                   // (distributed condemned set)
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
+      nearDupKeepBest: Option[String] = None,      // score column: keep each cluster's
+                                                   // best member instead of min id
       minTokens: Int = 10,
       minTokensPermille: Option[Int] = None,       // derive minTokens from the corpus
                                                    // token-count quantile (overrides minTokens)
@@ -58,6 +70,9 @@ object Curation {
       langs: Set[String] = Set.empty,              // empty = keep all languages
       decontaminationN: Int = 13,
       bloomDecontamination: Boolean = false,       // scan-local bloom prefilter path
+      fuzzyDeconThreshold: Option[(Int, Int)] = None, // (num, den): Jaccard >= num/den
+                                                   // fuzzy rule instead of any-shared-gram
+      curriculum: Option[CurriculumConfig] = None, // annotate difficulty bucket
       sourceMix: Option[MixConfig] = None,         // per-source budget mixing
       sourceCap: Option[CapConfig] = None,         // <= n docs per source
       tokenBudget: Option[Long] = None,            // carve to ~B tokens
@@ -124,11 +139,31 @@ object Curation {
       df = stage("boilerplate",
         df.withColumn(textCol, TextClean.stripSegments(col(textCol), boiler)))
     }
+    // corpus-global segment dedup (full-dedup regime, distributed condemned
+    // set) runs where boilerplate does and for the same reason: shared
+    // windows would defeat exact dedup and pollute near-dup shingles. The
+    // rewritten text replaces textCol; the stat columns stay internal.
+    cfg.segDedup.foreach { sd =>
+      val cleaned = Lines.dedupSegments(df, idCol, textCol, sd.segSize, sd.minDocs)
+        .withColumnRenamed("clean_text", textCol)
+        .drop("n_segs", "n_dropped")
+      df = stage("seg_dedup", cleaned)
+    }
     if (cfg.exactDedup)
       df = stage("exact_dedup", Dedup.dropExactDuplicates(df, textCol, idCol))
     cfg.nearDupThreshold.foreach { t =>
       val pairs = Dedup.minhashNearDuplicates(df, idCol, textCol, threshold = t)
-      df = stage("near_dedup", Dedup.dropNearDuplicates(df, pairs, idCol))
+      val kept = cfg.nearDupKeepBest match {
+        case Some(scoreCol) =>
+          // quality-aware survivor: each cluster keeps its best-scored
+          // member (ties to min id) instead of the arbitrary min id
+          val keepIds = Dedup.canonicalByScore(
+              df.select(col(idCol), col(scoreCol)), idCol, scoreCol, pairs)
+            .where(col("kept")).select(idCol)
+          df.join(keepIds, Seq(idCol), "left_semi")
+        case None => Dedup.dropNearDuplicates(df, pairs, idCol)
+      }
+      df = stage("near_dedup", kept)
     }
     // data-derived length threshold: the corpus's own p-quantile token
     // count (histogram-first, so deriving it is not a corpus sort)
@@ -152,7 +187,19 @@ object Curation {
       df = stage("pii_scrub", df.withColumn(textCol, TextClean.scrub(col(textCol))))
     evalSet.foreach { ev =>
       val cleaned =
-        if (cfg.bloomDecontamination) {
+        if (cfg.fuzzyDeconThreshold.isDefined) {
+          val (num, den) = cfg.fuzzyDeconThreshold.get
+          // fuzzy rule: whole-set Jaccard, robust to paraphrased leaks.
+          // The eval frame needs an id column for the argmax report shape;
+          // a synthetic one is fine since only contaminated_id is consumed.
+          val evIds = ev.withColumn("__graft_eval_id",
+            xxhash64(col(textCol)))
+          val bad = Decontaminate.fuzzyContaminated(df, idCol, textCol,
+              evIds, "__graft_eval_id", textCol,
+              n = cfg.decontaminationN, jaccardNum = num, jaccardDen = den)
+            .select(col("contaminated_id").as(idCol))
+          df.join(bad, Seq(idCol), "left_anti")
+        } else if (cfg.bloomDecontamination) {
           val bad = Decontaminate.contaminatedIdsBloom(df, idCol, textCol,
               ev, textCol, n = cfg.decontaminationN)
             .select(col("contaminated_id").as(idCol))
@@ -200,6 +247,17 @@ object Curation {
       val packed = Packing.packSequences(tok, idCol, "__nt", b)
         .select(col(idCol), col("seq_id"))
       df = df.join(packed, Seq(idCol))
+    }
+    // curriculum annotation before export: the bucket rides into the
+    // shards so a training run can schedule easy-to-hard without a
+    // second pass over the corpus
+    cfg.curriculum.foreach { cc =>
+      require(!df.columns.contains("bucket"),
+        "curriculum stage would clobber an existing 'bucket' column")
+      val buckets = Curriculum.difficultyBuckets(
+        df.select(col(idCol), col(cc.scoreCol)), idCol, cc.scoreCol, cc.nBuckets)
+        .select(col(idCol), col("bucket"))
+      df = df.join(buckets, Seq(idCol))
     }
     // export tail: reproducible shard + read position for the training
     // run, keyed on packed sequences when packing is on (a sequence

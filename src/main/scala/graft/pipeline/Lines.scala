@@ -80,7 +80,12 @@ object Lines {
                     segSize: Int = 5, minDocs: Int = 2): DataFrame = {
     require(segSize > 0, s"segSize must be positive: $segSize")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // the seg-hash table feeds two consumers (the condemned aggregate and
+    // the drop-list join); persist it instead of re-scanning + re-exploding
+    // the corpus per consumer — at corpus scale this is the table you'd
+    // checkpoint, same shape as the MinHash band table
     val segs = segmentHashes(df, idCol, textCol, segSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val condemned = segs.groupBy("seg_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

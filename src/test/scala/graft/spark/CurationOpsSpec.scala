@@ -479,6 +479,68 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(gatedIds === (0L until 20L).toSet)
   }
 
+  test("Curation.run: seg dedup, keep-best near-dedup, fuzzy decon, curriculum") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    // docs 1/2 share the window "dup seg here" (cross-doc, condemned);
+    // docs 3/4 are near-identical with 4 scoring higher; doc 5 leaks an
+    // eval item fuzzily (no full doc copy)
+    val v = Seq(
+      (1L, "dup seg here unique one text body flows", 10L),
+      (2L, "dup seg here other two text body drifts", 10L),
+      (3L, "threeway match candidate text body keeps going longer now", 1L),
+      (4L, "threeway match candidate text body keeps going longer now!", 9L),
+      (5L, "quick brown fox jumps over the lazy dog today", 10L),
+      (6L, "completely unrelated filler content stands alone fine", 10L))
+      .toDF("id", "text", "score")
+    val evalSet = Seq(("quick brown fox jumps over the lazy dog", 0))
+      .toDF("text", "ignore").select($"text")
+
+    // seg dedup stage: the shared 3-token window dies in docs 1 and 2
+    val seg = Curation.run(v, "id", "text",
+      Curation.Config(segDedup = Some(Curation.SegDedupConfig(segSize = 3)),
+        exactDedup = false, requireQuality = false, requireRepetitionOk = false),
+      trackFunnel = true)
+    val segText = seg.docs.select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!segText(1L).contains("dup seg here") && !segText(2L).contains("dup seg here"))
+    assert(segText(6L) === "completely unrelated filler content stands alone fine")
+    assert(seg.docs.columns.toSet === Set("id", "text", "score"))
+
+    // keep-best near-dedup: cluster {3,4} keeps 4 (higher score), not min id
+    val kb = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, nearDupThreshold = Some(0.5),
+        nearDupKeepBest = Some("score"),
+        requireQuality = false, requireRepetitionOk = false),
+      trackFunnel = false)
+    val kbIds = kb.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(kbIds.contains(4L) && !kbIds.contains(3L))
+    assert(Set(1L, 2L, 5L, 6L).subsetOf(kbIds), "non-clustered docs survive")
+
+    // fuzzy decon: doc 5 shares most 2-grams with the eval item -> dropped;
+    // exact-rule config would also catch it, so assert the fuzzy threshold
+    // spares a doc with only ONE shared gram
+    val fz = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, decontaminationN = 2,
+        fuzzyDeconThreshold = Some((1, 2)),
+        requireQuality = false, requireRepetitionOk = false),
+      evalSet = Some(evalSet), trackFunnel = false)
+    val fzIds = fz.docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(!fzIds.contains(5L) && Set(1L, 2L, 3L, 4L, 6L).subsetOf(fzIds))
+
+    // curriculum annotation: buckets follow the score order, column rides out
+    val cu = Curation.run(v, "id", "text",
+      Curation.Config(exactDedup = false, requireQuality = false,
+        requireRepetitionOk = false,
+        curriculum = Some(Curation.CurriculumConfig("score", nBuckets = 3))),
+      trackFunnel = false)
+    val buckets = cu.docs.select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(3L) === 0, "lowest score lands in bucket 0")
+    assert(buckets.values.max === 2)
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
