@@ -1602,6 +1602,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // segment-level incremental dedup: a new batch rewritten against the
+    // curated store's window-hash set plus its own intra-batch duplicates —
+    // planted copies of store docs (full store hits) and of batch docs
+    // (intra-batch condemnation) guarantee both rules fire at every SF
+    "dedup_incremental_seg" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val store = graft.pipeline.Incremental.segmentHashStore(
+        docs.where(col("doc_id") < 250), "doc_id", "text", segSize = 5)
+      val batch = docs.where(col("doc_id") >= 250).select("doc_id", "text")
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") >= 300 && col("doc_id") < 305)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.pipeline.Incremental.incrementalSegDedup(batch, "doc_id", "text",
+          store, segSize = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // the dataset card: corpus-level release facts as one long-format
+    // integer frame (Datasheets for Datasets) — one multi-aggregate pass
+    // plus the histogram-first median
+    "pipeline_datacard" -> { (s, dir) =>
+      graft.pipeline.Stats.dataCard(Tables.read(s, dir, "documents"),
+          "doc_id", "text", attrCols = Seq("lang", "source"))
+        .orderBy("metric")
+    },
+
     // learned-BPE token counts under the driver gate: fixed dictionary +
     // fixed merge count + fixed fixture docs = scale-independent golden
     // (VALUES-pinned oracle, the cond_partition pattern — BPE is not
@@ -2439,6 +2466,72 @@ object SparkEntry {
         |  UNION ALL SELECT d + 1000000, d, TRUE FROM m
         |  UNION ALL SELECT d + 2000000, d, FALSE FROM m)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental_seg" ->
+      """WITH sd AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |          UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+        |          UNION ALL SELECT doc_id + 2000000, text FROM documents
+        |            WHERE doc_id >= 300 AND doc_id < 305),
+        |segf AS (SELECT doc_id, seg_idx, segs[seg_idx+1] AS seg FROM (
+        |           SELECT doc_id, unnest(range(len(segs))) AS seg_idx, segs FROM (
+        |             SELECT doc_id, list_transform(range(0, greatest(len(tk), 1), 5),
+        |               st -> array_to_string(tk[st+1:st+5], ' ')) AS segs FROM (
+        |               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM batch)))
+        |         WHERE segs[seg_idx+1] <> ''),
+        |store_segs AS (SELECT DISTINCT seg FROM (
+        |           SELECT segs[i+1] AS seg FROM (
+        |             SELECT unnest(range(len(segs))) AS i, segs FROM (
+        |               SELECT list_transform(range(0, greatest(len(tk), 1), 5),
+        |                 st -> array_to_string(tk[st+1:st+5], ' ')) AS segs FROM (
+        |                 SELECT string_split_regex(trim(text), '\s+') AS tk FROM sd))))
+        |           WHERE seg <> ''),
+        |in_batch AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS c
+        |             FROM segf GROUP BY seg) WHERE c >= 2),
+        |condemned AS (SELECT seg FROM store_segs UNION SELECT seg FROM in_batch),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM segf
+        |         WHERE seg NOT IN (SELECT seg FROM condemned)),
+        |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_segs FROM segf GROUP BY doc_id),
+        |d AS (SELECT doc_id, count(*) AS n_dropped FROM segf
+        |      WHERE seg IN (SELECT seg FROM condemned) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(coalesce(n.n_segs, 0) AS INT) AS n_segs,
+        |       CAST(coalesce(d.n_dropped, 0) AS INT) AS n_dropped,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM (SELECT DISTINCT doc_id FROM batch) b
+        |LEFT JOIN n USING (doc_id) LEFT JOIN d USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_datacard" ->
+      """WITH t AS (SELECT doc_id, text, lang, source,
+        |             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |a AS (SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct_ids,
+        |        count(DISTINCT text) AS n_distinct_texts,
+        |        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |        min(n_tok) AS min_doc_tokens, max(n_tok) AS max_doc_tokens,
+        |        count(DISTINCT lang) AS n_distinct_lang,
+        |        count(DISTINCT source) AS n_distinct_source
+        |      FROM t),
+        |med AS (SELECT min(n_tok) AS m FROM (
+        |          SELECT n_tok, count(*) OVER (ORDER BY n_tok) AS cum,
+        |                 count(*) OVER () AS n FROM t)
+        |        WHERE cum >= ceil(0.5 * n))
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |  UNION ALL SELECT 'n_distinct_ids', n_distinct_ids FROM a
+        |  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a
+        |  UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_texts FROM a
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM a
+        |  UNION ALL SELECT 'total_chars', total_chars FROM a
+        |  UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM a
+        |  UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM a
+        |  UNION ALL SELECT 'median_doc_tokens', m FROM med
+        |  UNION ALL SELECT 'n_distinct_lang', n_distinct_lang FROM a
+        |  UNION ALL SELECT 'n_distinct_source', n_distinct_source FROM a)
+        |ORDER BY metric""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

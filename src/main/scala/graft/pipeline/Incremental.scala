@@ -104,4 +104,40 @@ object Incremental {
       .select(col("new_id").as(idCol)).distinct()
     newDocs.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** The segment-level (CCNet line-dedup) store: distinct window hashes of
+    * the curated corpus — one narrow long column, the companion of
+    * [[Lines.dedupSegments]] for the steady state. Append each accepted
+    * increment's hashes between runs. */
+  def segmentHashStore(df: DataFrame, idCol: String, textCol: String,
+                       segSize: Int = 5): DataFrame =
+    Lines.segmentHashes(df, idCol, textCol, segSize)
+      .select("seg_hash").distinct()
+
+  /**
+   * Segment-dedup a NEW batch against the store AND within itself: a
+   * window is dropped when its hash is in `store` (it already exists in
+   * the curated corpus) or when it appears in >= `minDocs` distinct
+   * batch documents (fresh cross-doc boilerplate arriving together).
+   * Same output contract as [[Lines.dedupSegments]] (n_segs, n_dropped,
+   * clean_text).
+   *
+   * Scale shape: the batch's (id, seg_idx, seg_hash) table persists once
+   * and feeds both discovery rules; the store side is a narrow
+   * hash-keyed scan into a semi-join — batch text never shuffles, and
+   * the store is never re-read per document.
+   */
+  def incrementalSegDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                          store: DataFrame, segSize: Int = 5,
+                          minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val segs = Lines.segmentHashes(newDocs, idCol, textCol, segSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inBatch = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("seg_hash")
+    val condemned = store.select(col("seg_hash")).unionByName(inBatch).distinct()
+    Lines.rebuildWithoutSegments(newDocs, idCol, textCol, segSize, condemned, segs)
+  }
 }

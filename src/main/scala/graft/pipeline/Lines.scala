@@ -90,6 +90,20 @@ object Lines {
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select("seg_hash")
+    rebuildWithoutSegments(df, idCol, textCol, segSize, condemned, segs)
+  }
+
+  /**
+   * The rewrite half, shared with [[Incremental.incrementalSegDedup]]:
+   * drop every segment of `df` whose hash appears in `condemned`
+   * (a (seg_hash) frame from any discovery rule) and rebuild each
+   * document from the survivors. `segsOpt` lets a caller that already
+   * materialized the (id, seg_idx, seg_hash) table pass it in.
+   */
+  private[pipeline] def rebuildWithoutSegments(df: DataFrame, idCol: String,
+      textCol: String, segSize: Int, condemned: DataFrame,
+      segsOpt: DataFrame = null): DataFrame = {
+    val segs = Option(segsOpt).getOrElse(segmentHashes(df, idCol, textCol, segSize))
     val dropIdx = segs.join(condemned, Seq("seg_hash"), "left_semi")
       .groupBy("id").agg(sort_array(collect_set(col("seg_idx"))).as("dropped_idxs"))
       .withColumnRenamed("id", "_drop_id")

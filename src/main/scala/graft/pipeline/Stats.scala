@@ -88,4 +88,52 @@ object Stats {
     Similarity.rankTopKPerQuery(counts, "group", "__score", "value", k)
       .select("group", "rank", "value", "cnt")
   }
+
+  /**
+   * The dataset card: corpus-level facts a curated-dataset release
+   * documents (Gebru et al., "Datasheets for Datasets") as one long-format
+   * (metric, value) frame — row counts, token/char totals, vocabulary-
+   * of-attributes cardinalities, the exact-duplicate count, and the
+   * median document length. All values are integers (no engine-formatted
+   * floats), so the card itself is hashable by an external oracle.
+   *
+   * Scale shape: one multi-aggregate pass over the corpus (count-distincts
+   * included — Spark expands them into one Expand + two-phase aggregate,
+   * still map-side combinable), plus the histogram-first median (window
+   * over #distinct lengths, not the corpus). No corpus-wide sort, no
+   * driver state beyond the card's dozen rows.
+   */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+               attrCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (df.isEmpty) return Seq("n_docs" -> 0L).toDF("metric", "value")
+    val tokens = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(idCol)).as("n_distinct_ids"),
+      countDistinct(col(textCol)).as("n_distinct_texts"),
+      sum(tokens).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      min(tokens).as("min_doc_tokens"),
+      max(tokens).as("max_doc_tokens")) ++
+      attrCols.map(c => countDistinct(col(c)).as(s"n_distinct_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val median = exactQuantiles(df, tokens, Seq(500))
+      .head().getLong(1)
+    val base = Seq(
+      "n_docs" -> row.getLong(0),
+      "n_distinct_ids" -> row.getLong(1),
+      "n_distinct_texts" -> row.getLong(2),
+      "n_exact_dup_docs" -> (row.getLong(0) - row.getLong(2)),
+      "total_tokens" -> row.getLong(3),
+      "total_chars" -> row.getLong(4),
+      "min_doc_tokens" -> row.getLong(5),
+      "max_doc_tokens" -> row.getLong(6),
+      "median_doc_tokens" -> median) ++
+      attrCols.zipWithIndex.map { case (c, i) =>
+        s"n_distinct_$c" -> row.getLong(7 + i)
+      }
+    base.toDF("metric", "value")
+  }
 }

@@ -109,4 +109,44 @@ class IncrementalSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("incrementalSegDedup: store windows and intra-batch dups drop, fresh text stays") {
+    // store contains the window "common seg text"; batch doc 10 repeats it,
+    // docs 11/12 share a NEW window (intra-batch), doc 13 is all fresh
+    val store = Incremental.segmentHashStore(
+      docs((1L, "common seg text anchor words here")), "id", "text", segSize = 3)
+    val batch = docs(
+      (10L, "common seg text fresh tail words"),
+      (11L, "brand new boiler plate rides twice"),
+      (12L, "brand new boiler plate rides again"),
+      (13L, "wholly original content stands alone"))
+    val out = Incremental.incrementalSegDedup(batch, "id", "text", store,
+        segSize = 3, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (10L, 2, 1, "fresh tail words"),
+      (11L, 2, 1, "plate rides twice"),   // only [brand new boiler] is shared
+      (12L, 2, 1, "plate rides again"),
+      (13L, 2, 0, "wholly original content stands alone")))
+  }
+
+  test("incrementalSegDedup equals batch dedupSegments when the store is empty") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batch = docs(rows: _*)
+    val empty = Seq.empty[Long].toDF("seg_hash")
+    val inc = Incremental.incrementalSegDedup(batch, "id", "text", empty,
+        segSize = 3, minDocs = 2)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val full = graft.pipeline.Lines.dedupSegments(batch, "id", "text",
+        segSize = 3, minDocs = 2)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(inc === full)
+  }
 }

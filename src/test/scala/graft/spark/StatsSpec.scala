@@ -116,4 +116,32 @@ class StatsSpec extends AnyFunSuite {
     assert(windowIdx >= 0 && aggIdx > windowIdx,
       s"expected histogram aggregate beneath the window:\n$plan")
   }
+
+  test("dataCard reports corpus release facts as exact integers") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "one two three", "en", "web"),     // exact dup text
+      (3L, "four five six seven eight", "de", "code"),
+      (4L, "nine", "en", "web"))
+      .toDF("id", "text", "lang", "source")
+    val card = Stats.dataCard(df, "id", "text", attrCols = Seq("lang", "source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") === 4L)
+    assert(card("n_distinct_ids") === 4L)
+    assert(card("n_distinct_texts") === 3L)
+    assert(card("n_exact_dup_docs") === 1L)
+    assert(card("total_tokens") === 3L + 3L + 5L + 1L)
+    assert(card("total_chars") === 13L + 13L + 25L + 4L)
+    assert(card("min_doc_tokens") === 1L)
+    assert(card("max_doc_tokens") === 5L)
+    assert(card("median_doc_tokens") === 3L) // ranks: 1,3,3,5 -> ceil(2)=2nd
+    assert(card("n_distinct_lang") === 2L)
+    assert(card("n_distinct_source") === 2L)
+    // empty corpus degenerates to the single n_docs row
+    val empty = Stats.dataCard(Seq.empty[(Long, String)].toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty === Map("n_docs" -> 0L))
+  }
 }
