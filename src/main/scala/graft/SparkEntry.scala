@@ -1113,6 +1113,47 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // template-level dedup: documents identical after digit normalization
+    // (the machine-generated-content shape exact dedup misses) — planted
+    // pairs differ only in a numeric suffix, so they group; base docs
+    // (no suffix) stay out
+    "dedup_template" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" version 1")).as("text")))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" version 23")).as("text")))
+      Dedup.templateGroups(corpus, "text", "doc_id")
+        .where(col("n_dups") >= 2)
+        .orderBy("template_hash")
+    },
+
+    // snapshot diff between two corpus versions: removed (ids 0-99),
+    // modified (100-109, text edited), unchanged (110-399), added (400+)
+    "pipeline_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id") < 110, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      graft.pipeline.Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // token-distribution drift between the corpus halves: top-20 unigrams
+    // by the cross-multiplied integer |cnt_a*tot_b - cnt_b*tot_a| (decimal,
+    // overflow-proof, oracle-exact ordering)
+    "stats_gram_drift" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      graft.pipeline.Stats.gramDrift(docs.where(col("doc_id") < 250),
+          docs.where(col("doc_id") >= 250), "text", n = 1, k = 20)
+        .orderBy("rank")
+    },
+
     // Gopher-style repetition signals (dup segments, most-frequent 2-/3-gram
     // mass) — integer numerators/denominators so the oracle compare never
     // hashes engine-formatted doubles; the fraction forms are library API
@@ -2532,6 +2573,48 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_distinct_lang', n_distinct_lang FROM a
         |  UNION ALL SELECT 'n_distinct_source', n_distinct_source FROM a)
         |ORDER BY metric""".stripMargin,
+
+    "dedup_template" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' version 1'
+        |    FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 2000000, text || ' version 23'
+        |    FROM documents WHERE doc_id < 10)
+        |SELECT md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS template_hash,
+        |       min(doc_id) AS canonical_id, count(*) AS n_dups,
+        |       count(DISTINCT text) AS n_variants
+        |FROM corpus GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY template_hash""".stripMargin,
+
+    "pipeline_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id < 400),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id < 110 THEN text || ' updated' ELSE text END) AS nh
+        |      FROM documents WHERE doc_id >= 100)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged' ELSE 'modified' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "stats_gram_drift" ->
+      """WITH g AS (SELECT doc_id,
+        |             unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS gram
+        |           FROM documents),
+        |a AS (SELECT gram, count(*) AS cnt FROM g WHERE doc_id < 250 GROUP BY gram),
+        |b AS (SELECT gram, count(*) AS cnt FROM g WHERE doc_id >= 250 GROUP BY gram),
+        |j AS (SELECT coalesce(a.gram, b.gram) AS gram,
+        |        coalesce(a.cnt, 0) AS cnt_a, coalesce(b.cnt, 0) AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.gram = b.gram),
+        |sc AS (SELECT gram, cnt_a, cnt_b,
+        |         abs(CAST(cnt_a AS HUGEINT) * (SELECT sum(cnt) FROM b) -
+        |             CAST(cnt_b AS HUGEINT) * (SELECT sum(cnt) FROM a)) AS drift
+        |       FROM j)
+        |SELECT CAST(row_number() OVER (ORDER BY drift DESC, gram ASC) AS INT) AS rank,
+        |       gram, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b
+        |FROM (SELECT * FROM sc ORDER BY drift DESC, gram ASC LIMIT 20)
+        |ORDER BY rank""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -28,6 +28,26 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Digit-normalized text: every digit run collapses to a single 0 — two
+    * documents equal up to numbers (timestamps, ids, counters) normalize
+    * identically. The template key for [[templateGroups]]. */
+  def templateKey(textCol: Column): Column =
+    md5(regexp_replace(textCol, "[0-9]+", "0"))
+
+  /** Template-level exact dedup: groups of documents identical AFTER digit
+    * normalization — the machine-generated-content shape (log lines, stock
+    * tickers, sports recaps, product pages) that exact dedup misses because
+    * every instance carries different numbers. Same group contract as
+    * [[exactGroups]] plus the count of distinct RAW texts per template
+    * (n_variants = 1 means the group was already an exact-dup group).
+    * Scale shape: identical to exact dedup — one hash-keyed aggregate. */
+  def templateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(templateKey(col(textCol)).as("template_hash"),
+        col(idCol), col(textCol))
+      .groupBy("template_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"),
+        countDistinct(col(textCol)).as("n_variants"))
+
   /** Rows minus exact duplicates (keeps the min-id representative). */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val canon = exactGroups(df, textCol, idCol)

@@ -140,4 +140,31 @@ object Incremental {
     val condemned = store.select(col("seg_hash")).unionByName(inBatch).distinct()
     Lines.rebuildWithoutSegments(newDocs, idCol, textCol, segSize, condemned, segs)
   }
+
+  /**
+   * Snapshot diff between two corpus versions — the release-note artifact
+   * of a recurring curation run ("vs last month: +N docs, -M docs, K
+   * rewritten"). Classifies every id present in either snapshot:
+   *
+   *   added      in `newDf` only
+   *   removed    in `oldDf` only
+   *   modified   in both, text hash differs
+   *   unchanged  in both, text hash equal
+   *
+   * Output: (idCol, change), one row per id in the union.
+   *
+   * Scale shape: both sides reduce to (id, md5) scan-locally — text never
+   * shuffles — then one full outer join keyed by id decides the class.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("modified").as("change"))
+  }
 }

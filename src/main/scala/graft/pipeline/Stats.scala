@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Exact distribution statistics over bounded-domain integer columns —
@@ -135,5 +136,45 @@ object Stats {
         s"n_distinct_$c" -> row.getLong(7 + i)
       }
     base.toDF("metric", "value")
+  }
+
+  /**
+   * Token-distribution drift between two corpora: the k word n-grams whose
+   * relative frequency moved most between snapshot A and snapshot B — the
+   * corpus-shift report a recurring crawl monitors (topic drift, spam
+   * bursts, a source going dark). The drift score is the cross-multiplied
+   * integer |cnt_a * total_b − cnt_b * total_a| (the unnormalized
+   * |p_a − p_b| with the division cleared), carried as DECIMAL(38,0) so
+   * products of two corpus-scale longs cannot overflow and an external
+   * oracle reproduces the ordering bit-exactly.
+   *
+   * Output: (rank, gram, cnt_a, cnt_b) — score desc, ties gram asc.
+   *
+   * Scale shape: per-side gram counts are one hash-keyed aggregate each
+   * (gram strings bounded by the n-gram vocabulary, not the corpus); the
+   * full outer join is gram-keyed; top-k is a TakeOrdered (per-partition
+   * heads, never a global sort).
+   */
+  def gramDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                n: Int = 1, k: Int = 20): DataFrame = {
+    def counts(df: DataFrame) =
+      df.select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val a = counts(dfA)
+    val b = counts(dfB)
+    val totA = a.agg(sum("cnt")).head().getLong(0)
+    val totB = b.agg(sum("cnt")).head().getLong(0)
+    val joined = a.withColumnRenamed("cnt", "cnt_a")
+      .join(b.withColumnRenamed("cnt", "cnt_b"), Seq("gram"), "full_outer")
+      .select(col("gram"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("drift",
+        abs(col("cnt_a").cast(DecimalType(38, 0)) * totB -
+            col("cnt_b").cast(DecimalType(38, 0)) * totA))
+    joined.orderBy(col("drift").desc, col("gram").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("drift").desc, col("gram").asc)))
+      .select("rank", "gram", "cnt_a", "cnt_b")
   }
 }

@@ -541,6 +541,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(buckets.values.max === 2)
   }
 
+  test("templateGroups: digit-normalized duplicates group; distinct texts counted") {
+    val df = docs(
+      (1L, "error 404 at line 17"),
+      (2L, "error 500 at line 3"),     // same template as 1
+      (3L, "error 404 at line 17"),    // exact dup of 1
+      (4L, "all good no numbers"))
+    val got = Dedup.templateGroups(df, "text", "id")
+      .orderBy("canonical_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 3L, 2L), (4L, 1L, 1L)))
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {

@@ -131,6 +131,15 @@ class IncrementalSpec extends AnyFunSuite {
       (13L, 2, 0, "wholly original content stands alone")))
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged") {
+    val oldSnap = docs((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val newSnap = docs((2L, "beta"), (3L, "gamma edited"), (4L, "delta"))
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "modified"), (4L, "added")))
+  }
+
   test("incrementalSegDedup equals batch dedupSegments when the store is empty") {
     val s = spark
     import s.implicits._

@@ -117,6 +117,34 @@ class StatsSpec extends AnyFunSuite {
       s"expected histogram aggregate beneath the window:\n$plan")
   }
 
+  test("gramDrift ranks by cross-multiplied integer drift, matches naive reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("u", "v", "w", "x", "y")
+    def mk(n: Int, skewTo: String) = (0 until n).map { i =>
+      (i.toLong, Seq.fill(5)(if (rnd.nextInt(3) == 0) skewTo
+        else vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val aRows = mk(40, "u"); val bRows = mk(40, "y")
+    def docFreq(rows: Seq[(Long, String)]) = rows
+      .flatMap { case (_, t) => t.split(" ").distinct }
+      .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val (fa, fb) = (docFreq(aRows), docFreq(bRows))
+    val (ta, tb) = (fa.values.sum, fb.values.sum)
+    val expected = (fa.keySet ++ fb.keySet).toSeq
+      .map { g =>
+        val (ca, cb) = (fa.getOrElse(g, 0L), fb.getOrElse(g, 0L))
+        (g, ca, cb, (BigInt(ca) * tb - BigInt(cb) * ta).abs)
+      }
+      .sortBy { case (g, _, _, d) => (-d, g) }.take(3)
+      .zipWithIndex.map { case ((g, ca, cb, _), i) => (i + 1, g, ca, cb) }
+    val got = Stats.gramDrift(aRows.toDF("id", "text"), bRows.toDF("id", "text"),
+        "text", n = 1, k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("dataCard reports corpus release facts as exact integers") {
     val s = spark
     import s.implicits._
