@@ -1113,6 +1113,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Unicode NFC normalization (codegen expression): composed vs combining
+    // accent encodings of the same word normalize identically — even ids
+    // get the precomposed suffix, odd ids the decomposed one, and both
+    // normalize to the same text with the same (shorter) length
+    "text_nfc" -> { (s, dir) =>
+      val raw = Tables.read(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" caf\u00e9")) // precomposed
+              .otherwise(lit(" cafe\u0301")))               // e + combining acute
+            .as("raw"))
+      raw.select(col("doc_id"),
+          graft.pipeline.textExpressions.unicodeNormalize(col("raw"), "NFC").as("nfc_text"),
+          length(col("raw")).cast("int").as("raw_len"),
+          length(graft.pipeline.textExpressions.unicodeNormalize(col("raw"), "NFC"))
+            .cast("int").as("nfc_len"))
+        .orderBy("doc_id")
+    },
+
     // template-level dedup: documents identical after digit normalization
     // (the machine-generated-content shape exact dedup misses) — planted
     // pairs differ only in a numeric suffix, so they group; base docs
@@ -2573,6 +2592,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_distinct_lang', n_distinct_lang FROM a
         |  UNION ALL SELECT 'n_distinct_source', n_distinct_source FROM a)
         |ORDER BY metric""".stripMargin,
+
+    "text_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |                 ELSE ' cafe' || chr(769) END AS raw
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |       CAST(length(raw) AS INT) AS raw_len,
+        |       CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_template" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

@@ -76,6 +76,14 @@ object GraftFunctions {
         case n: Number => n.doubleValue
       }
     }
+    def litString(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+      require(e.foldable, "argument must be a literal")
+      e.eval(null).toString
+    }
+    def litBool(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      require(e.foldable, "argument must be a literal")
+      e.eval(null).asInstanceOf[Boolean]
+    }
     reg.createOrReplaceTempFunction("emo_minhash",
       exprs => graft.pipeline.MinHashExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
       "scala_udf")
@@ -94,6 +102,11 @@ object GraftFunctions {
         if (exprs.length > 3) litDouble(exprs(3)) else 0.2), "scala_udf")
     reg.createOrReplaceTempFunction("emo_repetition_stats",
       exprs => graft.pipeline.RepetitionStatsExpr(exprs.head), "scala_udf")
+    // emo_nfc(text [, 'NFKC' [, strip_invisible]]): Unicode normalization
+    reg.createOrReplaceTempFunction("emo_nfc",
+      exprs => graft.pipeline.UnicodeNormalizeExpr(exprs.head,
+        if (exprs.length > 1) litString(exprs(1)) else "NFC",
+        exprs.length > 2 && litBool(exprs(2))), "scala_udf")
     // PII gates from raw catalyst nodes (the Column bridge would leave
     // unresolved function nodes that never re-analyze inside a registry-
     // substituted tree). RegExpCount is RuntimeReplaceable: the optimizer's

@@ -285,6 +285,62 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Unicode normalization as a codegen-capable expression: the canonical
+ * pre-processing step every multilingual pipeline runs before hashing or
+ * deduplicating text (NFC, per the W3C "Character Model" norm) — two
+ * byte-different encodings of the same accented word must hash equal or
+ * every dedup/decontamination operator silently misses them.
+ *
+ * `form` is one of NFC/NFD/NFKC/NFKD. Optional `stripInvisible` also
+ * removes control characters (Cc except \t \n \r) and the zero-width
+ * code points (U+200B..U+200D, U+FEFF) that survive normalization and
+ * poison tokenization. Stays inside whole-stage codegen via a static
+ * call — no CodegenFallback in the hot path.
+ */
+case class UnicodeNormalizeExpr(child: Expression, form: String,
+                                stripInvisible: Boolean)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unknown normalization form $form")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalizeExpr.normalize(
+      input.asInstanceOf[UTF8String], form, stripInvisible)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.pipeline.UnicodeNormalizeExpr.normalize($c, "$form", $stripInvisible)""")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNormalizeExpr {
+  /** Static entry shared by eval and generated code. */
+  def normalize(s: UTF8String, form: String, stripInvisible: Boolean): UTF8String = {
+    val normalized = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form))
+    if (!stripInvisible) return UTF8String.fromString(normalized)
+    val sb = new java.lang.StringBuilder(normalized.length)
+    var i = 0
+    while (i < normalized.length) {
+      val c = normalized.charAt(i)
+      val drop =
+        (Character.isISOControl(c) && c != '\t' && c != '\n' && c != '\r') ||
+        (c >= 0x200B && c <= 0x200D) || c == 0xFEFF
+      if (!drop) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object textExpressions {
   def wordNgrams(text: Column, n: Int): Column =
     GraftBridge.column(WordNgramsExpr(GraftBridge.expression(text), n))
@@ -307,4 +363,9 @@ object textExpressions {
                    maxDupSegmentFrac: Double): Column =
     GraftBridge.column(RepetitionOkExpr(GraftBridge.expression(text),
       maxTop2GramFrac, maxTop3GramFrac, maxDupSegmentFrac))
+
+  def unicodeNormalize(text: Column, form: String = "NFC",
+                       stripInvisible: Boolean = false): Column =
+    GraftBridge.column(UnicodeNormalizeExpr(GraftBridge.expression(text),
+      form, stripInvisible))
 }

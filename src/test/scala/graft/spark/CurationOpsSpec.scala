@@ -541,6 +541,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(buckets.values.max === 2)
   }
 
+  test("unicodeNormalize: NFC folds combining accents; strip removes invisibles") {
+    import graft.pipeline.textExpressions
+    val s = spark
+    import s.implicits._
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val dirty = "a b\u200bc\ufeffd\te"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, dirty)).toDF("id", "t")
+    val out = df.select(col("id"),
+        textExpressions.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        textExpressions.unicodeNormalize(col("t"), "NFC", stripInvisible = true).as("clean"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === composed, "decomposed folds to precomposed")
+    assert(out(1).getString(1) === composed)
+    assert(out(2).getString(2) === "a bcd\te", "controls and zero-widths stripped, tab kept")
+    // codegen parity: the filter below runs through whole-stage codegen
+    val n = df.where(textExpressions.unicodeNormalize(col("t"), "NFC") === composed).count()
+    assert(n === 2L)
+    // SQL surface
+    graft.engine.GraftFunctions.register(s)
+    val viaSql = s.sql(s"SELECT emo_nfc('cafe\u0301') AS x, " +
+      "length(emo_nfc('cafe\u0301')) AS l").head()
+    assert(viaSql.getString(0) === composed && viaSql.getInt(1) === 4)
+    // NFKC also folds compatibility forms (ligature fi)
+    val k = df.sparkSession.sql("SELECT emo_nfc('\ufb01sh', 'NFKC') AS x").head().getString(0)
+    assert(k === "fish")
+  }
+
   test("templateGroups: digit-normalized duplicates group; distinct texts counted") {
     val df = docs(
       (1L, "error 404 at line 17"),
