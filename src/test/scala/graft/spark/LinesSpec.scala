@@ -92,6 +92,20 @@ class LinesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PLAN: dedupSegments shuffles carry hashes and index arrays, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val rows = (0L until 100L).map(i => (i, s"w$i x$i common tail words here"))
+    val out = Lines.dedupSegments(docs(rows: _*), "id", "text",
+      segSize = 3, minDocs = 2)
+    out.collect() // AQE finalizes the plan (drop-list side becomes broadcast)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }
+    val textCarrying = exchanges.filter(_.exists(_.contains("text")))
+    assert(textCarrying.isEmpty,
+      s"document text crossed a shuffle: $exchanges")
+  }
+
   // ---------------------------------------------------------- noveltyStats
 
   test("noveltyStats counts per-doc distinct grams unique to the corpus") {

@@ -792,4 +792,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("k1") === (("c", Seq("t1", "t2"), 3L))) // max-changeId content, sorted tag union
     assert(out("k2") === (("z", Seq.empty, 1L)))
   }
+
+  test("streaming incremental dedup: new micro-batches drop docs already in the static store") {
+    // the daily-crawl steady state under readStream: the fingerprint store
+    // is a STATIC frame, the crawl is a stream, and the stream-static
+    // left-anti join runs per micro-batch with no stream-side state
+    import graft.pipeline.Incremental
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Incremental.exactFingerprints(
+      Seq((1L, "seen before"), (2L, "also seen")).toDF("id", "text"), "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("id", "text")
+    val kept = stream.join(store,
+      md5(stream("text")) === store("text_hash"), "left_anti")
+    val query = kept.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_inc").toString)
+      .start()
+    try {
+      input.addData((10L, "seen before"), (11L, "fresh one"))
+      query.processAllAvailable()
+      input.addData((12L, "also seen"), (13L, "another fresh"))
+      query.processAllAvailable()
+      val ids = spark.table("inc_dedup_out").select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(11L, 13L), "store hits dropped in every micro-batch")
+    } finally query.stop()
+  }
 }
