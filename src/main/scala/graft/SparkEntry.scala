@@ -239,6 +239,16 @@ object SparkEntry {
         .orderBy("depth")
     },
 
+    // weekly retention cohorts: users keyed by first-event week, counted
+    // in each later week they were active — two keyed aggregates + one
+    // entity join, triangle rollup bounded by weeks^2
+    "events_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_ms")
+      graft.streaming.Sessions.retentionCohorts(ev, "user_id", "ts_ms",
+          periodMs = 604800000L)
+        .orderBy("cohort", "offset")
+    },
+
     // first-order event-type transition counts within sessions (12h gap):
     // same single entity shuffle as sessionize, |types|^2-bounded rollup
     "events_transitions" -> { (s, dir) =>
@@ -1797,6 +1807,15 @@ object SparkEntry {
     "queue_dedup" ->
       """SELECT min(event_id) AS msg_id FROM events
         |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000) // 604800000 AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT cohort, p - cohort AS "offset", count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort, p - cohort ORDER BY cohort, "offset"""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -129,4 +129,32 @@ object Sessions {
                        gap: String): DataFrame =
     df.groupBy(col(entityCol), session_window(tsCol, gap))
       .agg(count(lit(1)).as("n_events"))
+
+  /**
+   * Retention cohorts — the classic product-analytics triangle: users are
+   * cohorted by the period (e.g. week) of their FIRST event; retention at
+   * offset k = how many of them were active k periods later. All-integer
+   * (`period = ts DIV periodMs`), so the triangle is oracle-exact.
+   *
+   * Output: (cohort, offset, n_users) — cohort in period units since
+   * epoch, offset >= 0, n_users = distinct entities from `cohort` active
+   * in `cohort + offset`.
+   *
+   * Scale shape: first-event extraction is one entity-keyed min
+   * aggregate; per-period activity is a distinct over (entity, period)
+   * pairs (map-side combinable); the join is entity-keyed; the triangle
+   * rollup is keyed by (cohort, offset) whose cardinality is periods² —
+   * tiny. No windows, nothing corpus-sized in one partition.
+   */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+                       periodMs: Long): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive: $periodMs")
+    val period = expr(s"$tsCol DIV $periodMs")
+    val first = df.groupBy(col(entityCol).as("entity"))
+      .agg(min(period).as("cohort"))
+    val active = df.select(col(entityCol).as("entity"), period.as("p")).distinct()
+    active.join(first, Seq("entity"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))  // (entity, p) distinct upstream
+  }
 }

@@ -183,4 +183,25 @@ class SessionsSpec extends AnyFunSuite {
       assert(emitted === Set((1L, 2L), (2L, 1L), (1L, 1L)))
     } finally query.stop()
   }
+
+  test("retentionCohorts: triangle counts distinct users per (cohort, offset)") {
+    val s = spark
+    import s.implicits._
+    // period = 10ms. user 1: first p0, active p0,p1,p3; user 2: first p0,
+    // active p0 twice (dedup!); user 3: first p1, active p1,p2
+    val ev = Seq(
+      (1L, 1L), (1L, 12L), (1L, 35L),
+      (2L, 3L), (2L, 7L),
+      (3L, 11L), (3L, 25L))
+      .toDF("user_id", "ts_ms")
+    val got = Sessions.retentionCohorts(ev, "user_id", "ts_ms", periodMs = 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L),   // users 1 and 2 in week 0
+      (0L, 1L, 1L),   // user 1 back in week 1
+      (0L, 3L, 1L),   // user 1 back in week 3
+      (1L, 0L, 1L),   // user 3's cohort
+      (1L, 1L, 1L)))  // user 3 back one period later
+  }
 }
