@@ -239,6 +239,17 @@ object SparkEntry {
         .orderBy("depth")
     },
 
+    // cluster-balanced sampling: cap vectors per sign-signature cell in
+    // deterministic md5 order — the diversity-preserving downsample
+    // (cluster-then-sample) that keeps rare regions represented
+    "pipeline_cluster_cap" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val clustered = emb.select(col("vec_id"),
+        Dedup.signCluster(col("embedding"), 4).as("cell"))
+      graft.pipeline.Sampling.capPerGroup(clustered, "cell", "vec_id", n = 10)
+        .orderBy("cell", "rank")
+    },
+
     // weekly retention cohorts: users keyed by first-event week, counted
     // in each later week they were active — two keyed aggregates + one
     // entity join, triangle rollup bounded by weeks^2
@@ -1807,6 +1818,20 @@ object SparkEntry {
     "queue_dedup" ->
       """SELECT min(event_id) AS msg_id FROM events
         |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
+
+    "pipeline_cluster_cap" ->
+      """SELECT cell, rank, vec_id FROM (
+        |  SELECT cell, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+        |               vec_id ASC) AS INT) AS rank
+        |  FROM (SELECT vec_id,
+        |          CAST(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |             + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |             + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |             + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END AS INT) AS cell
+        |        FROM embeddings))
+        |WHERE rank <= 10 ORDER BY cell, rank""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (
