@@ -157,9 +157,13 @@ object Stats {
    */
   def gramDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
                 n: Int = 1, k: Int = 20): DataFrame = {
+    // each side's gram table feeds two consumers (its total and the join);
+    // persist so the explode+aggregate runs once per side, and the totals
+    // land in the same cached partitions
     def counts(df: DataFrame) =
       df.select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = counts(dfA)
     val b = counts(dfB)
     val totA = a.agg(sum("cnt")).head().getLong(0)

@@ -19,7 +19,10 @@ object BenchOne {
     if (doWarm) { try graft.SparkEntry.warmup(spark, sfDir) catch { case _: Throwable => } }
     for (rep <- 1 to sys.env.getOrElse("BENCH_ONE_REPS", "2").toInt; name <- names) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd pins every output column (same action as Bench) — a bare
+      // count() lets Catalyst prune projection-heavy plans to the scan
+      val n = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       println(f"[benchone] rep=$rep $name%-24s n=$n%8d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     spark.stop()
