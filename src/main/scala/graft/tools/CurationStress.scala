@@ -248,6 +248,35 @@ object CurationStress {
         docs0.where(col("doc_id") < 20).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 5, jaccardNum = 3, jaccardDen = 10).count()
     }
+    time("template_dedup", nDocs) {
+      Dedup.templateGroups(docs, "text", "doc_id")
+        .agg(sum(col("n_dups")), sum(col("n_variants"))).collect()
+      nDocs
+    }
+    time("datacard", nDocs) {
+      Stats.dataCard(docs, "doc_id", "text").count()
+      nDocs
+    }
+    time("gram_drift", nDocs) {
+      Stats.gramDrift(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", n = 1, k = 50).count()
+      nDocs
+    }
+    time("nfc_normalize", nDocs) {
+      docs.select(md5(graft.pipeline.textExpressions
+        .unicodeNormalize(col("text"), "NFC", stripInvisible = true)).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
+    time("snapshot_diff", nDocs) {
+      Incremental.snapshotDiff(
+        docs.where(col("doc_id") % 10 =!= 0), docs, "doc_id", "text").count()
+    }
+    time("cluster_cap", nVecs) {
+      Sampling.capPerGroup(
+        emb.select(col("vec_id"), Dedup.signCluster(col("embedding"), 8).as("cell")),
+        "cell", "vec_id", n = 1000).count()
+    }
     spark.stop()
   }
 }
