@@ -92,6 +92,24 @@ class LinesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dedupSegments: irregular whitespace and empty docs round-trip the rebuild") {
+    // multi-space / tab / leading-trailing whitespace: tokenization is
+    // \s+ on trimmed text, reconstruction joins with single spaces
+    val df = docs(
+      (1L, "  a   b\tc  "),  // tokenizes as [a b][c] despite messy spacing
+      (2L, ""),
+      (3L, "a b x"),         // shares window [a b] with doc 1
+      (4L, "q r s"))         // untouched
+    val out = Lines.dedupSegments(df, "id", "text", segSize = 2, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(out === Seq(
+      (1L, 2, 1, "c"),      // [a b] condemned (docs 1+3), tail [c] unique
+      (2L, 0, 0, ""),
+      (3L, 2, 1, "x"),
+      (4L, 2, 0, "q r s")))
+  }
+
   test("PLAN: dedupSegments shuffles carry hashes and index arrays, never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val rows = (0L until 100L).map(i => (i, s"w$i x$i common tail words here"))
