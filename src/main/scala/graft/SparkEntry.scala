@@ -239,6 +239,22 @@ object SparkEntry {
         .orderBy("depth")
     },
 
+    // JSONL round-trip: the LLM-interchange format — write gzip JSONL
+    // shards, read back with an explicit schema in PERMISSIVE/quarantine
+    // mode; identity on the clean path IS the oracle contract
+    "source_jsonl_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val docs = Tables.read(s, dir, "documents").where(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.pipeline.Sources.writeJsonl(docs, path, shards = 4)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      graft.pipeline.Sources.readJsonlClean(s, path, schema)
+        .orderBy("doc_id")
+    },
+
     // cluster-balanced sampling: cap vectors per sign-signature cell in
     // deterministic md5 order — the diversity-preserving downsample
     // (cluster-then-sample) that keeps rare regions represented
@@ -1818,6 +1834,10 @@ object SparkEntry {
     "queue_dedup" ->
       """SELECT min(event_id) AS msg_id FROM events
         |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
+
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_cluster_cap" ->
       """SELECT cell, rank, vec_id FROM (

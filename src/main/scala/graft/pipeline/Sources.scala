@@ -40,4 +40,50 @@ object Sources {
       .select(col(srcCol))
     df.join(broadcast(keep), Seq(srcCol), "left_semi")
   }
+
+  // ------------------------------------------------------------ JSONL I/O
+
+  /**
+   * JSONL (newline-delimited JSON) corpus ingest — the interchange format
+   * LLM datasets actually ship in (one JSON object per line, usually
+   * .jsonl.gz). Reads with an EXPLICIT schema (never schema inference,
+   * which is a second full pass over 100 TB) in PERMISSIVE mode: malformed
+   * lines land in `_corrupt` instead of failing the job or silently
+   * disappearing, so a crawl with a bad shard is quarantined, not lost.
+   *
+   * Scale shape: plain `spark.read.json` — splittable for uncompressed
+   * files, one task per file for .gz (gzip is not splittable: ship many
+   * medium files, not one giant one — same rule the Stash export follows).
+   */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** The clean rows of [[readJsonl]] (corrupt column dropped). */
+  def readJsonlClean(spark: org.apache.spark.sql.SparkSession, path: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readJsonl(spark, path, schema).where(col("_corrupt").isNull).drop("_corrupt")
+
+  /** The quarantine side: raw text of lines that failed to parse. Spark
+    * refuses a query referencing ONLY the corrupt-record column of a raw
+    * JSON scan (the parser would need the raw line it just threw away), so
+    * the parsed frame is cached first — Spark's own documented recipe. */
+  def corruptLines(spark: org.apache.spark.sql.SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readJsonl(spark, path, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"))
+
+  /** Write a corpus as gzip JSONL shards (the export format LLM toolchains
+    * consume); `shards` bounds file count so downstream gzip readers get
+    * parallelism. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite").option("compression", "gzip").json(path)
+  }
 }

@@ -581,6 +581,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 2L), (4L, 1L, 1L)))
   }
 
+  test("JSONL ingest: clean rows round-trip, malformed lines quarantine") {
+    import graft.pipeline.Sources
+    import org.apache.spark.sql.types._
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_test")
+    java.nio.file.Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |not json at all
+        |{"doc_id": 2, "text": "beta é"}
+        |{"doc_id": 3 BROKEN
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val clean = Sources.readJsonlClean(s, dir.toString, schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(clean.toSeq === Seq((1L, "alpha"), (2L, "beta é")))
+    val bad = Sources.corruptLines(s, dir.toString, schema)
+      .collect().map(_.getString(0)).toSet
+    assert(bad === Set("not json at all", "{\"doc_id\": 3 BROKEN"))
+    // gzip write round-trip preserves rows exactly
+    val out = dir.resolve("out").toString
+    Sources.writeJsonl(Sources.readJsonlClean(s, dir.toString, schema), out, shards = 2)
+    val back = Sources.readJsonlClean(s, out, schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === clean.toSeq)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".json.gz")))
+  }
+
   // ------------------------------------------------------------------ report
 
   test("CurationReport tags each failed gate; reasonCounts attributes the corpus") {
