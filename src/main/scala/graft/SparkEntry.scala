@@ -246,8 +246,11 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val docs = Tables.read(s, dir, "documents").where(col("doc_id") < 100)
         .select("doc_id", "text")
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // fresh per-invocation dir: a fixed shared path would race when two
+      // processes verify/bench the same sfDir concurrently (overwrite
+      // deletes shards mid-read on the other side)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_").toString
       graft.pipeline.Sources.writeJsonl(docs, path, shards = 4)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -263,6 +266,7 @@ object SparkEntry {
       val clustered = emb.select(col("vec_id"),
         Dedup.signCluster(col("embedding"), 4).as("cell"))
       graft.pipeline.Sampling.capPerGroup(clustered, "cell", "vec_id", n = 10)
+        .select("cell", "rank", "vec_id")
         .orderBy("cell", "rank")
     },
 

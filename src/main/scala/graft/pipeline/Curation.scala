@@ -191,9 +191,11 @@ object Curation {
           val (num, den) = cfg.fuzzyDeconThreshold.get
           // fuzzy rule: whole-set Jaccard, robust to paraphrased leaks.
           // The eval frame needs an id column for the argmax report shape;
-          // a synthetic one is fine since only contaminated_id is consumed.
-          val evIds = ev.withColumn("__graft_eval_id",
-            xxhash64(col(textCol)))
+          // a synthetic text-hash id is fine since only contaminated_id is
+          // consumed — but duplicate eval items must collapse FIRST, or the
+          // colliding ids double-count every intersection and over-flag
+          val evIds = ev.dropDuplicates(textCol)
+            .withColumn("__graft_eval_id", xxhash64(col(textCol)))
           val bad = Decontaminate.fuzzyContaminated(df, idCol, textCol,
               evIds, "__graft_eval_id", textCol,
               n = cfg.decontaminationN, jaccardNum = num, jaccardDen = den)

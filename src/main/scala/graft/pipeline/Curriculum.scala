@@ -28,12 +28,18 @@ object Curriculum {
   def difficultyBuckets(df: DataFrame, idCol: String, scoreCol: String,
                         nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val n = df.count()
+    // persist the slim (id, score) projection BEFORE the count: the input
+    // may be a whole unpersisted curation pipeline, and without this the
+    // count() action would re-execute that entire lineage just to learn N
+    val slim = df.select(col(idCol), col(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = slim.count()
     if (n == 0L) {
+      slim.unpersist()
       return df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(
-          df.select(col(idCol), col(scoreCol)).schema.fields :+
+          slim.schema.fields :+
             org.apache.spark.sql.types.StructField("bucket",
               org.apache.spark.sql.types.IntegerType, nullable = false)))
     }
@@ -41,7 +47,7 @@ object Curriculum {
     // 0-based global rank; withStartOffsets range-partitions on exactly
     // that key pair
     val ranked = Packing.withStartOffsets(
-      df.select(col(idCol), col(scoreCol)).withColumn("_one", lit(1L)),
+      slim.withColumn("_one", lit(1L)),
       idCol, "_one", orderCol = Some(scoreCol))
     // DIV = exact long division (Column./ would round-trip through double)
     ranked.select(col(idCol), col(scoreCol),

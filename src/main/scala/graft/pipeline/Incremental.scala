@@ -106,13 +106,16 @@ object Incremental {
   }
 
   /** The segment-level (CCNet line-dedup) store: distinct window hashes of
-    * the curated corpus — one narrow long column, the companion of
-    * [[Lines.dedupSegments]] for the steady state. Append each accepted
-    * increment's hashes between runs. */
+    * the curated corpus plus the `seg_size` they were computed with —
+    * a hash from a different window size never matches, so without the
+    * recorded size a mismatched rewrite would silently dedup nothing;
+    * [[incrementalSegDedup]] turns that into a loud failure instead.
+    * Append each accepted increment's hashes between runs. */
   def segmentHashStore(df: DataFrame, idCol: String, textCol: String,
                        segSize: Int = 5): DataFrame =
     Lines.segmentHashes(df, idCol, textCol, segSize)
       .select("seg_hash").distinct()
+      .withColumn("seg_size", lit(segSize))
 
   /**
    * Segment-dedup a NEW batch against the store AND within itself: a
@@ -131,6 +134,15 @@ object Incremental {
                           store: DataFrame, segSize: Int = 5,
                           minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // a store built at a different window size can never match — fail loud
+    // instead of silently degrading to intra-batch-only dedup
+    if (store.columns.contains("seg_size")) {
+      val sizes = store.select("seg_size").distinct().limit(3).collect()
+      sizes.foreach { r =>
+        require(r.getInt(0) == segSize,
+          s"store was built with segSize=${r.getInt(0)}, rewrite uses $segSize")
+      }
+    }
     val segs = Lines.segmentHashes(newDocs, idCol, textCol, segSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inBatch = segs.groupBy("seg_hash")
@@ -158,13 +170,18 @@ object Incremental {
    */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    // presence is tracked by explicit flags, not hash nullness: a row whose
+    // TEXT is null (e.g. a JSONL line missing the field) still EXISTS in
+    // its snapshot, and md5(null) = null must not reclassify it
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"),
+      lit(true).as("in_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"),
+      lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") === col("new_hash"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_hash") <=> col("new_hash"), "unchanged")
           .otherwise("modified").as("change"))
   }
 }

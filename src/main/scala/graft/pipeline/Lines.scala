@@ -158,7 +158,10 @@ object Lines {
     // the seg-hash table feeds two consumers (the condemned aggregate and
     // the drop-list join); persist it instead of re-scanning + re-exploding
     // the corpus per consumer — at corpus scale this is the table you'd
-    // checkpoint, same shape as the MinHash band table
+    // checkpoint, same shape as the MinHash band table. The cache lives
+    // for the session (same contract as the band table): a long-lived
+    // driver calling this per batch should spark.catalog.clearCache()
+    // between runs
     val segs = segmentHashes(df, idCol, textCol, segSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val condemned = segs.groupBy("seg_hash")

@@ -166,8 +166,14 @@ object Stats {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = counts(dfA)
     val b = counts(dfB)
-    val totA = a.agg(sum("cnt")).head().getLong(0)
-    val totB = b.agg(sum("cnt")).head().getLong(0)
+    // sum over an empty side is null — an empty first snapshot (a drift
+    // monitor's first run) must produce a report, not an NPE
+    def total(df: DataFrame): Long = {
+      val v = df.agg(sum("cnt")).head()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }
+    val totA = total(a)
+    val totB = total(b)
     val joined = a.withColumnRenamed("cnt", "cnt_a")
       .join(b.withColumnRenamed("cnt", "cnt_b"), Seq("gram"), "full_outer")
       .select(col("gram"),

@@ -581,6 +581,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 2L), (4L, 1L, 1L)))
   }
 
+  test("fuzzy decon stage: duplicate eval items don't double-count intersections") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    // doc 1 vs the eval item: bigrams inter=2 (a b, b c), union 4+4-2=6,
+    // true Jaccard 1/3 < 1/2 -> must NOT be flagged. With the eval item
+    // duplicated, a colliding synthetic id would inflate inter to 4 and
+    // falsely flag (4*2 >= 8*1).
+    val corpus = Seq((1L, "a b c x y")).toDF("id", "text")
+    val evalSet = Seq(("a b c d e", 1), ("a b c d e", 2)).toDF("text", "n")
+      .select($"text")
+    val out = Curation.run(corpus, "id", "text",
+      Curation.Config(exactDedup = false, decontaminationN = 2,
+        fuzzyDeconThreshold = Some((1, 2)),
+        requireQuality = false, requireRepetitionOk = false),
+      evalSet = Some(evalSet), trackFunnel = false)
+    assert(out.docs.count() === 1L, "sub-threshold doc survives duplicate eval rows")
+  }
+
   test("JSONL ingest: clean rows round-trip, malformed lines quarantine") {
     import graft.pipeline.Sources
     import org.apache.spark.sql.types._

@@ -140,6 +140,32 @@ class IncrementalSpec extends AnyFunSuite {
       (3L, "modified"), (4L, "added")))
   }
 
+  test("snapshotDiff: null text means present-with-null, not absent") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("x"))).toDF("id", "text")
+    val newSnap = Seq((1L, Some("fixed")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "modified"), (2L, "unchanged"), (3L, "modified")))
+  }
+
+  test("incrementalSegDedup rejects a store built at a different segSize") {
+    val store = Incremental.segmentHashStore(
+      docs((1L, "a b c d e f")), "id", "text", segSize = 5)
+    val batch = docs((10L, "a b c d e f"))
+    val err = intercept[IllegalArgumentException] {
+      Incremental.incrementalSegDedup(batch, "id", "text", store, segSize = 3)
+    }
+    assert(err.getMessage.contains("segSize=5"))
+    // matching size passes and the store windows condemn the copy
+    val ok = Incremental.incrementalSegDedup(batch, "id", "text", store, segSize = 5)
+      .collect().head
+    assert(ok.getString(3) === "")
+  }
+
   test("incrementalSegDedup equals batch dedupSegments when the store is empty") {
     val s = spark
     import s.implicits._

@@ -145,6 +145,17 @@ class StatsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("gramDrift: an empty snapshot yields a report, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val a = Seq.empty[(Long, String)].toDF("id", "text")
+    val b = Seq((1L, "only side with data")).toDF("id", "text")
+    val got = Stats.gramDrift(a, b, "text", n = 1, k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // drift = |0*tot_b - cnt_b*0| = 0 for every gram: rank by gram asc
+    assert(got.toSeq === Seq((1, "data", 0L, 1L), (2, "only", 0L, 1L)))
+  }
+
   test("dataCard reports corpus release facts as exact integers") {
     val s = spark
     import s.implicits._
