@@ -1129,6 +1129,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // unaligned exact-substring dedup (Lee et al. 2021): ANY duplicated
+    // 10-token sliding span is removed from all docs carrying it — the
+    // planted docs embed a copy of each seed doc's first 15 tokens behind
+    // a unique prefix, so the shared spans sit at DIFFERENT offsets and
+    // only the sliding (not aligned-window) rule can catch them
+    "dedup_substrings" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val first15 = concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 15))
+      val planted = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("intro filler padding tokens go here "), first15,
+            lit(" closing words")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      Lines.removeDuplicateSpans(corpus, "doc_id", "text",
+          spanLen = 10, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // per-doc trigram novelty: the fraction (as exact integers) of a doc's
     // distinct 3-grams appearing nowhere else in the corpus — the
     // cross-document repetition signal Gopher's within-doc filters miss
@@ -2572,6 +2590,33 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM base) b
         |LEFT JOIN n USING (doc_id) LEFT JOIN d USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substrings" ->
+      """WITH pl AS (SELECT doc_id + 1000000 AS doc_id,
+        |         'intro filler padding tokens go here ' ||
+        |         array_to_string((string_split_regex(trim(text), '\s+'))[1:15], ' ') ||
+        |         ' closing words' AS text
+        |       FROM documents WHERE doc_id < 10),
+        |base AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pl),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM base),
+        |g AS (SELECT doc_id, unnest(range(len(tk) - 9)) AS s, tk FROM t WHERE len(tk) >= 10),
+        |g2 AS (SELECT doc_id, s, array_to_string(tk[s+1:s+10], ' ') AS gram FROM g),
+        |dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c
+        |        FROM g2 GROUP BY gram) WHERE c >= 2),
+        |cs AS (SELECT doc_id, s FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |tok2 AS (SELECT doc_id, unnest(range(len(tk))) AS ti, tk FROM t),
+        |tok3 AS (SELECT doc_id, ti, tk[ti+1] AS tok FROM tok2),
+        |kept AS (SELECT k.doc_id, k.ti, k.tok FROM tok3 k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cs WHERE cs.doc_id = k.doc_id
+        |                             AND k.ti >= cs.s AND k.ti < cs.s + 10)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(CASE WHEN tok <> '' THEN tok END, ' ' ORDER BY ti) AS clean
+        |        FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+        |SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
+        |       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+        |       coalesce(a.clean, '') AS clean_text
+        |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_novelty" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

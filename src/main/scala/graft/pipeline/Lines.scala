@@ -113,6 +113,60 @@ private[pipeline] case class SegmentRebuildExpr(left: Expression, right: Express
     copy(left = l, right = r)
 }
 
+/**
+ * Single-pass duplicated-span removal: given the condemned window START
+ * indexes of a document and the window length, mark every token covered
+ * by some condemned window and emit the survivors —
+ * (n_tokens, n_removed, clean_text). The unaligned companion of
+ * [[SegmentRebuildExpr]]: spans may start anywhere, so coverage is an
+ * interval union, not an index set.
+ */
+private[pipeline] case class SpanRemoveExpr(left: Expression, right: Expression,
+                                            spanLen: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(spanLen > 0, s"spanLen must be positive: $spanLen")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val textAny = left.eval(input)
+    if (textAny == null) return null
+    val toks = textAny.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val covered = new Array[Boolean](toks.length)
+    val startsAny = right.eval(input)
+    if (startsAny != null) {
+      val arr = startsAny.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getInt(i)
+        var t = s
+        val end = math.min(s + spanLen, toks.length)
+        while (t < end) { covered(t) = true; t += 1 }
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder()
+    var removed = 0
+    var t = 0
+    while (t < toks.length) {
+      if (covered(t)) removed += 1
+      else if (toks(t).nonEmpty) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(t))
+      }
+      t += 1
+    }
+    InternalRow(toks.length, removed, UTF8String.fromString(sb.toString))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Lines {
 
   /** Case-preserving whitespace tokens (reconstruction must round-trip). */
@@ -196,6 +250,63 @@ object Lines {
       .select(keep :+
         col("_rb.n_segs").as("n_segs") :+
         col("_rb.n_dropped").as("n_dropped") :+
+        col("_rb.clean_text").as("clean_text"): _*)
+  }
+
+  /** (id, start, span_hash) for EVERY sliding window of `spanLen` tokens —
+    * case-preserving (reconstruction must round-trip), scan-local. Docs
+    * shorter than `spanLen` contribute no rows. */
+  def slidingSpanHashes(df: DataFrame, idCol: String, textCol: String,
+                        spanLen: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val starts = when(size(t) >= spanLen,
+      sequence(lit(0), size(t) - spanLen)).otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"),
+        posexplode(transform(starts,
+          s => xxhash64(concat_ws(" ", slice(t, s + 1, lit(spanLen))))))
+          .as(Seq("start", "span_hash")))
+  }
+
+  /**
+   * Exact duplicated-SUBSTRING removal (the unaligned regime of Lee et al.
+   * 2021, "Deduplicating Training Data Makes Language Models Better"):
+   * every sliding `spanLen`-token window whose hash occurs in >=
+   * `minDocs` DISTINCT documents is removed from ALL of them — spans can
+   * start anywhere, so a copied paragraph embedded mid-document dies even
+   * when [[dedupSegments]]' aligned windows straddle it. Coverage is the
+   * interval union of condemned windows.
+   *
+   * Output: input columns except textCol, plus (n_tokens, n_removed,
+   * clean_text).
+   *
+   * Scale shape: same as [[dedupSegments]] with ~spanLen× more hash rows
+   * (one per token, not one per window) — still only (id, start, hash)
+   * triples and per-doc int arrays through the shuffles; reconstruction
+   * is the single-pass [[SpanRemoveExpr]].
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           spanLen: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive: $spanLen")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val spans = slidingSpanHashes(df, idCol, textCol, spanLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val condemned = spans.groupBy("span_hash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("span_hash")
+    val dropStarts = spans.join(condemned, Seq("span_hash"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_set(col("start"))).as("starts"))
+      .withColumnRenamed("id", "_drop_id")
+    val joined = df.join(dropStarts, df(idCol) === col("_drop_id"), "left")
+      .drop("_drop_id")
+    val keep = df.columns.filterNot(_ == textCol).map(col)
+    val rebuild = GraftBridge.column(SpanRemoveExpr(
+      GraftBridge.expression(col(textCol)),
+      GraftBridge.expression(col("starts")), spanLen))
+    joined.withColumn("_rb", rebuild)
+      .select(keep :+
+        col("_rb.n_tokens").as("n_tokens") :+
+        col("_rb.n_removed").as("n_removed") :+
         col("_rb.clean_text").as("clean_text"): _*)
   }
 

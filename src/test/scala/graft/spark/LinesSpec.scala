@@ -124,6 +124,63 @@ class LinesSpec extends AnyFunSuite {
       s"document text crossed a shuffle: $exchanges")
   }
 
+  // ---------------------------------------------------- removeDuplicateSpans
+
+  test("removeDuplicateSpans: unaligned copies die, interval union merges overlaps") {
+    // doc 2 embeds doc 1's span [b c d] at offset 2 — unaligned vs doc 1's
+    // offset 1; spanLen=3 windows overlap and the covered intervals merge
+    val df = docs(
+      (1L, "a b c d e f"),
+      (2L, "x y b c d e z"),     // shares [b c d] and [c d e] with doc 1
+      (3L, "p q r"))             // unrelated
+    val out = Lines.removeDuplicateSpans(df, "id", "text", spanLen = 3, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // doc 1: condemned starts 1,2 cover tokens 1..4 -> keep "a f"
+    // doc 2: condemned starts 2,3 cover tokens 2..5 -> keep "x y z"
+    assert(out === Seq(
+      (1L, 6, 4, "a f"),
+      (2L, 7, 4, "x y z"),
+      (3L, 3, 0, "p q r")))
+  }
+
+  test("removeDuplicateSpans: docs shorter than spanLen never condemn or change") {
+    val df = docs((1L, "a b"), (2L, "a b"), (3L, "a b c d"))
+    val out = Lines.removeDuplicateSpans(df, "id", "text", spanLen = 3, minDocs = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(out === Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")))
+  }
+
+  test("PROPERTY: removeDuplicateSpans matches a naive reference on random corpora") {
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val L = 3
+    def windows(t: String): Seq[(Int, String)] = {
+      val tk = t.split(" ")
+      if (tk.length < L) Seq.empty
+      else (0 to tk.length - L).map(s => (s, tk.slice(s, s + L).mkString(" ")))
+    }
+    val docCount = rows.flatMap { case (i, t) => windows(t).map(_._2).distinct.map((_, i)) }
+      .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).distinct.size) }
+    val condemned = docCount.filter(_._2 >= 2).keySet
+    val expected = rows.map { case (i, t) =>
+      val tk = t.split(" ")
+      val covered = Array.fill(tk.length)(false)
+      windows(t).foreach { case (s, g) =>
+        if (condemned(g)) (s until math.min(s + L, tk.length)).foreach(covered(_) = true)
+      }
+      val kept = tk.indices.filterNot(covered).map(tk)
+      (i, tk.length, covered.count(identity), kept.mkString(" "))
+    }
+    val got = Lines.removeDuplicateSpans(docs(rows: _*), "id", "text", L, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got === expected)
+  }
+
   // ---------------------------------------------------------- noveltyStats
 
   test("noveltyStats counts per-doc distinct grams unique to the corpus") {
