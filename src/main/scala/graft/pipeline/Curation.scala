@@ -55,6 +55,8 @@ object Curation {
       boilerplateMinDocs: Option[Long] = None,     // strip segments shared by >= N docs
       segDedup: Option[SegDedupConfig] = None,     // full corpus-global segment dedup
                                                    // (distributed condemned set)
+      substringSpanLen: Option[Int] = None,        // unaligned duplicated-span removal
+                                                   // (Lee et al. sliding windows)
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,     // MinHash Jaccard, e.g. Some(0.8)
       nearDupKeepBest: Option[String] = None,      // score column: keep each cluster's
@@ -148,6 +150,14 @@ object Curation {
         .withColumnRenamed("clean_text", textCol)
         .drop("n_segs", "n_dropped")
       df = stage("seg_dedup", cleaned)
+    }
+    // the deeper (unaligned) regime: duplicated spans at ANY offset; runs
+    // after the cheaper aligned pass has already stripped the bulk
+    cfg.substringSpanLen.foreach { len =>
+      val cleaned = Lines.removeDuplicateSpans(df, idCol, textCol, spanLen = len)
+        .withColumnRenamed("clean_text", textCol)
+        .drop("n_tokens", "n_removed")
+      df = stage("substring_dedup", cleaned)
     }
     if (cfg.exactDedup)
       df = stage("exact_dedup", Dedup.dropExactDuplicates(df, textCol, idCol))

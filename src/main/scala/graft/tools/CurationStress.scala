@@ -272,6 +272,11 @@ object CurationStress {
       Incremental.snapshotDiff(
         docs.where(col("doc_id") % 10 =!= 0), docs, "doc_id", "text").count()
     }
+    time("substring_dedup", nDocs) {
+      Lines.removeDuplicateSpans(docs, "doc_id", "text", spanLen = 10, minDocs = 2)
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed"))).collect()
+      nDocs
+    }
     time("cluster_cap", nVecs) {
       Sampling.capPerGroup(
         emb.select(col("vec_id"), Dedup.signCluster(col("embedding"), 8).as("cell")),
