@@ -1785,6 +1785,36 @@ object SparkEntry {
         .select(col("new_id"), col("store_id"),
           (col("est_jaccard") * 32).cast("int").as("n_match_slots"))
         .orderBy("new_id", "store_id")
+    },
+
+    // =================================================== pipeline: link graph
+    // domain-authority prior (the CommonCrawl-style inbound-link quality
+    // signal): deterministic 3-link HTML per doc — messy href forms (scheme
+    // case, www, tracking params) exercise normalization — hrefs extracted
+    // scan-local, collapsed to registered-domain edges, 3 rounds of
+    // integer-exact PageRank (floor-division mass propagation, the
+    // DSIR-votes integer-oracle pattern), then a broadcast join of each
+    // page to its domain's authority mass
+    "graph_pagerank" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val links = Seq(1, 12, 23).zipWithIndex.map { case (c, j) =>
+        concat(lit("<a href=\"HTTPS://WWW.site"),
+          ((col("doc_id") * 7 + lit(c)) % 40).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"),
+          lit(if (j == 0) "?utm_source=feed" else ""), lit("\">l</a>"))
+      }
+      val html = concat(Seq(lit("<html><body><p>"), col("text"), lit("</p>")) ++
+        links ++ Seq(lit("</body></html>")): _*)
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 40).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val edges = graft.pipeline.LinkGraph.domainEdges(pages, "url", "html")
+      val ranks = graft.pipeline.LinkGraph.pageRankInt(edges, iters = 3)
+      graft.pipeline.LinkGraph.authorityJoin(
+          pages.select("doc_id", "url"), "url", ranks)
+        .select(col("doc_id"), col("domain"), col("mass"))
+        .orderBy("doc_id")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -3407,5 +3437,49 @@ object SparkEntry {
         |    -- 'en' wins iff it beats de strictly and the rest non-strictly
         |    AND s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh)
         |SELECT q.doc_id, e.label FROM q JOIN embeddings e ON q.doc_id = e.vec_id
-        |ORDER BY q.doc_id""".stripMargin)
+        |ORDER BY q.doc_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      // three unrolled integer PageRank iterations; '//' is DuckDB floor
+      // division, bit-identical to Spark's `div` on the positive masses
+      val iter = (i: Int) =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |  CAST(sum((85 * m.mass) // (100 * d.outd)) AS BIGINT) AS inm
+           |  FROM edges e JOIN deg d ON e.src = d.src
+           |  JOIN m${i - 1} m ON m.node = e.src GROUP BY e.dst),
+           |m$i AS (SELECT n.node, CAST(150000 + coalesce(inm, 0) AS BIGINT) AS mass
+           |  FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><body><p>' || text || '</p>'
+         |    || '<a href="HTTPS://WWW.site' || CAST((doc_id*7+1) % 40 AS VARCHAR)
+         |       || '.org/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed">l</a>'
+         |    || '<a href="HTTPS://WWW.site' || CAST((doc_id*7+12) % 40 AS VARCHAR)
+         |       || '.org/p/' || CAST(doc_id AS VARCHAR) || '">l</a>'
+         |    || '<a href="HTTPS://WWW.site' || CAST((doc_id*7+23) % 40 AS VARCHAR)
+         |       || '.org/p/' || CAST(doc_id AS VARCHAR) || '">l</a>'
+         |    || '</body></html>' AS html
+         |  FROM documents),
+         |hr AS (SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS u
+         |       FROM h),
+         |ed0 AS (SELECT DISTINCT
+         |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS src,
+         |    regexp_extract(lower(regexp_extract(u,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+         |      '[^.]+\\.[^.]+$$') AS dst
+         |  FROM hr),
+         |edges AS (SELECT src, dst FROM ed0
+         |          WHERE src <> dst AND src <> '' AND dst <> ''),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+         |m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT d.doc_id, 'site' || CAST(d.doc_id % 40 AS VARCHAR) || '.org' AS domain,
+         |       m3.mass
+         |FROM documents d
+         |JOIN m3 ON m3.node = 'site' || CAST(d.doc_id % 40 AS VARCHAR) || '.org'
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }
