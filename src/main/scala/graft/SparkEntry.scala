@@ -1815,6 +1815,45 @@ object SparkEntry {
           pages.select("doc_id", "url"), "url", ranks)
         .select(col("doc_id"), col("domain"), col("mass"))
         .orderBy("doc_id")
+    },
+
+    // embedding-space outlier report: 20 planted far points (unit direction
+    // × magnitude 100+10i — spacing 10 dwarfs any centroid offset, so the
+    // rank order is pinned by construction at every SF) recovered as the
+    // top-20 centroid distances; integer-only output
+    "emb_outliers" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, v) => a + v.cast("double") * v.cast("double")))
+      // the scale stages in its own projection: nesting the norm aggregate
+      // inside the transform lambda would collide lambda variables
+      val planted = emb.where(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"),
+          ((lit(100.0) + col("vec_id").cast("double") * 10.0) / norm).as("__scale"))
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * col("__scale")).as("embedding"))
+      val corpus = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .unionByName(planted)
+      graft.pipeline.Outliers.topOutliers(corpus, "vec_id", "embedding", k = 20)
+        .select(col("rank"), col("vec_id"))
+        .orderBy("rank")
+    },
+
+    // JL compressed-domain ANN: corpus scored in 16 projected dims, exact
+    // rerank on raw vectors — planted exact copies project identically
+    // (projected cosine exactly 1), so recall of the copy is 1 by
+    // construction (the sim_lsh planted-fixture pattern)
+    "sim_projected" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.unionByName(
+        queries.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.projectedTopK(corpus, queries, "vec_id", "embedding",
+          k = 1, outDims = 16, rerank = 32)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -3481,5 +3520,27 @@ object SparkEntry {
          |FROM documents d
          |JOIN m3 ON m3.node = 'site' || CAST(d.doc_id % 40 AS VARCHAR) || '.org'
          |ORDER BY d.doc_id""".stripMargin
-    })
+    },
+
+    // planted construction pins the answer: rank r holds the planted far
+    // point with the (21-r)-th largest magnitude, vec_id 2000020 - r
+    "emb_outliers" ->
+      """SELECT range AS rank, 2000020 - range AS vec_id
+        |FROM range(1, 21) ORDER BY rank""".stripMargin,
+
+    // exact brute-force top-1 (the sim_lsh oracle shape): the planted copy
+    // at cosine 1 must win, and it must survive JL candidate generation
+    "sim_projected" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v WHERE vec_id < 10)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin)
 }

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-space outlier detection — the quality gate that catches what
+ * text heuristics can't: mojibake, binary-junk, wrong-modality and
+ * contaminated documents land far from the corpus centroid in embedding
+ * space even when their token statistics look ordinary.
+ *
+ * Two passes over the corpus, both map-side combinable, nothing
+ * corpus-sized ever reaching the driver:
+ *
+ *   1. [[centroid]] — per-dimension mean via posexplode + keyed avg. The
+ *      explode emits N×dims rows but the aggregate has only `dims`
+ *      distinct keys, so partial aggregation collapses each partition to
+ *      dims cells before the (tiny) shuffle; the collect is dims doubles
+ *      (parameter-sized state, same budget as IVF centroids).
+ *   2. distance + selection — [[distanceTo]] is a scan-local zip_with
+ *      against the broadcast-literal centroid; [[topOutliers]] ranks with
+ *      the shuffle-free bounded-heap top-k (≤ k rows leave any partition),
+ *      and [[zscoreOutliers]] gates on a second scalar aggregate
+ *      (mean/stddev of distance) — a filter, no sort at all.
+ *
+ * At 100 TB both shapes hold: the only shuffles are a dims-keyed aggregate
+ * and (for top-k) the k×numPartitions survivor window.
+ */
+object Outliers {
+
+  /** Per-dimension mean of an array column. Returns a dims-length array —
+    * parameter-sized driver state by construction. */
+  def centroid(df: DataFrame, vecCol: String): Array[Double] = {
+    val rows = df.select(posexplode(col(vecCol)))
+      .groupBy("pos").agg(avg(col("col").cast("double")).as("m"))
+      .collect()
+    require(rows.nonEmpty, "centroid of an empty corpus")
+    val dims = rows.map(_.getInt(0)).max + 1
+    val arr = new Array[Double](dims)
+    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    arr
+  }
+
+  /** Euclidean distance from a vector column to a fixed center, summed in
+    * index order (deterministic per row). */
+  def distanceTo(vecCol: Column, center: Array[Double]): Column = {
+    val c = array(center.toIndexedSeq.map(lit(_)): _*)
+    sqrt(aggregate(
+      zip_with(vecCol, c, (v, m) => (v.cast("double") - m) * (v.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** The k most centroid-distant rows, rank 1 = farthest; ties break by id
+    * asc. Output: (rank, idCol, dist). */
+  def topOutliers(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val center = centroid(df, vecCol)
+    val scored = df.select(col(idCol),
+        distanceTo(col(vecCol), center).as("dist"))
+      .withColumn("__q", lit(0))
+    Similarity.rankTopKPerQuery(scored, "__q", "dist", idCol, k)
+      .select(col("rank"), col(idCol), col("dist"))
+  }
+
+  /** Rows whose centroid distance exceeds `z` standard deviations above
+    * the corpus mean distance — a pure filter (no sort, no top-k), for
+    * gating rather than reporting. Output: (idCol, dist, zscore). */
+  def zscoreOutliers(df: DataFrame, idCol: String, vecCol: String, z: Double): DataFrame = {
+    val center = centroid(df, vecCol)
+    val scored = df.select(col(idCol), distanceTo(col(vecCol), center).as("dist"))
+    val stats = scored.agg(avg("dist").as("mu"), stddev_pop("dist").as("sigma")).head()
+    val (mu, sigma) = (stats.getDouble(0), stats.getDouble(1))
+    scored.withColumn("zscore", (col("dist") - mu) / lit(math.max(sigma, 1e-12)))
+      .where(col("zscore") > z)
+  }
+}

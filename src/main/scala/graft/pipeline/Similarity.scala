@@ -505,6 +505,55 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /**
+   * Johnson–Lindenstrauss random projection: compress `vecCol` to
+   * `outDims` components with a deterministic hash-derived ±uniform
+   * matrix (no RNG at plan time, no broadcast needed — every executor
+   * regenerates the same rows). Distances and cosines are approximately
+   * preserved (JL lemma); exact equality IS preserved (identical inputs
+   * project identically), which is what the planted-fixture oracle pins.
+   * Scan-local single-pass expression — safe inside the parquet
+   * projection at any scale. Method: Johnson & Lindenstrauss (1984);
+   * database-side treatment in Achlioptas, "Database-friendly random
+   * projections" (2001).
+   */
+  def randomProject(vecCol: Column, outDims: Int): Column =
+    sketches.randomProject(vecCol, outDims)
+
+  /**
+   * Compressed-domain top-k: score ALL corpus rows against each query in
+   * the `outDims`-wide projected space (cheap — outDims ≪ dims), keep
+   * `rerank` candidates per query via the shuffle-free bounded-heap rank,
+   * then re-score only those survivors with exact cosine on the raw
+   * vectors. Same candidates-then-exact shape as [[pqTopK]], with the JL
+   * projection standing in for the PQ codes: ids-only through the
+   * candidate shuffle, raw vectors re-join for the <= Q*rerank survivors.
+   * With a planted exact copy in the corpus the copy's projected cosine
+   * is exactly 1 — it always survives candidate generation, so recall of
+   * planted duplicates is 1 by construction at any scale.
+   */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, outDims: Int = 16,
+                    rerank: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      randomProject(col(vecCol), outDims).as("pv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      randomProject(col(vecCol), outDims).as("qpv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pscore", cosine(col("qpv"), col("pv")))
+      .select("query_id", "neighbor_id", "pscore")
+    val candidates = rankTopKPerQuery(scored, "query_id", "pscore", "neighbor_id", rerank)
+      .select("query_id", "neighbor_id")
+    val withVec = candidates.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = withVec.join(broadcast(qRaw), Seq("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(exact, "query_id", "score", "neighbor_id", k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** One band's bucket key via builtins (cross-check formulation):
     * planes [band*planes, (band+1)*planes). */
   def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {

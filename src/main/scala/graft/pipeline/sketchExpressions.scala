@@ -414,6 +414,71 @@ case class PqAdcScoresExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Johnson–Lindenstrauss random projection to `outDims` components — the
+  * same hash-derived pseudo-random matrix family as [[HyperplaneSketchExpr]]
+  * but in its own `proj:` namespace (so projection axes never correlate with
+  * the LSH planes) and emitting the full dot products rather than sign bits.
+  * Components scale by 1/sqrt(outDims), the JL convention that keeps
+  * expected squared norms comparable across output widths. One JVM pass per
+  * row: O(outDims * dims) multiplies, no catalyst-node churn. */
+case class RandomProjectExpr(child: Expression, outDims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def component(p: Int, i: Int): Double = {
+    val h = SketchHash.hash(s"proj:$p:$i")
+    val m = h % 1000003L
+    val mm = if (m < 0) m + 1000003L else m
+    mm.toDouble / 500001.5 - 1.0
+  }
+
+  @transient private lazy val rowCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  private def projRow(p: Int, dims: Int): Array[Double] = {
+    var arr = rowCache.get(p)
+    if (arr == null || arr.length < dims) {
+      arr = Array.tabulate(dims)(i => component(p, i))
+      rowCache.put(p, arr)
+    }
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    val values = new Array[Double](dims)
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    var i = 0
+    while (i < dims) {
+      values(i) = et match {
+        case FloatType   => vec.getFloat(i).toDouble
+        case DoubleType  => vec.getDouble(i)
+        case LongType    => vec.getLong(i).toDouble
+        case IntegerType => vec.getInt(i).toDouble
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+      i += 1
+    }
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val out = new Array[Double](outDims)
+    var p = 0
+    while (p < outDims) {
+      val row = projRow(p, dims)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) { dot += values(d) * row(d); d += 1 }
+      out(p) = dot * scale
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object sketches {
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
@@ -439,4 +504,7 @@ object sketches {
   def pqAdcScores(codes: Column, luts: Seq[Seq[Seq[Double]]],
                   norm2: Seq[Seq[Double]], qNorms: Seq[Double]): Column =
     GraftBridge.column(PqAdcScoresExpr(GraftBridge.expression(codes), luts, norm2, qNorms))
+
+  def randomProject(vec: Column, outDims: Int): Column =
+    GraftBridge.column(RandomProjectExpr(GraftBridge.expression(vec), outDims))
 }
