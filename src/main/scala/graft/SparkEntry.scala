@@ -1854,6 +1854,39 @@ object SparkEntry {
           k = 1, outDims = 16, rerank = 32)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    },
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): sentence breaks become
+    // newlines, planted tails exercise every gate (javascript line, curly
+    // brace, lorem ipsum); md5 of the kept-lines rejoin pins exact parity
+    "text_c4_rules" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val page = concat(
+        regexp_replace(col("text"), "\\. ", ".\n"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nPlease enable JavaScript to continue reading now.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nstyle { margin: 0 }")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")))
+      docs.select(col("doc_id"), graft.pipeline.C4Rules.cleanPage(page).as("c"))
+        .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+          col("c.n_kept").as("n_kept"), col("c.page_kept").as("page_kept"),
+          md5(col("c.text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // LLaMA-style epoch expansion: source srcK repeats (K%4+1)/2 epochs —
+    // integer-exact md5-residue fractional copies, one row per
+    // (doc, epoch_idx); the mixture a data loader would actually consume
+    "pipeline_epochs" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val sources = docs.select("source").distinct().collect().map(_.getString(0))
+      val epochs = sources.map { src =>
+        src -> (src.stripPrefix("src").toInt % 4 + 1, 2)
+      }.toMap
+      graft.pipeline.Mixing.epochExpand(
+          docs.select("doc_id", "source"), "doc_id", "source", epochs)
+        .select(col("doc_id"), col("source"), col("epoch_idx"))
+        .orderBy("doc_id", "epoch_idx")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -3542,5 +3575,41 @@ object SparkEntry {
         |    PARTITION BY qid
         |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
         |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
-        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "text_c4_rules" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'Please enable JavaScript to continue reading now.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'style { margin: 0 }' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM p),
+        |k AS (SELECT doc_id, page, lines,
+        |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"'']$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  CAST(CASE WHEN NOT contains(lower(page), 'lorem ipsum')
+        |            AND NOT contains(page, '{')
+        |            AND len(kept) >= 3 THEN 1 ELSE 0 END AS INT) AS page_kept,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "pipeline_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INT) % 4 + 1 AS num FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    num // 2 + (CASE WHEN
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+        |        < num % 2 THEN 1 ELSE 0 END) AS n
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(n)) AS epoch_idx
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, epoch_idx""".stripMargin)
 }

@@ -78,4 +78,40 @@ object Mixing {
       .where(Sampling.hashUniform(col(idCol)) < col("__keep_rate"))
       .drop("__keep_rate")
   }
+
+  /**
+   * Per-source epoch expansion — repetition factors applied as rows (the
+   * LLaMA-recipe mixture: some sources repeat 2+ epochs, some fractional).
+   * Epochs are RATIONAL (`num/den`) so the expansion is integer-exact:
+   * every doc gets `num div den` copies, plus one more iff
+   * `md5_32(id) mod den < num mod den` — deterministic, rerun-stable,
+   * engine-portable (same md5-residue family as [[Sampling.hashUniform]]),
+   * and the per-source expected copy count is exactly num/den. Sources
+   * absent from the map keep one epoch.
+   *
+   * Output: one row per (doc, epoch_idx), epoch_idx in [0, n) — downstream
+   * sharding treats copies as independent training docs.
+   *
+   * Scale shape: the epoch map compiles to a literal when-chain (sources
+   * are few), the residue and `explode(sequence(...))` are scan-local — no
+   * shuffle, no join; output size is exactly the epoch-weighted corpus a
+   * data loader would consume.
+   */
+  def epochExpand(df: DataFrame, idCol: String, srcCol: String,
+                  epochs: Map[String, (Int, Int)]): DataFrame = {
+    epochs.foreach { case (s, (n, d)) =>
+      require(n >= 0 && d >= 1, s"epochs for '$s' must be n>=0, d>=1 (got $n/$d)")
+    }
+    val numC = epochs.foldLeft(lit(1)) { case (acc, (s, (n, _))) =>
+      when(col(srcCol) === s, lit(n)).otherwise(acc) }.cast("long")
+    val denC = epochs.foldLeft(lit(1)) { case (acc, (s, (_, d))) =>
+      when(col(srcCol) === s, lit(d)).otherwise(acc) }.cast("long")
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val nCopies = (floor(numC.cast("double") / denC.cast("double")).cast("long") +
+      when(pmod(h32, denC) < numC % denC, 1L).otherwise(0L)).cast("int")
+    df.withColumn("__n_copies", nCopies)
+      .where(col("__n_copies") > 0)
+      .withColumn("epoch_idx", explode(sequence(lit(0), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
 }
