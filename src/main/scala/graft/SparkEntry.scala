@@ -1887,6 +1887,42 @@ object SparkEntry {
           docs.select("doc_id", "source"), "doc_id", "source", epochs)
         .select(col("doc_id"), col("source"), col("epoch_idx"))
         .orderBy("doc_id", "epoch_idx")
+    },
+
+    // inbound anchor-text profile: what OTHER domains call each target —
+    // deterministic anchor texts (verb by doc residue + target name),
+    // whole-tag extraction then per-tag href/text split, top-3 terms per
+    // domain by count through the bounded-heap rank
+    "graph_anchor_terms" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val links = Seq(1, 12, 23).map { c =>
+        val dst = ((col("doc_id") * 7 + lit(c)) % 40).cast("string")
+        concat(lit("<a href=\"https://site"), dst,
+          lit(".org/p/"), col("doc_id").cast("string"), lit("\">"),
+          when(col("doc_id") % 3 === 0, lit("visit"))
+            .when(col("doc_id") % 3 === 1, lit("read")).otherwise(lit("browse")),
+          lit(" site"), dst, lit(" docs</a>"))
+      }
+      val html = concat(Seq(lit("<p>x</p>")) ++ links: _*)
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 40).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      graft.pipeline.LinkGraph.anchorTerms(pages, "url", "html", topK = 3)
+        .orderBy("domain", "rank")
+    },
+
+    // per-event rolling activity features: trailing-hour event count and
+    // click count per user via RANGE windows (value-bounded — simultaneous
+    // events see each other symmetrically, deterministic at any
+    // partitioning)
+    "events_rolling" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts_ms", "event_type")
+      graft.streaming.Sessions.rollingCounts(ev, "user_id", "ts_ms",
+          "event_type", "click", windowMs = 3600000L)
+        .select("event_id", "user_id", "n_window", "n_match_window")
+        .orderBy("event_id")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -3611,5 +3647,45 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, unnest(range(n)) AS epoch_idx
         |FROM c WHERE n > 0
-        |ORDER BY doc_id, epoch_idx""".stripMargin)
+        |ORDER BY doc_id, epoch_idx""".stripMargin,
+
+    "graph_anchor_terms" -> {
+      // single-line on purpose: a nested stripMargin block would let the
+      // OUTER stripMargin eat the first pipe of a line-leading '||'
+      def link(c: Int) =
+        s"""'<a href="https://site' || CAST((doc_id*7+$c) % 40 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) || '">' || (CASE doc_id % 3 WHEN 0 THEN 'visit' WHEN 1 THEN 'read' ELSE 'browse' END) || ' site' || CAST((doc_id*7+$c) % 40 AS VARCHAR) || ' docs</a>'"""
+      s"""WITH h AS (SELECT doc_id,
+         |    '<p>x</p>' || ${link(1)} || ${link(12)} || ${link(23)} AS html
+         |  FROM documents),
+         |tags AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(html, '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS tag
+         |  FROM h),
+         |pr AS (SELECT
+         |    'site' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS src,
+         |    regexp_extract(regexp_extract(regexp_extract(tag, '<a href="([^"]+)"', 1),
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1),
+         |      '[^.]+\\.[^.]+$$') AS domain,
+         |    regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+         |  FROM tags),
+         |t AS (SELECT domain,
+         |    unnest(string_split_regex(trim(lower(anchor)), '\\s+')) AS term
+         |  FROM pr WHERE src <> domain AND domain <> ''),
+         |c AS (SELECT domain, term, count(*) AS cnt FROM t
+         |      WHERE term <> '' GROUP BY domain, term)
+         |SELECT domain, rank, term, cnt FROM (
+         |  SELECT domain, term, cnt, row_number() OVER (
+         |    PARTITION BY domain ORDER BY cnt DESC, term ASC) AS rank FROM c)
+         |WHERE rank <= 3 ORDER BY domain, rank""".stripMargin
+    },
+
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_window,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+        |       AS BIGINT) AS n_match_window
+        |FROM (SELECT event_id, user_id, event_type,
+        |        epoch_ns(ts) // 1000000 AS ts_ms FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }

@@ -140,6 +140,43 @@ object LinkGraph {
     mass
   }
 
+  /** Whole anchor tags (`<a href="...">text</a>`, double-quoted href,
+    * text without nested markup) — the unit [[anchorTerms]] decomposes.
+    * regexp_extract_all returns one group per call, so tags extract whole
+    * and href/text split per tag with two scan-local regexp_extracts. */
+  private[pipeline] val AnchorTagRe = "<a href=\"[^\"]*\"[^>]*>[^<]*</a>"
+
+  /**
+   * Inbound anchor-text profile: the top `topK` terms other domains use
+   * when linking to each target domain — the classic query-independent
+   * relevance/topic signal (what the web CALLS a site, vs what the site
+   * says about itself). Self-links are excluded: a site's own navigation
+   * text is self-description, not reputation.
+   *
+   * Output: (domain, rank, term, cnt), rank 1 = most frequent, ties by
+   * term asc. Scale shape: tag explode and href/anchor split are
+   * scan-local; the only shuffle is the (domain, term) count aggregate
+   * (map-side combinable); top-k per domain rides the bounded-heap rank,
+   * so no domain's full term distribution ever sorts in one reducer.
+   */
+  def anchorTerms(pages: DataFrame, srcUrlCol: String, htmlCol: String,
+                  topK: Int = 20): DataFrame = {
+    val tags = pages.select(
+      Urls.registeredDomain(Urls.normalize(col(srcUrlCol))).as("src"),
+      explode(regexp_extract_all(col(htmlCol), lit(AnchorTagRe), lit(0))).as("tag"))
+    val pairs = tags.select(col("src"),
+      Urls.registeredDomain(Urls.normalize(
+        regexp_extract(col("tag"), "<a href=\"([^\"]+)\"", 1))).as("domain"),
+      regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+      .where(col("src") =!= col("domain") && col("domain") =!= "")
+    val terms = pairs.select(col("domain"),
+        explode(split(lower(trim(col("anchor"))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    Stats.topValuesByGroup(terms, col("domain"), col("term"), topK)
+      .withColumnRenamed("group", "domain")
+      .withColumnRenamed("value", "term")
+  }
+
   /**
    * Per-document authority prior: each page joined to its domain's rank.
    * The rank table is domain-sized (broadcast-able by construction — that

@@ -157,4 +157,29 @@ object Sessions {
       .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))  // (entity, p) distinct upstream
   }
+
+  /**
+   * Per-event rolling features over a trailing time window — the standard
+   * feature-engineering shape (activity velocity at each event): for every
+   * event, the entity's event count and per-`matchType` count in the
+   * trailing `windowMs` (inclusive of the current instant). RANGE windows
+   * bound by the VALUE of the timestamp, so simultaneous events see each
+   * other symmetrically — deterministic under any partitioning, no
+   * row-order tie ambiguity.
+   *
+   * Scale shape: one entity-keyed shuffle + per-entity sort; window state
+   * is the trailing frame only. Entities are the natural key (bounded
+   * per-entity history) — this never funnels the corpus through one
+   * reducer the way a global-window rank would.
+   */
+  def rollingCounts(df: DataFrame, entityCol: String, tsCol: String,
+                    typeCol: String, matchType: String,
+                    windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+      .rangeBetween(-windowMs, 0)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("n_match_window",
+        sum(when(col(typeCol) === matchType, 1L).otherwise(0L)).over(w))
+  }
 }

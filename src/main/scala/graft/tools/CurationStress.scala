@@ -282,6 +282,56 @@ object CurationStress {
         emb.select(col("vec_id"), Dedup.signCluster(col("embedding"), 8).as("cell")),
         "cell", "vec_id", n = 1000).count()
     }
+    time("c4_rules", nDocs) {
+      docs.select(C4Rules.cleanPage(regexp_replace(col("text"), "\\. ", ".\n")).as("c"))
+        .agg(sum(col("c.n_kept")), sum(length(col("c.text_clean")))).collect()
+      nDocs
+    }
+    time("epoch_expand", nDocs) {
+      Mixing.epochExpand(
+        docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))),
+        "doc_id", "source",
+        (0 until 20).map(k => s"src$k" -> (k % 4 + 1, 2)).toMap).count()
+    }
+    time("pagerank", nDocs) {
+      // page-level href extraction + domain collapse at full corpus width,
+      // then 3 integer iterations on the (bounded) domain graph
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 500).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("<p>x</p><a href=\"https://site"),
+          ((col("doc_id") * 7 + 1) % 500).cast("string"),
+          lit(".org/\">l</a><a href=\"https://site"),
+          ((col("doc_id") * 13 + 3) % 500).cast("string"),
+          lit(".org/\">l</a>")).as("html"))
+      val edges = LinkGraph.domainEdges(pages, "url", "html")
+      LinkGraph.pageRankInt(edges, iters = 3)
+        .agg(sum(col("mass"))).collect()(0).getLong(0)
+    }
+    time("outliers", nVecs) {
+      Outliers.topOutliers(emb, "vec_id", "embedding", k = 50)
+        .agg(sum(col("dist"))).collect()
+      nVecs
+    }
+    time("random_project", nVecs) {
+      emb.select(Similarity.randomProject(col("embedding"), 16).as("p"))
+        .agg(sum(element_at(col("p"), 1))).collect()
+      nVecs
+    }
+    time("projected_topk", nVecs) {
+      Similarity.projectedTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, outDims = 16, rerank = 32).count()
+    }
+    time("anchor_terms", nDocs) {
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 500).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("<a href=\"https://site"),
+          ((col("doc_id") * 7 + 1) % 500).cast("string"),
+          lit(".org/\">read site docs now</a>")).as("html"))
+      LinkGraph.anchorTerms(pages, "url", "html", topK = 5)
+        .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }

@@ -21,7 +21,9 @@ object PlanAudit {
         "join_range", "stats_kmv", "events_funnel", "pipeline_shards",
         "multimodal_resize", "multimodal_audio", "join_interval",
         "pipeline_export", "emb_quantize", "sim_quantized", "text_html",
-        "dedup_image", "multimodal_segments")
+        "dedup_image", "multimodal_segments",
+        "graph_pagerank", "emb_outliers", "sim_projected", "text_c4_rules",
+        "pipeline_epochs", "graph_anchor_terms", "events_rolling")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -69,6 +69,23 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(intTop.toSeq === Seq("tail", "hub", "mid"))
   }
 
+  test("anchorTerms: inbound terms counted, self-links excluded, top-k by count") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("https://a.org/1",
+        """<a href="https://b.org/x">great docs here</a>
+          |<a href="https://b.org/y">great tutorials</a>
+          |<a href="https://a.org/self">my own nav</a>""".stripMargin),
+      ("https://c.net/2", """<a href="https://b.org/z">great reference</a>"""))
+      .toDF("url", "html")
+    val got = graft.pipeline.LinkGraph.anchorTerms(pages, "url", "html", topK = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // b.org inbound terms: great=3, docs=1, here=1, reference=1, tutorials=1
+    // top-2: great (3), then docs (tie of 1s broken by term asc)
+    assert(got.toSeq === Seq(("b.org", 1, "great", 3L), ("b.org", 2, "docs", 1L)))
+  }
+
   test("domainEdges: hrefs normalize and collapse to distinct domain pairs") {
     val s = spark
     import s.implicits._

@@ -204,4 +204,25 @@ class SessionsSpec extends AnyFunSuite {
       (1L, 0L, 1L),   // user 3's cohort
       (1L, 1L, 1L)))  // user 3 back one period later
   }
+
+  test("rollingCounts: trailing RANGE frame, simultaneous events symmetric") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: window 100 — events at 0, 50, 150 (drops t=0), 300 (alone)
+      (10L, 1L, 0L, "view"), (11L, 1L, 50L, "click"),
+      (12L, 1L, 150L, "click"), (13L, 1L, 300L, "view"),
+      // user 2: two simultaneous events — each sees both (value-bounded)
+      (20L, 2L, 500L, "click"), (21L, 2L, 500L, "view"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val got = Sessions.rollingCounts(ev, "user_id", "ts_ms",
+        "event_type", "click", windowMs = 100L)
+      .select("event_id", "n_window", "n_match_window")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      10L -> ((1L, 0L)), 11L -> ((2L, 1L)),
+      12L -> ((2L, 2L)),  // t=150 sees t=50 and itself, both clicks
+      13L -> ((1L, 0L)),
+      20L -> ((2L, 1L)), 21L -> ((2L, 1L))))
+  }
 }
