@@ -43,8 +43,13 @@ object Curation {
     * of `scoreCol` (ties on the id). See [[Curriculum.difficultyBuckets]]. */
   final case class CurriculumConfig(scoreCol: String, nBuckets: Int = 10)
 
+  /** C4 cleaning (Raffel et al. 2020 §2.2): line gates rewrite the text,
+    * page gates drop the doc. See [[C4Rules]]. */
+  final case class C4Config(minWords: Int = 5, minLines: Int = 3)
+
   final case class Config(
       extractHtml: Boolean = false,                // HTML-to-text before any text op
+      c4Rules: Option[C4Config] = None,            // C4 line/page gates after HTML
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
       dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
       dsirBuckets: Int = 10000,
@@ -111,6 +116,18 @@ object Curation {
     // raw crawl payloads become text before any content operator sees them
     if (cfg.extractHtml)
       df = stage("html_extract", df.withColumn(textCol, Html.toText(col(textCol))))
+
+    // C4 cleaning right after extraction: line gates rewrite the text,
+    // page gates drop the doc — both scan-local, so this stage never
+    // shuffles and everything downstream sees the cleaned corpus
+    cfg.c4Rules.foreach { c =>
+      val cleaned = df
+        .withColumn("__graft_c4", C4Rules.cleanPage(col(textCol), c.minWords, c.minLines))
+        .where(col("__graft_c4.page_kept") === 1)
+        .withColumn(textCol, col("__graft_c4.text_clean"))
+        .drop("__graft_c4")
+      df = stage("c4_rules", cleaned)
+    }
 
     // URL stage before any content work: a page fetched twice should cost
     // one content pass, not two. NULL-url rows are exempt from both

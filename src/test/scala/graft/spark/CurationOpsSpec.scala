@@ -378,6 +378,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(funnel("decontaminated") === 2L) // 5 contaminated by eval set
   }
 
+  test("Curation.run: C4 stage rewrites lines and drops gated pages") {
+    import graft.pipeline.{C4Rules => _, Curation}
+    val goodLine = "a perfectly ordinary sentence with plenty of everyday words."
+    val v = docs(
+      (1L, Seq(goodLine, goodLine, goodLine).mkString("\n")),            // survives intact
+      (2L, Seq(goodLine, goodLine, goodLine, "no punct here at all",
+        "Please enable JavaScript now, reader.").mkString("\n")),        // 2 lines stripped
+      (3L, Seq(goodLine, goodLine).mkString("\n")),                      // < minLines
+      (4L, Seq(goodLine, goodLine, goodLine, "body { color: red }").mkString("\n")))
+    val res = Curation.run(v, "id", "text",
+      Curation.Config(c4Rules = Some(Curation.C4Config()),
+        exactDedup = false, requireQuality = false, requireRepetitionOk = false))
+    val byId = res.docs.select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 3 fails min kept lines; 4 has a curly brace (page gate)
+    assert(byId.keySet === Set(1L, 2L))
+    assert(byId(1L) === Seq(goodLine, goodLine, goodLine).mkString("\n"))
+    assert(byId(2L) === Seq(goodLine, goodLine, goodLine).mkString("\n"))
+    assert(res.stageCounts.toMap.apply("c4_rules") === 2L)
+  }
+
   test("Curation.run: quantile-derived length gate, bloom decon, source mixing") {
     import graft.pipeline.Curation
     val s = spark
