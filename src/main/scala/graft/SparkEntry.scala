@@ -1923,6 +1923,23 @@ object SparkEntry {
           "event_type", "click", windowMs = 3600000L)
         .select("event_id", "user_id", "n_window", "n_match_window")
         .orderBy("event_id")
+    },
+
+    // canary-string leak detection (the BIG-bench GUID convention):
+    // planted canaries at doc residues (17 also-divisible-by-19 docs carry
+    // both) detected by scan-local exact containment — no join, no shuffle
+    "decon_canary" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val canaryA = "CANARY-7f3a9e2b-GUID-DO-NOT-TRAIN"
+      val canaryB = "EVAL-SUITE-MARKER-5d11c8aa"
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, lit(" " + canaryA)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit(" " + canaryB)).otherwise(lit("")))
+          .as("text"))
+      graft.pipeline.Decontaminate.canaryHits(planted, "doc_id", "text",
+          Seq(canaryA, canaryB))
+        .orderBy("doc_id", "canary_idx")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
@@ -3687,5 +3704,21 @@ object SparkEntry {
         |        epoch_ns(ts) // 1000000 AS ts_ms FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "decon_canary" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' CANARY-7f3a9e2b-GUID-DO-NOT-TRAIN' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0
+        |         THEN ' EVAL-SUITE-MARKER-5d11c8aa' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, canary_idx, canary FROM (
+        |  SELECT doc_id, 0 AS canary_idx,
+        |         'CANARY-7f3a9e2b-GUID-DO-NOT-TRAIN' AS canary
+        |  FROM p WHERE contains(text, 'CANARY-7f3a9e2b-GUID-DO-NOT-TRAIN')
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'EVAL-SUITE-MARKER-5d11c8aa'
+        |  FROM p WHERE contains(text, 'EVAL-SUITE-MARKER-5d11c8aa'))
+        |ORDER BY doc_id, canary_idx""".stripMargin)
 }

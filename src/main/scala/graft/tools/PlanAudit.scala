@@ -23,7 +23,8 @@ object PlanAudit {
         "pipeline_export", "emb_quantize", "sim_quantized", "text_html",
         "dedup_image", "multimodal_segments",
         "graph_pagerank", "emb_outliers", "sim_projected", "text_c4_rules",
-        "pipeline_epochs", "graph_anchor_terms", "events_rolling")
+        "pipeline_epochs", "graph_anchor_terms", "events_rolling",
+        "decon_canary")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -949,6 +949,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got2 === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("canaryHits: exact containment, multi-canary docs, no false hits") {
+    import graft.pipeline.Decontaminate
+    val v = docs(
+      (1L, "ordinary text with no markers at all"),
+      (2L, "leaked eval item CANARY-XYZ end"),
+      (3L, "both CANARY-XYZ and MARKER-ABC appear"),
+      (4L, "truncated CANARY-XY only"))  // prefix of the canary, not a containment hit
+    val got = Decontaminate.canaryHits(v, "id", "text", Seq("CANARY-XYZ", "MARKER-ABC"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set((2L, 0, "CANARY-XYZ"), (3L, 0, "CANARY-XYZ"), (3L, 1, "MARKER-ABC")))
+  }
+
   test("PROPERTY: semanticDedup matches a driver-side reference on random vectors") {
     val s = spark
     import s.implicits._
