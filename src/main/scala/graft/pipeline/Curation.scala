@@ -49,7 +49,7 @@ object Curation {
 
   final case class Config(
       extractHtml: Boolean = false,                // HTML-to-text before any text op
-      c4Rules: Option[C4Config] = None,            // C4 line/page gates after HTML
+      c4Rules: Option[C4Config] = None,            // C4 line/page gates (post-URL stage)
       urls: Option[UrlConfig] = None,              // URL dedup/domain cap (pre-content)
       dsirK: Option[Int] = None,                   // DSIR Gumbel top-k (needs dsirTarget)
       dsirBuckets: Int = 10000,
@@ -117,18 +117,6 @@ object Curation {
     if (cfg.extractHtml)
       df = stage("html_extract", df.withColumn(textCol, Html.toText(col(textCol))))
 
-    // C4 cleaning right after extraction: line gates rewrite the text,
-    // page gates drop the doc — both scan-local, so this stage never
-    // shuffles and everything downstream sees the cleaned corpus
-    cfg.c4Rules.foreach { c =>
-      val cleaned = df
-        .withColumn("__graft_c4", C4Rules.cleanPage(col(textCol), c.minWords, c.minLines))
-        .where(col("__graft_c4.page_kept") === 1)
-        .withColumn(textCol, col("__graft_c4.text_clean"))
-        .drop("__graft_c4")
-      df = stage("c4_rules", cleaned)
-    }
-
     // URL stage before any content work: a page fetched twice should cost
     // one content pass, not two. NULL-url rows are exempt from both
     // sub-stages (no URL != same URL), and survivors are selected by
@@ -148,6 +136,19 @@ object Curation {
         df = stage("domain_cap", df.join(keepIds, Seq(idCol), "left_semi")
           .unionByName(df.where(col(u.urlCol).isNull)))
       }
+    }
+
+    // C4 cleaning after the URL stage (URL-first: a page fetched twice
+    // should cost one content pass, not two) and before anything that
+    // fingerprints text: line gates rewrite, page gates drop — both
+    // scan-local, no shuffle
+    cfg.c4Rules.foreach { c =>
+      val cleaned = df
+        .withColumn("__graft_c4", C4Rules.cleanPage(col(textCol), c.minWords, c.minLines))
+        .where(col("__graft_c4.page_kept") === 1)
+        .withColumn(textCol, col("__graft_c4.text_clean"))
+        .drop("__graft_c4")
+      df = stage("c4_rules", cleaned)
     }
 
     // boilerplate first: shared tails would otherwise defeat exact dedup

@@ -83,7 +83,7 @@ object LinkGraph {
                   dampDen: Long = 100L, seedMass: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(seedMass * (dampDen - dampNum) % dampDen == 0,
-      s"seedMass*(dampDen-dampNum) must divide dampDen ($seedMass, $dampNum/$dampDen)")
+      s"dampDen must divide seedMass*(dampDen-dampNum) ($seedMass, $dampNum/$dampDen)")
     val base = seedMass * (dampDen - dampNum) / dampDen
     val e = edges.select(col("src"), col("dst"))
     // degree-annotated edges persist once; every iteration reuses them
@@ -103,7 +103,14 @@ object LinkGraph {
         .select(col("node"),
           (lit(base) + coalesce(col("inmass"), lit(0L))).as("mass"))
     }
-    mass
+    // materialize the result, then release the loop-only caches — the
+    // caller gets a persisted frame (theirs to unpersist) and no hidden
+    // session state accumulates across calls
+    val out = mass.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 
   /**
@@ -132,12 +139,14 @@ object LinkGraph {
         .select(col("node"),
           (lit(1.0 - damping) + coalesce(col("inr"), lit(0.0))).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (i < iters) next.count() // materialize so unpersisting prev is safe
+      next.count() // materialize (final iteration included) before dropping prev
       prev.foreach(_.unpersist(false))
       prev = Some(next)
       mass = next
     }
-    mass
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    mass // persisted + materialized; the caller's to unpersist
   }
 
   /** Whole anchor tags (`<a href="...">text</a>`, double-quoted href,

@@ -107,11 +107,14 @@ object Mixing {
     val denC = epochs.foldLeft(lit(1)) { case (acc, (s, (_, d))) =>
       when(col(srcCol) === s, lit(d)).otherwise(acc) }.cast("long")
     val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
-    val nCopies = (floor(numC.cast("double") / denC.cast("double")).cast("long") +
-      when(pmod(h32, denC) < numC % denC, 1L).otherwise(0L)).cast("int")
-    df.withColumn("__n_copies", nCopies)
+    // SQL `div` (integral divide) throughout — "integer-exact" should hold
+    // by construction, not by a double-rounding argument
+    df.withColumn("__num", numC).withColumn("__den", denC)
+      .withColumn("__n_copies", (expr("__num div __den") +
+        when(pmod(h32, col("__den")) < col("__num") % col("__den"), 1L)
+          .otherwise(0L)).cast("int"))
       .where(col("__n_copies") > 0)
       .withColumn("epoch_idx", explode(sequence(lit(0), col("__n_copies") - 1)))
-      .drop("__n_copies")
+      .drop("__num", "__den", "__n_copies")
   }
 }

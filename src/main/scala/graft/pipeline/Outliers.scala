@@ -50,12 +50,21 @@ object Outliers {
       lit(0.0), (acc, x) => acc + x))
   }
 
+  /** Rows with a well-formed vector of exactly `dims` elements — a null or
+    * ragged embedding would make the distance null and crash the heap
+    * comparator downstream; the malformed rows are a SCHEMA defect, not an
+    * outlier-scoring question, so they are excluded (catch them upstream
+    * with `size(vec) != dims` if they need reporting). */
+  private def wellFormed(df: DataFrame, vecCol: String, dims: Int): DataFrame =
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+
   /** The k most centroid-distant rows, rank 1 = farthest; ties break by id
-    * asc. Output: (rank, idCol, dist). */
+    * asc. Null/ragged vectors are excluded (see [[wellFormed]]).
+    * Output: (rank, idCol, dist). */
   def topOutliers(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val center = centroid(df, vecCol)
-    val scored = df.select(col(idCol),
-        distanceTo(col(vecCol), center).as("dist"))
+    val scored = wellFormed(df, vecCol, center.length)
+      .select(col(idCol), distanceTo(col(vecCol), center).as("dist"))
       .withColumn("__q", lit(0))
     Similarity.rankTopKPerQuery(scored, "__q", "dist", idCol, k)
       .select(col("rank"), col(idCol), col("dist"))
@@ -63,10 +72,12 @@ object Outliers {
 
   /** Rows whose centroid distance exceeds `z` standard deviations above
     * the corpus mean distance — a pure filter (no sort, no top-k), for
-    * gating rather than reporting. Output: (idCol, dist, zscore). */
+    * gating rather than reporting. Null/ragged vectors are excluded (see
+    * [[wellFormed]]). Output: (idCol, dist, zscore). */
   def zscoreOutliers(df: DataFrame, idCol: String, vecCol: String, z: Double): DataFrame = {
     val center = centroid(df, vecCol)
-    val scored = df.select(col(idCol), distanceTo(col(vecCol), center).as("dist"))
+    val scored = wellFormed(df, vecCol, center.length)
+      .select(col(idCol), distanceTo(col(vecCol), center).as("dist"))
     val stats = scored.agg(avg("dist").as("mu"), stddev_pop("dist").as("sigma")).head()
     val (mu, sigma) = (stats.getDouble(0), stats.getDouble(1))
     scored.withColumn("zscore", (col("dist") - mu) / lit(math.max(sigma, 1e-12)))

@@ -46,6 +46,23 @@ class OutliersSpec extends AnyFunSuite {
     }
   }
 
+  test("null and ragged vectors are excluded, not a crash") {
+    val s = spark
+    import s.implicits._
+    val base = randVecs(50, 8, seed = 7)
+    val df = base.toDF("id", "v")
+      .unionByName(Seq((900L, Seq(1.0, 2.0))).toDF("id", "v")) // ragged
+      .unionByName(Seq(Tuple1(901L)).toDF("id")
+        .withColumn("v", lit(null).cast("array<double>")))
+    val top = Outliers.topOutliers(df, "id", "v", k = 60)
+      .collect().map(_.getLong(1)).toSet
+    assert(!top.contains(900L) && !top.contains(901L))
+    assert(top.size === 50)
+    val z = Outliers.zscoreOutliers(df, "id", "v", z = -10.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(z === base.map(_._1).toSet)
+  }
+
   test("zscoreOutliers gates planted rows only") {
     val s = spark
     import s.implicits._
