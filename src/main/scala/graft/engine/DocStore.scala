@@ -55,14 +55,22 @@ object DocStore {
     spark.read.parquet(path)
 
   /** Scan the store with a condition DSL predicate; partition/table forms
-    * of the condition land on the partition columns => directory pruning. */
+    * of the condition land on the partition columns => directory pruning.
+    * When the pruning predicate is EXACT — the condition is built only of
+    * table-intrinsic and partition() forms, which are pure functions of
+    * the partition columns — the per-row condition re-filter is skipped
+    * entirely: the directory selection already decides membership, and the
+    * row-level partition-hash evaluation it replaces is the dominant
+    * per-row cost of a pruned serving scan. */
   def scan(spark: SparkSession, path: String, conditionText: String,
            shards: Int = DefaultShards): DataFrame = {
     val df = read(spark, path)
     val cond = graft.delta.DslParser.parseCondition(conditionText)
-    val pruned = prunePredicate(cond, shards)
-    val exact = EmoDocs.predicate(df, conditionText)
-    pruned.map(df.where).getOrElse(df).where(exact)
+    prunePredicateEx(cond, shards) match {
+      case Some((p, true))  => df.where(p)
+      case Some((p, false)) => df.where(p).where(EmoDocs.predicate(df, conditionText))
+      case None             => df.where(EmoDocs.predicate(df, conditionText))
+    }
   }
 
   /** Write the store BUCKETED by document id (catalog table): repeated
@@ -84,23 +92,38 @@ object DocStore {
     * pruning possible). Conjunctions prune on any prunable branch;
     * disjunctions need every branch prunable; negations never prune (the
     * negation of a weakening is not sound). */
-  def prunePredicate(cond: Condition, shards: Int): Option[Column] = cond match {
-    case ConstantCondition(false) => Some(lit(false))
+  def prunePredicate(cond: Condition, shards: Int): Option[Column] =
+    prunePredicateEx(cond, shards).map(_._1)
+
+  /** [[prunePredicate]] plus an exactness flag: `true` means the pruning
+    * predicate is EQUIVALENT to the condition (every pruned-in row
+    * matches), not merely implied by it — table intrinsics and
+    * partition() are pure functions of the partition columns, so a
+    * condition composed only of those (under and/or) needs no row-level
+    * re-check. A conjunction that drops unprunable branches is inexact by
+    * construction; a disjunction must keep (and prove exact) every
+    * branch. */
+  def prunePredicateEx(cond: Condition, shards: Int): Option[(Column, Boolean)] = cond match {
+    case ConstantCondition(false) => Some((lit(false), true))
     case PartitionCondition(n, sub) if n > 0 && shards % n == 0 =>
       // S-partition p maps to N-partition ((p-1) % N) + 1 when N | S:
       // both are (abs(hash) % k) + 1 over the same hash
       val keep = (1 to shards).filter { p =>
         ConditionEvaluator.eval(sub, JLong(((p - 1) % n) + 1L), null)
       }
-      Some(col(PartCol).isin(keep: _*))
+      Some((col(PartCol).isin(keep: _*), true))
     case IntrinsicCondition(Intrinsic.Table, sub) =>
-      Some(ConditionCompiler.compileField(sub, col("table"), StringType))
+      Some((ConditionCompiler.compileField(sub, col("table"), StringType), true))
     case AndCondition(cs) =>
-      val parts = cs.flatMap(prunePredicate(_, shards))
-      if (parts.isEmpty) None else Some(parts.reduce(_ && _))
+      val parts = cs.flatMap(prunePredicateEx(_, shards))
+      if (parts.isEmpty) None
+      else Some((parts.map(_._1).reduce(_ && _),
+        parts.size == cs.size && parts.forall(_._2)))
     case OrCondition(cs) =>
-      val parts = cs.map(prunePredicate(_, shards))
-      if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(_ || _)) else None
+      val parts = cs.map(prunePredicateEx(_, shards))
+      if (parts.forall(_.isDefined))
+        Some((parts.flatten.map(_._1).reduce(_ || _), parts.flatten.forall(_._2)))
+      else None
     case _ => None
   }
 }

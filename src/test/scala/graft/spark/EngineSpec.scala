@@ -503,6 +503,23 @@ class EngineSpec extends AnyFunSuite {
     // unprunable forms still answer correctly (negation scans everything)
     val notScan = DocStore.scan(spark, path, """not(intrinsic("~table":"orders"))""")
     assert(notScan.count() === docs.where(col("table") =!= "orders").count())
+
+    // EXACT pruning carries no row-level condition re-filter: the
+    // table+partition condition is a pure function of the partition
+    // columns, so the plan must not evaluate the partition hash per row
+    val exactScan = DocStore.scan(spark, path,
+      """and(intrinsic("~table":"orders"),partition(4:2))""")
+    val planStr = exactScan.queryExecution.executedPlan.toString
+    assert(!planStr.contains("EmoHash32") && !planStr.contains("EmoCondEval"),
+      "exact-prunable scan still re-evaluates the condition per row")
+    assert(exactScan.count() ===
+      graft.engine.EmoDocs.whereDf(full,
+        """and(intrinsic("~table":"orders"),partition(4:2))""").count())
+
+    // an inexact conjunction (body predicate attached) keeps the re-filter
+    val mixedScan = DocStore.scan(spark, path,
+      """and(intrinsic("~table":"orders"),partition(4:2),{..,"status":"F"})""")
+    assert(mixedScan.count() <= exactScan.count())
   }
 
   test("bucketed doc store joins without shuffling the store side") {
