@@ -99,6 +99,13 @@ object SparkEntry {
       path
     })
 
+  /** Output-ordering policy: queries do NOT end in a global orderBy unless
+    * ordering IS the operator's contract (scan_page, timeline_*,
+    * sort_topk, catalog_list_tables). The driver's compare canonicalizes
+    * row order, and a terminal range sort costs a full extra pass over the
+    * query's lineage just for the RangePartitioner sample — measured ~2x
+    * on regex-heavy projections. At 100 TB you would never globally sort a
+    * report output; neither do these. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================================================================ §2.4 resolve
@@ -109,7 +116,6 @@ object SparkEntry {
           jget("body", "last_type").as("last_type"),
           jget("body", "last_value").cast("double").as("last_value"),
           jget("body", "k").cast("long").as("last_k"))
-        .orderBy("key")
     },
 
     // the write facade under the oracle gate: a log built purely through
@@ -137,7 +143,6 @@ object SparkEntry {
           col("id").as("key"), col("version"),
           jget("body", "name").as("name"),
           jget("body", "size").cast("long").as("size"))
-        .orderBy("key")
     },
 
     "resolve_map_merge" -> { (s, dir) =>
@@ -146,7 +151,6 @@ object SparkEntry {
           jget("body", "last_purchase").cast("double").as("last_purchase"),
           jget("body", "last_click").cast("double").as("last_click"),
           jget("body", "last_signup").cast("double").as("last_signup"))
-        .orderBy("key")
     },
 
     "resolve_set_delta" -> { (s, dir) =>
@@ -155,26 +159,22 @@ object SparkEntry {
       docs.select(col("id").as("key"),
           explode(from_json(jget("body", "types"),
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))).as("etype"))
-        .orderBy("key", "etype")
     },
 
     "resolve_conditional_delta" -> { (s, dir) =>
       val docs = ResolveEngine.resolve(EventLog.maxDeltaChanges(s, dir)).toDF()
       docs.select(col("id").as("key"),
           jget("body", "max_value").cast("double").as("max_value"))
-        .orderBy("key")
     },
 
     "resolve_delete" -> { (s, dir) =>
       val docs = ResolveEngine.resolve(EventLog.deleteOnErrorChanges(s, dir)).toDF()
       docs.select(col("id").as("key"), col("deleted"), col("version"))
-        .orderBy("key")
     },
 
     "resolve_redundant" -> { (s, dir) =>
       val docs = ResolveEngine.resolve(EventLog.typeOnlyChanges(s, dir)).toDF()
       docs.select(col("id").as("key"), col("version"), col("redundant_changes"))
-        .orderBy("key")
     },
 
     // compaction is semantics-preserving: the compacted log resolves to the
@@ -188,7 +188,6 @@ object SparkEntry {
           jget("body", "last_type").as("last_type"),
           jget("body", "last_value").cast("double").as("last_value"),
           jget("body", "k").cast("long").as("last_k"))
-        .orderBy("key")
     },
 
     // targeted compaction: only hot logs checkpoint, the fold is unchanged
@@ -200,7 +199,6 @@ object SparkEntry {
           col("version"),
           jget("body", "last_type").as("last_type"),
           jget("body", "last_value").cast("double").as("last_value"))
-        .orderBy("key")
     },
 
     "queue_poll" -> { (s, dir) =>
@@ -223,7 +221,6 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select("user_id", "event_id", "ts_ms")
       graft.streaming.Sessions.sessionStats(ev, "user_id", "ts_ms",
           "event_id", gapMs = 43200000L)
-        .orderBy("user_id", "session_idx")
     },
 
     // ordered funnel view -> click -> purchase: per-stage bounded min
@@ -236,7 +233,6 @@ object SparkEntry {
       graft.streaming.Sessions.funnelDepth(ev, "user_id", "ts_ms",
           "event_type", Seq("view", "click", "purchase"))
         .groupBy("depth").agg(count(lit(1)).as("n_users"))
-        .orderBy("depth")
     },
 
     // JSONL round-trip: the LLM-interchange format — write gzip JSONL
@@ -255,7 +251,6 @@ object SparkEntry {
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType)))
       graft.pipeline.Sources.readJsonlClean(s, path, schema)
-        .orderBy("doc_id")
     },
 
     // cluster-balanced sampling: cap vectors per sign-signature cell in
@@ -267,7 +262,6 @@ object SparkEntry {
         Dedup.signCluster(col("embedding"), 4).as("cell"))
       graft.pipeline.Sampling.capPerGroup(clustered, "cell", "vec_id", n = 10)
         .select("cell", "rank", "vec_id")
-        .orderBy("cell", "rank")
     },
 
     // weekly retention cohorts: users keyed by first-event week, counted
@@ -277,7 +271,6 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select("user_id", "ts_ms")
       graft.streaming.Sessions.retentionCohorts(ev, "user_id", "ts_ms",
           periodMs = 604800000L)
-        .orderBy("cohort", "offset")
     },
 
     // first-order event-type transition counts within sessions (12h gap):
@@ -287,7 +280,6 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_ms", "event_type")
       graft.streaming.Sessions.transitionCounts(ev, "user_id", "ts_ms",
           "event_id", "event_type", gapMs = 43200000L)
-        .orderBy("from_type", "to_type")
     },
 
     "databus_consolidation" -> { (s, dir) =>
@@ -297,7 +289,6 @@ object SparkEntry {
         .select(col("key"), col("etype").as("last_type"),
           concat_ws(",", col("tags")).as("all_tags"),
           col("consolidated_count"))
-        .orderBy("key")
     },
 
     // claim lifecycle as a queryable surface (Databus.java:59-91): claim a
@@ -319,7 +310,6 @@ object SparkEntry {
         col("claim_until_ms") > t0 && col("msg_id") <= 300))
       val ch3 = Claims.renew(ch2, "s_all", nowMs = t0 + 50000L, claimTtlMs = ttl)
       Claims.claimCountsAt(ch3, Seq("claimed_t0" -> t0, "claimed_t2" -> (t0 + 70000L)))
-        .orderBy("subscription")
     },
 
     // ================================================================ §2.1 scans
@@ -334,7 +324,6 @@ object SparkEntry {
       val session = new EmoSession(s, EventLog.changes(s, dir))
       session.multiGet(Seq("events" -> "1", "events" -> "5", "events" -> "9", "events" -> "404"))
         .select(col("key"), col("version"))
-        .orderBy("key")
     },
 
     "scan_page" -> { (s, dir) =>
@@ -347,7 +336,6 @@ object SparkEntry {
       Tables.read(s, dir, "orders")
         .select((col("o_orderkey") / 2000).cast("long").as("split"))
         .groupBy("split").agg(count(lit(1)).as("records"))
-        .orderBy("split")
     },
 
     "scan_multi_table" -> { (s, dir) =>
@@ -356,7 +344,6 @@ object SparkEntry {
           Tables.read(s, dir, t).select(lit(t).as("tbl"), lit(1).as("one"))
             .groupBy("tbl").agg(count(lit(1)).as("records"))
         }.reduce(_.unionByName(_))
-        .orderBy("tbl")
     },
 
     // placement scan: resolve EVERY table of the placement in one pass
@@ -367,7 +354,6 @@ object SparkEntry {
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
       docs.groupBy(col("table").as("tbl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("version")).as("n_changes"))
-        .orderBy("tbl")
     },
 
     // snapshot scan: same placement resolved AS OF a pinned cutoff — deltas
@@ -378,7 +364,6 @@ object SparkEntry {
         EventLog.placementChanges(s, dir), cutoffMs = 1705000000000L).toDF()
       docs.groupBy(col("table").as("tbl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("version")).as("n_changes"))
-        .orderBy("tbl")
     },
 
     "catalog_list_tables" -> { (s, dir) =>
@@ -450,7 +435,6 @@ object SparkEntry {
       Blobs.withDigests(Blobs.read(s, store, "*.txt"))
         .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("blob_id"),
           col("n_bytes"), col("md5"))
-        .orderBy("blob_id")
     },
 
     // ranged blob gets: offset+length and suffix range specifications
@@ -488,7 +472,6 @@ object SparkEntry {
         .select(col("stage"), col("read_placement"),
           concat_ws(",", col("write_placements")).as("write_placements"),
           coalesce(col("move_state"), lit("none")).as("move_state"))
-        .orderBy("stage")
     },
 
     // drop/promote reconciliation feed: the events databus consumers never
@@ -502,7 +485,6 @@ object SparkEntry {
         TableCatalog.dropTable("gone:table", 3500L),
         TableCatalog.dropTable("late:table", 4200L)) // outside the window
       TableMove.listUnpublishedDatabusEvents(s, log, 2500L, 4000L)
-        .orderBy("event_ms")
     },
 
     // partitioned store: each branch prunes to (table=orders, part subset);
@@ -565,7 +547,6 @@ object SparkEntry {
         """{..,"l_quantity":ge(25),"l_returnflag":lt("R")}""")
       li.where(ConditionCompiler.compileRow(c, li))
         .groupBy(col("l_returnflag").as("flag")).agg(count(lit(1)).as("n"))
-        .orderBy("flag")
     },
 
     // salted two-phase aggregation: hot keys spread over (key, salt)
@@ -580,7 +561,6 @@ object SparkEntry {
             "n_rows" -> ("qty", "count"),
             "min_qty" -> ("qty", "min"),
             "max_qty" -> ("qty", "max")))
-        .orderBy("l_returnflag")
     },
 
     "cond_like" -> { (s, dir) =>
@@ -624,7 +604,6 @@ object SparkEntry {
       docs.select(col("id"),
           expressions.emoPartition(col("table"), col("id"), 8).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n"))
-        .orderBy("part")
     },
 
     // ================================================================ §2.5 joins
@@ -636,7 +615,6 @@ object SparkEntry {
         Subscription("s_all", "alwaysTrue()"))
       Databus.fanout(EventLog.changes(s, dir), subs)
         .groupBy("subscription").agg(count(lit(1)).as("n_events"))
-        .orderBy("subscription")
     },
 
     // cross-DC replication routing (DefaultFanout.java:246-258): every event
@@ -656,7 +634,6 @@ object SparkEntry {
           outboundPartitions = 8)
         .groupBy(col("table").as("tbl"), col("key"), col("channel"))
         .agg(count(lit(1)).as("n_events"))
-        .orderBy("tbl", "key", "channel")
     },
 
     "join_enrich" -> { (s, dir) =>
@@ -666,7 +643,6 @@ object SparkEntry {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double").as("revenue"))
-        .orderBy("segment")
     },
 
     "join_timeline_merge" -> { (s, dir) =>
@@ -693,7 +669,6 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(countDistinct(col("event_id")).as("n_views"),
           countDistinct(col("window_id")).as("n_windows"))
-        .orderBy("user_id")
     },
 
     // interval-overlap join: 2h view sessions x +-1h error windows per user,
@@ -713,7 +688,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("view_id")).as("n_views"),
           countDistinct(col("err_id")).as("n_errors"))
-        .orderBy("user_id")
     },
 
     // as-of join (attribution): each purchase matched to the user's latest
@@ -732,7 +706,6 @@ object SparkEntry {
         .select(col("event_id"),
           col("asof_click_event_id").as("click_event_id"),
           (col("ts_ms") - col("asof_ts")).as("gap_ms"))
-        .orderBy("event_id")
     },
 
     // ========================================================= §2.6 sorts/limits
@@ -764,7 +737,6 @@ object SparkEntry {
     // ======================================================= pipeline: dedup
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.read(s, dir, "documents"), "text", "doc_id")
-        .orderBy("text_hash")
     },
 
     // cluster assignment over a pair list that only CHAINS each planted
@@ -781,7 +753,6 @@ object SparkEntry {
       Dedup.duplicateClusters(chain)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
-        .orderBy("cluster_id")
     },
 
     // planted-fixture oracle: exact copies of docs 0-19 are unioned in with
@@ -818,7 +789,6 @@ object SparkEntry {
       val sample = Tables.read(s, dir, "documents").where(col("doc_id") < 20)
       Dedup.ngramJaccardPairs(sample, "doc_id", "text", shingleN = 1)
         .select(col("id1"), col("id2"), (col("jaccard") >= 0.8).as("near_dup"))
-        .orderBy("id1", "id2")
     },
 
     // ==================================================== pipeline: similarity
@@ -827,7 +797,6 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     // contrastive hard-negative mining: top-3 by cosine within [0.05, 0.45]
@@ -838,7 +807,6 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 3, minSim = 0.05, maxSim = 0.45)
-        .orderBy("query_id", "rank")
     },
 
     // curriculum bucketing by document length: 0-based global rank under
@@ -848,7 +816,6 @@ object SparkEntry {
       Curriculum.difficultyBuckets(
           Tables.read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", nBuckets = 10)
-        .orderBy("doc_id")
     },
 
     // planted-fixture oracle: each query vector's exact copy rides in the
@@ -865,7 +832,6 @@ object SparkEntry {
       Similarity.lshTopK(corpus, queries,
           "vec_id", "embedding", k = 1, planes = 4, bands = 8)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     // k-NN graph restricted to the planted twins: a copy shares every LSH
@@ -883,7 +849,6 @@ object SparkEntry {
           planes = 10, bands = 4)
         .where(col("id") < 10 || col("id") >= 1000000L)
         .select("id", "rank", "neighbor_id")
-        .orderBy("id", "rank")
     },
 
     // scale-safe default path (LSH pre-bucketing), oracled by exact cosine:
@@ -911,7 +876,6 @@ object SparkEntry {
       Similarity.ivfTopK(centroids, index, queries,
           "vec_id", "embedding", k = 1, nProbe = 4)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     // same planted-copy construction again: identical vectors encode to
@@ -930,7 +894,6 @@ object SparkEntry {
       // copy to survive ADC candidate generation even at denser SFs
       Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 1, rerank = 64)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     // ========================================================== pipeline: text
@@ -939,13 +902,11 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.charCount(col("text")).as("n_chars_m"))
-        .orderBy("doc_id")
     },
 
     "text_langid" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     },
 
     "text_quality" -> { (s, dir) =>
@@ -955,13 +916,11 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.punctCount(col("text")).as("n_punct"),
           TextAnalysis.qualityOk(col("text")).as("quality_ok"))
-        .orderBy("doc_id")
     },
 
     "text_fingerprint" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
     },
 
     // within-document sliding-window chunking (context-length cut with
@@ -973,7 +932,6 @@ object SparkEntry {
           "doc_id", "text", size = 64, stride = 48)
         .select(col("doc_id"), col("chunk_idx"), col("start_token"),
           col("chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
     },
 
     // the composed curation pipeline: exact-dedup -> quality gate -> langid
@@ -990,7 +948,6 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("label"))
       filtered.join(emb, Seq("doc_id"))
         .select(col("doc_id"), col("label"))
-        .orderBy("doc_id")
     },
 
     // table metadata catalog: create/template/drop as a folded system-table
@@ -1010,7 +967,6 @@ object SparkEntry {
       TableCatalog.catalog(s, log)
         .select(col("tbl"), col("placement"), col("template"),
           col("exists"), col("version"))
-        .orderBy("tbl")
     },
 
     // megabus ref resolution: refs at each coordinate's last visible change
@@ -1028,7 +984,6 @@ object SparkEntry {
         .resolveRefs(visibleRefs.unionByName(futureRefs), ch,
           resolvedStore = Some(docsOf(s, dir)))
         .select(col("key"), col("status"), col("version"))
-        .orderBy("key", "status")
     },
 
     // deterministic (hash-keyed, rerun-stable) train/eval split + per-split
@@ -1041,7 +996,6 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
-        .orderBy("split")
     },
 
     // deterministic training-shard export: the reproducible global shuffle
@@ -1050,7 +1004,6 @@ object SparkEntry {
     "pipeline_shards" -> { (s, dir) =>
       val docs = Tables.read(s, dir, "documents")
       graft.pipeline.Sharding.shardAssignments(docs, "doc_id", nShards = 8, seed = 42)
-        .orderBy("shard", "pos")
     },
 
     // leak-safe split: keyed on normalized CONTENT, so the planted exact
@@ -1067,7 +1020,6 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
           countDistinct(lower(trim(col("text")))).as("n_texts"))
-        .orderBy("split")
     },
 
     // benchmark decontamination: training docs sharing any word 5-gram with
@@ -1081,7 +1033,6 @@ object SparkEntry {
         .unionByName(docs.where(col("doc_id") < 20)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Decontaminate.contaminatedIds(corpus, "doc_id", "text", evalSet, "text", n = 5)
-        .orderBy("contaminated_id")
     },
 
     // the audit direction: per eval item, distinct corpus docs sharing an
@@ -1095,7 +1046,6 @@ object SparkEntry {
       Decontaminate.contaminationReport(corpus, "doc_id", "text",
           evalSet, "doc_id", "text", n = 5)
         .withColumnRenamed("eval_id", "eval_doc_id")
-        .orderBy("eval_doc_id")
     },
 
     // same contract through the Bloom prefilter path: the bitset probe
@@ -1109,7 +1059,6 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Decontaminate.contaminatedIdsBloom(corpus, "doc_id", "text", evalSet, "text",
           n = 5, fpp = 0.01)
-        .orderBy("contaminated_id")
     },
 
     // fuzzy decontamination: exact 5-gram-set Jaccard >= 3/10 against the
@@ -1124,7 +1073,6 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Decontaminate.fuzzyContaminated(corpus, "doc_id", "text",
           evalSet, "doc_id", "text", n = 5, jaccardNum = 3, jaccardDen = 10)
-        .orderBy("contaminated_id")
     },
 
     // CCNet-style corpus-global segment dedup WITH reconstruction: disjoint
@@ -1138,7 +1086,6 @@ object SparkEntry {
         .unionByName(docs.where(col("doc_id") < 20)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Lines.dedupSegments(corpus, "doc_id", "text", segSize = 5, minDocs = 2)
-        .orderBy("doc_id")
     },
 
     // unaligned exact-substring dedup (Lee et al. 2021): ANY duplicated
@@ -1156,7 +1103,6 @@ object SparkEntry {
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
       Lines.removeDuplicateSpans(corpus, "doc_id", "text",
           spanLen = 10, minDocs = 2)
-        .orderBy("doc_id")
     },
 
     // per-doc trigram novelty: the fraction (as exact integers) of a doc's
@@ -1164,7 +1110,6 @@ object SparkEntry {
     // cross-document repetition signal Gopher's within-doc filters miss
     "text_novelty" -> { (s, dir) =>
       Lines.noveltyStats(Tables.read(s, dir, "documents"), "doc_id", "text", n = 3)
-        .orderBy("doc_id")
     },
 
     // quality-aware canonical selection over the planted duplicate chains:
@@ -1181,7 +1126,6 @@ object SparkEntry {
         .unionByName(ids.select((col("d") + 1000000L).as("doc_id"), lit(9L).as("score")))
         .unionByName(ids.select((col("d") + 2000000L).as("doc_id"), lit(9L).as("score")))
       Dedup.canonicalByScore(members, "doc_id", "score", chain)
-        .orderBy("doc_id")
     },
 
     // Unicode NFC normalization (codegen expression): composed vs combining
@@ -1200,7 +1144,6 @@ object SparkEntry {
           length(col("raw")).cast("int").as("raw_len"),
           length(graft.pipeline.textExpressions.unicodeNormalize(col("raw"), "NFC"))
             .cast("int").as("nfc_len"))
-        .orderBy("doc_id")
     },
 
     // template-level dedup: documents identical after digit normalization
@@ -1218,7 +1161,6 @@ object SparkEntry {
             concat(col("text"), lit(" version 23")).as("text")))
       Dedup.templateGroups(corpus, "text", "doc_id")
         .where(col("n_dups") >= 2)
-        .orderBy("template_hash")
     },
 
     // snapshot diff between two corpus versions: removed (ids 0-99),
@@ -1231,7 +1173,6 @@ object SparkEntry {
           when(col("doc_id") < 110, concat(col("text"), lit(" updated")))
             .otherwise(col("text")).as("text"))
       graft.pipeline.Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
-        .orderBy("doc_id")
     },
 
     // token-distribution drift between the corpus halves: top-20 unigrams
@@ -1241,7 +1182,6 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.pipeline.Stats.gramDrift(docs.where(col("doc_id") < 250),
           docs.where(col("doc_id") >= 250), "text", n = 1, k = 20)
-        .orderBy("rank")
     },
 
     // Gopher-style repetition signals (dup segments, most-frequent 2-/3-gram
@@ -1257,7 +1197,6 @@ object SparkEntry {
           col("st.top2_len").as("top2_len"),
           col("st.top3_cnt").cast("int").as("top3_cnt"),
           col("st.top3_len").as("top3_len"))
-        .orderBy("doc_id")
     },
 
     // concat-then-chunk sequence packing via the distributed two-phase
@@ -1267,7 +1206,6 @@ object SparkEntry {
       val tok = Tables.read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 512L)
-        .orderBy("seq_id")
     },
 
     // the export tail of the training-data path composed end-to-end:
@@ -1280,7 +1218,6 @@ object SparkEntry {
       graft.pipeline.Sharding.withShard(seqs, "seq_id", nShards = 8, seed = 42)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("total_tokens"))
-        .orderBy("shard")
     },
 
     // token-budget carving: keep docs in deterministic md5 order until the
@@ -1301,7 +1238,6 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.duplicatedSpanStats(corpus, "doc_id", "text", n = 10)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     },
 
     // SemDeDup: cluster-scoped semantic dedup; the sign-signature clusterer
@@ -1314,7 +1250,6 @@ object SparkEntry {
       graft.pipeline.Quantize.quantizeAll(emb, "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("qmin"), col("qscale"),
           aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
-        .orderBy("vec_id")
     },
 
     // serving-path top-k over the QUANTIZED store (midpoint dequantize +
@@ -1325,7 +1260,6 @@ object SparkEntry {
       val qCorpus = graft.pipeline.Quantize.quantizeAll(emb, "vec_id", "embedding")
       graft.pipeline.Quantize.quantizedTopK(qCorpus, queries, "vec_id", "embedding", k = 3)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     "dedup_semantic" -> { (s, dir) =>
@@ -1337,7 +1271,6 @@ object SparkEntry {
           Dedup.signCluster(col("embedding"), 6), tau = 0.995)
         .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"),
           col("kept"))
-        .orderBy("vec_id")
     },
 
     // explainable curation verdicts: per-doc failed-gate tags + corpus
@@ -1353,7 +1286,6 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(",", col("reject_reasons")).as("reasons"),
           col("accepted"))
-        .orderBy("doc_id")
     },
 
     // unigram-LM vocabulary scoring: top-100 corpus vocabulary (one token
@@ -1364,7 +1296,6 @@ object SparkEntry {
       val vocab = graft.pipeline.LmScore.vocabulary(docs, "text", topV = 100)
         .collect().map(_.getString(0)).toSeq
       graft.pipeline.LmScore.vocabCounts(docs, "doc_id", "text", vocab)
-        .orderBy("doc_id")
     },
 
     // cross-doc boilerplate removal: planted "all rights reserved" tails on
@@ -1378,7 +1309,6 @@ object SparkEntry {
       TextClean.stripBoilerplate(docs.unionByName(planted), "doc_id", "text", minDocs = 30)
         .select(col("doc_id"), col("n_segs"), col("n_stripped"),
           md5(col("text_clean")).as("clean_md5"))
-        .orderBy("doc_id")
     },
 
     // bigram coverage against the corpus's own top-100 bigrams — the
@@ -1389,7 +1319,6 @@ object SparkEntry {
       val bigrams = graft.pipeline.LmScore.bigramVocabulary(docs, "text", topV = 100)
         .collect().map(_.getString(0)).toSeq
       graft.pipeline.LmScore.bigramCounts(docs, "doc_id", "text", bigrams)
-        .orderBy("doc_id")
     },
 
     // PII redaction: emails/URLs/phone spans -> typed placeholders; planted
@@ -1412,7 +1341,6 @@ object SparkEntry {
       docs.select(col("doc_id"), graft.pipeline.Html.toText(html).as("t"))
         .select(col("doc_id"), md5(col("t")).as("clean_md5"),
           length(col("t")).cast("long").as("n_chars"))
-        .orderBy("doc_id")
     },
 
     "text_clean" -> { (s, dir) =>
@@ -1428,7 +1356,6 @@ object SparkEntry {
           TextClean.urlCount(col("text")).cast("int").as("n_urls"),
           TextClean.phoneCount(col("text")).cast("int").as("n_phones"),
           md5(TextClean.scrub(col("text"))).as("clean_md5"))
-        .orderBy("doc_id")
     },
 
     // source/domain-level curation: aggregate a per-source quality profile
@@ -1437,7 +1364,6 @@ object SparkEntry {
     "source_quality" -> { (s, dir) =>
       Sources.sourceProfile(Tables.read(s, dir, "documents"), "source", "text",
           c => TextAnalysis.qualityOk(c))
-        .orderBy("source")
     },
 
     // the round-5 composed curation job: exact dedup -> quality + repetition
@@ -1456,7 +1382,6 @@ object SparkEntry {
       val tok = clean.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Packing.sequenceStats(tok, "doc_id", "n_tokens", budget = 256L)
-        .orderBy("seq_id")
     },
 
     // structural quality (non-repetition Gopher rules): symbol marks,
@@ -1479,7 +1404,6 @@ object SparkEntry {
           size(filter(TextAnalysis.tokens(col("text")), t => t.rlike("[a-z]")))
             .cast("int").as("n_alpha"),
           TextAnalysis.structureOk(col("text")).as("structure_ok"))
-        .orderBy("doc_id")
     },
 
     // weighted deterministic sampling: keep probability proportional to a
@@ -1489,7 +1413,6 @@ object SparkEntry {
       val weight = least(lit(1.0), TextAnalysis.tokenCount(col("text")).cast("double") / 200.0)
       graft.pipeline.Sampling.weightedSample(docs, "doc_id", weight)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-        .orderBy("lang")
     },
 
     // deterministic source mixing: per-source keep rates derived from a
@@ -1502,7 +1425,6 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("kept_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
-        .orderBy("source")
     },
 
     // per-group cap: at most 7 docs per lang by md5 order (the per-domain
@@ -1511,7 +1433,6 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.pipeline.Sampling.capPerGroup(docs, "lang", "doc_id", n = 7)
         .select(col("lang"), col("rank"), col("doc_id"))
-        .orderBy("lang", "rank")
     },
 
     // per-group heavy hitters: top-5 tokens per language
@@ -1521,7 +1442,6 @@ object SparkEntry {
         .where(col("token") =!= "")
       graft.pipeline.Stats.topValuesByGroup(tok, col("lang"), col("token"), k = 5)
         .withColumnRenamed("group", "lang")
-        .orderBy("lang", "rank")
     },
 
     // KMV distinct sketch (custom merge-able TypedImperativeAggregate,
@@ -1533,7 +1453,6 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select("event_type", "user_id")
       ev.groupBy("event_type")
         .agg(graft.pipeline.Kmv.distinctCount(col("user_id")).as("n_users"))
-        .orderBy("event_type")
     },
 
     // corpus-profiling quantiles: histogram-first exact discrete quantiles
@@ -1542,7 +1461,6 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.pipeline.Stats.exactQuantiles(docs,
           TextAnalysis.tokenCount(col("text")), Seq(100, 500, 900, 990))
-        .orderBy("q_permille")
     },
 
     // per-language length profiles: the grouped variant (histogram keyed by
@@ -1552,7 +1470,6 @@ object SparkEntry {
       graft.pipeline.Stats.exactQuantilesBy(docs, col("lang"),
           TextAnalysis.tokenCount(col("text")), Seq(500, 900))
         .withColumnRenamed("group", "lang")
-        .orderBy("lang", "q_permille")
     },
 
     // ======================================================= pipeline: search
@@ -1571,7 +1488,6 @@ object SparkEntry {
       val qs = Seq((1, "spark join window"), (2, "vector hash stream key"),
         (3, "customer query batch data")).toDF("q_id", "q_text")
       Search.keywordTopK(docs, qs, "doc_id", "text", "q_id", "q_text", k = 5)
-        .orderBy("query_id", "rank")
     },
 
     // ===================================================== pipeline: multimodal
@@ -1579,7 +1495,6 @@ object SparkEntry {
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"))
-        .orderBy("media_id")
     },
 
     // honest codec under the oracle gate: real BMP/WAV files are encoded
@@ -1591,7 +1506,6 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("mime"), col("width"), col("height"),
           col("sample_rate"), col("duration_ms"), col("n_bytes"))
-        .orderBy("media_id")
     },
 
     // payload-level resize: BMPs nearest-neighbor downsampled to fit 8px and
@@ -1601,7 +1515,6 @@ object SparkEntry {
       val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(Multimodal.resizeMedia(media, maxDim = 8)).toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"))
-        .orderBy("media_id")
     },
 
     // windowed audio features: every WAV yields ceil(nFrames/hop) windows
@@ -1611,7 +1524,6 @@ object SparkEntry {
       val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
       Multimodal.audioWindows(media, windowMs = 30, hopMs = 20)
         .select("media_id", "window_idx", "start_ms", "end_ms", "n_frames")
-        .orderBy("media_id", "window_idx")
     },
 
     // VAD-style energy segmentation plumbing: threshold 0 keeps every
@@ -1621,7 +1533,6 @@ object SparkEntry {
     "multimodal_segments" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.read(s, dir, "documents"), "doc_id", "text")
       Multimodal.audioSegments(media, windowMs = 30, hopMs = 20, minRms = 0.0)
-        .orderBy("media_id", "segment")
     },
 
     // image-space dedup: perceptual aHash + hamming-banded candidate join;
@@ -1637,7 +1548,6 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000L), "doc_id", "text")
       Multimodal.imageNearDuplicates(media.unionAll(copies), maxHamming = 3)
         .where(col("id2") === col("id1") + 1000000L)
-        .orderBy("id1")
     },
 
     // ========================================================= pipeline: urls
@@ -1652,7 +1562,6 @@ object SparkEntry {
           graft.pipeline.Urls.normalize(raw).as("url_norm"),
           graft.pipeline.Urls.host(graft.pipeline.Urls.normalize(raw)).as("host"),
           graft.pipeline.Urls.registeredDomain(graft.pipeline.Urls.normalize(raw)).as("domain"))
-        .orderBy("doc_id")
     },
 
     // exact URL dedup after normalization: 500 docs collapse onto 97 pages
@@ -1666,7 +1575,6 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit("")),
         when(col("doc_id") % 2 === 1, lit("#f")).otherwise(lit("")))
       graft.pipeline.Urls.urlDedup(docs.withColumn("url", raw), "doc_id", "url")
-        .orderBy("url_norm")
     },
 
     // per-domain curation profile: registered-domain rollup with page /
@@ -1678,7 +1586,6 @@ object SparkEntry {
       val raw = concat(lit("https://"), sub, col("source"), lit(".example"),
         lit("/p/"), (col("doc_id") % 7).cast("string"))
       graft.pipeline.Urls.domainProfile(docs.withColumn("url", raw), "doc_id", "url")
-        .orderBy("domain")
     },
 
     // per-domain cap: bounded-heap md5-uniform sample of <=7 pages per
@@ -1689,7 +1596,6 @@ object SparkEntry {
         col("doc_id").cast("string"))
       graft.pipeline.Urls.capPerDomain(docs.withColumn("url", raw), "doc_id", "url", n = 7)
         .select(col("domain"), col("rank"), col("doc_id"))
-        .orderBy("domain", "rank")
     },
 
     // ========================================================= pipeline: dsir
@@ -1701,7 +1607,6 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       graft.pipeline.Dsir.voteScores(docs, docs.where(col("lang") === "en"),
           "doc_id", "text")
-        .orderBy("doc_id")
     },
 
     // DSIR selection on the integer margin: top-100 most target-like docs
@@ -1730,7 +1635,6 @@ object SparkEntry {
       graft.pipeline.Incremental.incrementalExact(batch, "doc_id", "text",
           graft.pipeline.Incremental.exactFingerprints(store, "text"))
         .select("doc_id")
-        .orderBy("doc_id")
     },
 
     // segment-level incremental dedup: a new batch rewritten against the
@@ -1748,7 +1652,6 @@ object SparkEntry {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       graft.pipeline.Incremental.incrementalSegDedup(batch, "doc_id", "text",
           store, segSize = 5, minDocs = 2)
-        .orderBy("doc_id")
     },
 
     // the dataset card: corpus-level release facts as one long-format
@@ -1757,7 +1660,6 @@ object SparkEntry {
     "pipeline_datacard" -> { (s, dir) =>
       graft.pipeline.Stats.dataCard(Tables.read(s, dir, "documents"),
           "doc_id", "text", attrCols = Seq("lang", "source"))
-        .orderBy("metric")
     },
 
     // learned-BPE token counts under the driver gate: fixed dictionary +
@@ -1775,7 +1677,6 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.pipeline.Bpe.tokenCount(col("text"), model).as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("int").as("n_ws"))
-        .orderBy("doc_id")
     },
 
     // incremental near-dup hits as integers: fixed store/batch fixture,
@@ -1796,7 +1697,6 @@ object SparkEntry {
           store, threshold = 0.25)
         .select(col("new_id"), col("store_id"),
           (col("est_jaccard") * 32).cast("int").as("n_match_slots"))
-        .orderBy("new_id", "store_id")
     },
 
     // =================================================== pipeline: link graph
@@ -1826,7 +1726,6 @@ object SparkEntry {
       graft.pipeline.LinkGraph.authorityJoin(
           pages.select("doc_id", "url"), "url", ranks)
         .select(col("doc_id"), col("domain"), col("mass"))
-        .orderBy("doc_id")
     },
 
     // embedding-space outlier report: 20 planted far points (unit direction
@@ -1850,7 +1749,6 @@ object SparkEntry {
         .unionByName(planted)
       graft.pipeline.Outliers.topOutliers(corpus, "vec_id", "embedding", k = 20)
         .select(col("rank"), col("vec_id"))
-        .orderBy("rank")
     },
 
     // JL compressed-domain ANN: corpus scored in 16 projected dims, exact
@@ -1865,7 +1763,6 @@ object SparkEntry {
       Similarity.projectedTopK(corpus, queries, "vec_id", "embedding",
           k = 1, outDims = 16, rerank = 32)
         .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
     },
 
     // C4 cleaning rules (Raffel et al. 2020 §2.2): sentence breaks become
@@ -1883,7 +1780,6 @@ object SparkEntry {
         .select(col("doc_id"), col("c.n_lines").as("n_lines"),
           col("c.n_kept").as("n_kept"), col("c.page_kept").as("page_kept"),
           md5(col("c.text_clean")).as("clean_md5"))
-        .orderBy("doc_id")
     },
 
     // LLaMA-style epoch expansion: source srcK repeats (K%4+1)/2 epochs —
@@ -1898,7 +1794,6 @@ object SparkEntry {
       graft.pipeline.Mixing.epochExpand(
           docs.select("doc_id", "source"), "doc_id", "source", epochs)
         .select(col("doc_id"), col("source"), col("epoch_idx"))
-        .orderBy("doc_id", "epoch_idx")
     },
 
     // inbound anchor-text profile: what OTHER domains call each target —
@@ -1921,7 +1816,6 @@ object SparkEntry {
           lit(".org/p/"), col("doc_id").cast("string")).as("url"),
         html.as("html"))
       graft.pipeline.LinkGraph.anchorTerms(pages, "url", "html", topK = 3)
-        .orderBy("domain", "rank")
     },
 
     // per-event rolling activity features: trailing-hour event count and
@@ -1934,7 +1828,6 @@ object SparkEntry {
       graft.streaming.Sessions.rollingCounts(ev, "user_id", "ts_ms",
           "event_type", "click", windowMs = 3600000L)
         .select("event_id", "user_id", "n_window", "n_match_window")
-        .orderBy("event_id")
     },
 
     // canary-string leak detection (the BIG-bench GUID convention):
@@ -1951,7 +1844,6 @@ object SparkEntry {
           .as("text"))
       graft.pipeline.Decontaminate.canaryHits(planted, "doc_id", "text",
           Seq(canaryA, canaryB))
-        .orderBy("doc_id", "canary_idx")
     })
 
   /** DuckDB-equivalent SQL per query (driver registers each testdata parquet
