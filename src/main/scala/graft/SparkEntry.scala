@@ -1830,6 +1830,20 @@ object SparkEntry {
         .select("event_id", "user_id", "n_window", "n_match_window")
     },
 
+    // SpaceSaving heavy hitters in the exact regime: the (lang, source)
+    // universe (~100 combos) sits under capacity 256, so no counter ever
+    // evicts and the sketch equals the exact GROUP BY — the KMV
+    // "exact below k" oracle pattern; the approximation guarantees above
+    // capacity are spec-pinned (TopKSketchSpec)
+    "stats_topk_sketch" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      docs.agg(graft.pipeline.TopKSketch.topK(
+          concat_ws("-", col("lang"), col("source")), n = 10, capacity = 256).as("tk"))
+        .select(posexplode(col("tk")))
+        .select((col("pos") + 1).as("rank"), col("col.item").as("item"),
+          col("col.count").as("cnt"), col("col.err").as("err"))
+    },
+
     // canary-string leak detection (the BIG-bench GUID convention):
     // planted canaries at doc residues (17 also-divisible-by-19 docs carry
     // both) detected by scan-local exact containment — no join, no shuffle
@@ -3609,6 +3623,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "stats_topk_sketch" ->
+      """SELECT rank, item, cnt, CAST(0 AS BIGINT) AS err FROM (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, item ASC) AS rank,
+        |         item, cnt
+        |  FROM (SELECT lang || '-' || source AS item, count(*) AS cnt
+        |        FROM documents GROUP BY 1))
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "decon_canary" ->
       """WITH p AS (SELECT doc_id, text

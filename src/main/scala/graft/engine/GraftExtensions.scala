@@ -145,6 +145,11 @@ object GraftFunctions {
       exprs => graft.pipeline.KmvDistinct(exprs.head,
         if (exprs.length > 1) litInt(exprs(1)) else 65536).toAggregateExpression(),
       "scala_udf")
+    // SpaceSaving heavy hitters as a SQL aggregate (exact below capacity)
+    reg.createOrReplaceTempFunction("emo_topk_sketch",
+      exprs => graft.pipeline.SpaceSavingTopK(exprs.head, litInt(exprs(1)),
+        if (exprs.length > 2) litInt(exprs(2)) else 4096).toAggregateExpression(),
+      "scala_udf")
     // URL canonicalization from raw catalyst nodes (same bridge caveat as
     // the PII block), folded from the SAME step lists the Column API uses
     // (graft.pipeline.Urls) — parity is spec-asserted per fixture

@@ -166,23 +166,16 @@ object Decontaminate {
    * a canary match is definitionally a leak, no tokenization ambiguity.
    *
    * Output: one row per (doc, canary) hit — (idCol, canary_idx, canary).
-   * The canary list is a plan literal (it is dozens of strings, not data),
-   * so the scan-local `contains` chain runs inside the projection; at
-   * 100 TB this is a pure scan with no shuffle and no join. For canary
-   * lists beyond a few hundred, prefer the n-gram machinery above — a
-   * literal chain's codegen cost grows linearly with the list.
+   * The canary list is a plan literal (it is config, not data), and the
+   * scan runs the [[MultiContainsExpr]] Aho–Corasick automaton: ONE pass
+   * over each document regardless of pattern count, so a thousand-entry
+   * blocklist costs the same scan as two canaries. No shuffle, no join.
    */
   def canaryHits(corpus: DataFrame, idCol: String, textCol: String,
                  canaries: Seq[String]): DataFrame = {
-    require(canaries.nonEmpty, "empty canary list")
-    require(canaries.forall(_.nonEmpty), "empty canary string")
-    val hits = array(canaries.zipWithIndex.map { case (c, i) =>
-      when(col(textCol).contains(c),
-        struct(lit(i).as("canary_idx"), lit(c).as("canary")))
-        .otherwise(lit(null))
-    }.toIndexedSeq: _*)
-    corpus.select(col(idCol), explode(filter(hits, _.isNotNull)).as("hit"))
-      .select(col(idCol), col("hit.canary_idx").as("canary_idx"),
-        col("hit.canary").as("canary"))
+    val names = array(canaries.map(lit(_)).toIndexedSeq: _*)
+    corpus.select(col(idCol),
+        explode(MultiContains.matchedIndices(col(textCol), canaries)).as("canary_idx"))
+      .withColumn("canary", element_at(names, col("canary_idx") + 1))
   }
 }
