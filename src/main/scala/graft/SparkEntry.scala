@@ -1830,6 +1830,19 @@ object SparkEntry {
         .select("event_id", "user_id", "n_window", "n_match_window")
     },
 
+    // length-bucketed bin packing (padding regime — SFT batches, no doc
+    // splitting): arithmetic fill from the per-band md5 rank, so the
+    // assignment distributes instead of the inherently-sequential greedy
+    // first-fit; the driver pins (band, bin, slot) per doc exactly
+    "pipeline_pack_binned" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      graft.pipeline.Packing.lengthBucketedPack(tok, "doc_id", "nt",
+          budget = 512L, bandWidth = 64L)
+        .select("doc_id", "band", "bin", "slot")
+    },
+
     // SpaceSaving heavy hitters in the exact regime: the (lang, source)
     // universe (~100 combos) sits under capacity 256, so no counter ever
     // evicts and the sketch equals the exact GROUP BY — the KMV
@@ -3623,6 +3636,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "pipeline_pack_binned" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, nt,
+        |  greatest(64, ((nt + 63) // 64) * 64) AS band FROM t),
+        |r AS (SELECT doc_id, nt, band,
+        |  row_number() OVER (PARTITION BY band
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS brank FROM b),
+        |bs AS (SELECT band, sum(n) OVER (ORDER BY band
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+        |       FROM (SELECT band, count(*) AS n FROM b GROUP BY band)),
+        |j AS (SELECT r.doc_id, r.band, r.brank, bs.start,
+        |        greatest(1, 512 // r.band) AS per_bin
+        |      FROM r JOIN bs ON r.band = bs.band)
+        |SELECT doc_id, band, CAST(start + brank // per_bin AS BIGINT) AS bin,
+        |       CAST(brank % per_bin AS BIGINT) AS slot
+        |FROM j""".stripMargin,
 
     "stats_topk_sketch" ->
       """SELECT rank, item, cnt, CAST(0 AS BIGINT) AS err FROM (

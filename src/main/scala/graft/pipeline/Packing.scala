@@ -84,6 +84,69 @@ object Packing {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
 
+  /**
+   * Length-bucketed bin packing for the PADDING regime (SFT / seq2seq
+   * batches, where documents are never split or concatenated across
+   * examples): round each doc's length up to a `bandWidth` multiple, treat
+   * every doc in a band as costing the band (that is the padding), and
+   * fill bins of `budget` tokens arithmetically — `perBin = budget div
+   * band` docs per bin, bin = per-band rank div perBin. Unlike greedy
+   * first-fit (inherently sequential), the assignment is a pure function
+   * of the per-band rank, so it distributes, reruns stably (md5 order) and
+   * is engine-exact for the oracle. Padding waste per doc is < bandWidth
+   * plus the final partial bin per band. Docs longer than `budget` get a
+   * bin of their own (`perBin` clamps to 1 — truncation is the loader's
+   * policy, not the packer's).
+   *
+   * Scale shape: one global prefix-rank pass ordered by (band, md5) — the
+   * same two-phase scan as [[withStartOffsets]], never a per-band window —
+   * plus a band-count aggregate (bands are bounded by maxLen/bandWidth,
+   * collected like any parameter-sized state).
+   *
+   * Output: idCol, tokensCol, band, bin (global bin id unique across
+   * bands), slot (position within the bin).
+   */
+  def lengthBucketedPack(df: DataFrame, idCol: String, tokensCol: String,
+                         budget: Long, bandWidth: Long,
+                         numPartitions: Int = 0): DataFrame = {
+    require(budget > 0 && bandWidth > 0 && bandWidth <= budget,
+      s"need 0 < bandWidth <= budget (got $bandWidth, $budget)")
+    val spark = df.sparkSession
+    val banded = df.select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol))
+      .withColumn("band",
+        greatest(lit(bandWidth), expr(s"(($tokensCol + ${bandWidth - 1}) div $bandWidth) * $bandWidth")))
+      // fixed-width band prefix + md5 = one lexicographic order key
+      .withColumn("__order",
+        concat(lpad(col("band").cast("string"), 19, "0"),
+          md5(col(idCol).cast("string"))))
+      .withColumn("__one", lit(1L))
+    val ranked = withStartOffsets(banded.select(idCol, tokensCol, "band", "__order")
+        .withColumn("__one", lit(1L)),
+        idCol, "__one", numPartitions, orderCol = Some("__order"))
+      .withColumnRenamed("start_offset", "__grank")
+    // per-band exclusive start rank: docs in lexicographically earlier
+    // bands (bands are few — parameter-sized driver state)
+    val bandCounts = banded.groupBy("band").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bandStarts = bandCounts.map(_._1)
+      .zip(bandCounts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val startExpr = bandStarts.foldLeft(lit(0L)) { case (acc, (b, s)) =>
+      when(col("band") === b, lit(s)).otherwise(acc) }
+    val withBand = ranked
+      .join(banded.select(col(idCol), col("band"), col(tokensCol).as("__nt")), Seq(idCol))
+    withBand
+      .withColumn("__brank", col("__grank") - startExpr)
+      .withColumn("__per_bin", greatest(lit(1L), expr(s"$budget div band")))
+      .withColumn("__band_bin", expr("__brank div __per_bin"))
+      // global bin id: band start rank is a valid disambiguator because
+      // bins never hold more docs than the band's population
+      .withColumn("bin", startExpr + col("__band_bin"))
+      .withColumn("slot", col("__brank") % col("__per_bin"))
+      .select(col(idCol), col("__nt").as(tokensCol), col("band"),
+        col("bin"), col("slot"))
+  }
+
   /** Token-budget corpus carving: keep documents, in deterministic
     * shuffled order (md5 of the id — rerun-stable, engine-portable, same
     * family as [[Sampling]]), until the running token total reaches
