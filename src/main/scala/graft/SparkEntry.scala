@@ -326,6 +326,18 @@ object SparkEntry {
         .select(col("key"), col("version"))
     },
 
+    // WEAK-consistency batch read: served from the maintained resolved
+    // view — a broadcast semi-join, NO fold in the plan (the serving fast
+    // path; the view is current here, so values equal the strong read)
+    "scan_multiget_weak" -> { (s, dir) =>
+      val session = new EmoSession(s, EventLog.changes(s, dir),
+        resolvedView = Some(docsOf(s, dir)))
+      session.multiGet(
+          Seq("events" -> "1", "events" -> "5", "events" -> "9", "events" -> "404"),
+          consistency = EmoSession.Weak)
+        .select(col("key"), col("version"))
+    },
+
     "scan_page" -> { (s, dir) =>
       // ordered scan with key pagination: page 2 of 5-per-page in key order
       docsOf(s, dir).select(col("id").as("key"), col("version"))
@@ -2060,6 +2072,10 @@ object SparkEntry {
         |FROM events WHERE user_id = 7 GROUP BY 1""".stripMargin,
 
     "scan_multiget" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS version
+        |FROM events WHERE user_id IN (1, 5, 9, 404) GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "scan_multiget_weak" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS version
         |FROM events WHERE user_id IN (1, 5, 9, 404) GROUP BY 1 ORDER BY key""".stripMargin,
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
  * session. At scale the resolved view is a materialized table maintained by
  * the streaming materializer; here it is re-derived lazily.
  */
-final class EmoSession(val spark: SparkSession, changes: DataFrame,
+final class EmoSession(val spark: SparkSession, val changes: DataFrame,
                        placement: String = "default",
                        resolvedView: Option[DataFrame] = None) {
 
@@ -29,21 +29,45 @@ final class EmoSession(val spark: SparkSession, changes: DataFrame,
   private def docsDf: DataFrame = resolvedView.getOrElse(docs.toDF())
 
   /** Point get: resolve one document. Uses a key-pushdown filter BEFORE the
-    * fold shuffle — only that coordinate's deltas are read. */
-  def get(table: String, key: String, includeDeleted: Boolean = false): Option[DocRow] = {
-    val one = ResolveEngine.resolve(
-      changes.where(col("table") === table && col("key") === key), placement)
-      .collect()
+    * fold shuffle — only that coordinate's deltas are read.
+    *
+    * Consistency mirrors the reference read contract
+    * (`DataStore.get(table, key, consistency)`): STRONG folds the live
+    * delta log, so every acknowledged write is visible; WEAK serves
+    * straight from the maintained resolved view — no fold at all, the
+    * fast path — and may lag writes not yet materialized (with no view
+    * maintained, WEAK degrades to STRONG rather than failing). */
+  def get(table: String, key: String, includeDeleted: Boolean = false,
+          consistency: EmoSession.ReadConsistency = EmoSession.Strong): Option[DocRow] = {
+    val one = (consistency, resolvedView) match {
+      case (EmoSession.Weak, Some(view)) =>
+        import spark.implicits._
+        view.where(col("table") === table && col("id") === key).as[DocRow].collect()
+      case _ =>
+        ResolveEngine.resolve(
+          changes.where(col("table") === table && col("key") === key), placement)
+          .collect()
+    }
     one.headOption.filter(d => includeDeleted || !d.deleted)
   }
 
   /** Batch point reads: semi-join of the key list against the log (small
-    * lists broadcast automatically). */
-  def multiGet(coords: Seq[(String, String)], includeDeleted: Boolean = false): DataFrame = {
+    * lists broadcast automatically). WEAK semi-joins the resolved view
+    * instead — no fold shuffle in the plan at all. */
+  def multiGet(coords: Seq[(String, String)], includeDeleted: Boolean = false,
+               consistency: EmoSession.ReadConsistency = EmoSession.Strong): DataFrame = {
     import spark.implicits._
     val keys = coords.toDF("table", "key")
-    val filtered = changes.join(broadcast(keys), Seq("table", "key"), "left_semi")
-    val resolved = ResolveEngine.resolve(filtered, placement)
+    val resolved = (consistency, resolvedView) match {
+      case (EmoSession.Weak, Some(view)) =>
+        view.join(broadcast(keys),
+            view("table") === keys("table") && view("id") === keys("key"),
+            "left_semi")
+          .as[DocRow]
+      case _ =>
+        val filtered = changes.join(broadcast(keys), Seq("table", "key"), "left_semi")
+        ResolveEngine.resolve(filtered, placement)
+    }
     (if (includeDeleted) resolved else resolved.filter(!_.deleted)).toDF()
       .withColumnRenamed("id", "key")
   }
@@ -256,6 +280,14 @@ object EmoSession {
   /** ~signature of a coordinate that was never written
     * (the all-zeros sentinel the reference clients assert against). */
   val NonExistentSignature: String = "0" * 32
+
+  /** Read-consistency contract (sor-api ReadConsistency, collapsed to the
+    * two externally meaningful levels): STRONG sees every acknowledged
+    * write (folds the live log); WEAK serves from the maintained resolved
+    * view and may lag the log tail. */
+  sealed trait ReadConsistency
+  case object Strong extends ReadConsistency
+  case object Weak extends ReadConsistency
 
   /** One write intent (Update.java): coordinate + delta, with an optional
     * explicit changeId (else assigned from the session's atMs/node) and an

@@ -1098,6 +1098,39 @@ class EngineSpec extends AnyFunSuite {
     assert(cv.head.getAs[String]("body") === doc.body)
   }
 
+  test("weak vs strong reads: WEAK serves the stale view, STRONG folds the live log") {
+    import graft.delta.{Deltas, DslParser}
+    import graft.json.{JObj, JString}
+    val s0 = new EmoSession(spark, changesDf(Seq.empty))
+    val r1 = s0.update("t", "k", Deltas.literal(
+      JObj(Map("v" -> JString("old")))), atMs = 1000L)
+    // materialize the resolved view at this point, then write again
+    val view = r1.session.docs.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    view.count()
+    val r2 = r1.session.update("t", "k",
+      DslParser.parseDelta("""{..,"v":"new"}"""), atMs = 2000L)
+    val lagged = new EmoSession(spark, r2.session.changes,
+      resolvedView = Some(view))
+    // STRONG sees the acknowledged write; WEAK serves the stale view
+    assert(lagged.get("t", "k").get.body.contains("\"v\":\"new\""))
+    assert(lagged.get("t", "k", consistency = EmoSession.Weak).get
+      .body.contains("\"v\":\"old\""))
+    // WEAK with no view maintained degrades to STRONG, not a failure
+    assert(new EmoSession(spark, r2.session.changes)
+      .get("t", "k", consistency = EmoSession.Weak).get
+      .body.contains("\"v\":\"new\""))
+    // the WEAK batch path plans no fold: broadcast semi-join on the view,
+    // no shuffle exchange anywhere
+    val weakPlan = lagged.multiGet(Seq(("t", "k")),
+      consistency = EmoSession.Weak).queryExecution.executedPlan.toString
+    assert(weakPlan.contains("BroadcastHashJoin") ||
+      weakPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!weakPlan.contains("ShuffleExchange"),
+      s"weak multiGet shuffled:\n$weakPlan")
+    view.unpersist()
+  }
+
   test("updateAll round-trip: write -> resolve -> databus event visible (DataStoreTest.testUpdate)") {
     import graft.delta.{Deltas, DslParser}
     import graft.json.{JLong, JObj, JString}
