@@ -1842,6 +1842,27 @@ object SparkEntry {
         .select("event_id", "user_id", "n_window", "n_match_window")
     },
 
+    // winnowing fingerprints (Schleimer et al. 2003 / MOSS): 30 planted
+    // pairs share an 8-token span (= w+k-1 at k=5,w=4), so detection is
+    // GUARANTEED by the winnowing theorem, and planted token namespaces
+    // are disjoint from the corpus and each other, so the planted-pair
+    // set is exactly pinned; the real corpus rides along through the
+    // print explode + bucket join for scale weight
+    "dedup_winnow" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+      val planted = (0 until 30).flatMap { i =>
+        val span = (0 until 8).map(j => s"wspan${i}x$j").mkString(" ")
+        Seq(
+          (3000000L + i, (0 until 20).map(j => s"wa${i}x$j").mkString(" ") + " " + span),
+          (3100000L + i, (0 until 20).map(j => s"wb${i}x$j").mkString(" ") + " " + span))
+      }.toDF("doc_id", "text")
+      graft.pipeline.Dedup.winnowedPairs(docs.unionByName(planted),
+          "doc_id", "text", k = 5, w = 4)
+        .where(col("id1") >= 3000000L && col("id2") >= 3100000L)
+        .select("id1", "id2")
+    },
+
     // length-bucketed bin packing (padding regime — SFT batches, no doc
     // splitting): arithmetic fill from the per-band md5 rank, so the
     // assignment distributes instead of the inherently-sequential greedy
@@ -3652,6 +3673,12 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // pinned by construction: the w+k-1 guarantee forces each planted
+    // pair, disjoint namespaces forbid everything else
+    "dedup_winnow" ->
+      """SELECT 3000000 + range AS id1, 3100000 + range AS id2
+        |FROM range(0, 30) ORDER BY id1""".stripMargin,
 
     "pipeline_pack_binned" ->
       """WITH t AS (SELECT doc_id,

@@ -138,6 +138,42 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Winnowing fingerprints of a text column (Schleimer et al. 2003, the
+    * MOSS algorithm — see [[WinnowExpr]]): sorted distinct selected k-gram
+    * hashes at window `w`. ~1/w the storage of the full gram set with the
+    * guarantee that any shared run of >= w+k-1 tokens shares a print. */
+  def winnowFingerprints(textCol: Column, k: Int = 5, w: Int = 4): Column =
+    sketches.winnow(textCol, k, w)
+
+  /**
+   * Document pairs sharing >= `minShared` winnowing fingerprints — the
+   * plagiarism-detection shape: unlike MinHash (which estimates GLOBAL
+   * Jaccard and misses a copied paragraph inside an otherwise-different
+   * document), winnowing detects LOCAL overlap of >= w+k-1 tokens
+   * regardless of the rest of the document.
+   *
+   * Same scale discipline as the MinHash path: prints explode scan-side
+   * (ids + hashes only), degenerate buckets cap at `maxBucketSize`
+   * (boilerplate prints shared by everything would square the join), and
+   * the pair aggregate counts distinct shared prints.
+   */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, minShared: Int = 1,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val prints = df.select(col(idCol).as("id"),
+        explode(sketches.winnow(col(textCol), k, w)).as("print"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = prints.groupBy("print").agg(count(lit(1)).as("n"))
+    val kept = prints.join(
+      sizes.where(col("n") <= maxBucketSize).select("print"),
+      Seq("print"), "left_semi")
+    kept.as("l").join(kept.as("r"),
+        col("l.print") === col("r.print") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+      .agg(countDistinct(col("l.print")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs of a (small) candidate
     * set — the brute-force verifier used in tests and on bucketed data. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -414,6 +414,61 @@ case class PqAdcScoresExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+  * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+  * algorithm): hash every k-token gram, slide a window of `w` consecutive
+  * gram hashes, select each window's minimum (rightmost on ties — the
+  * robust-winnowing rule, so selection depends only on window content).
+  * Output: the sorted distinct selected hashes.
+  *
+  * The guarantee the spec pins: any shared token run of >= w+k-1 tokens
+  * contains a full window in both documents, and that window selects the
+  * same hash — so sharing a long-enough span ALWAYS shares a fingerprint,
+  * while storage is ~1/w of the full gram set (the density winnowing was
+  * invented for). Documents shorter than k tokens hash as one whole-doc
+  * gram. One pass per row, scan-local. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1 (got k=$k, w=$w)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    val grams: Array[Long] =
+      if (toks.length < k) Array(SketchHash.hash(toks.mkString(" ")))
+      else Array.tabulate(toks.length - k + 1) { i =>
+        SketchHash.hash(toks.slice(i, i + k).mkString(" "))
+      }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (grams.length <= w) {
+      // fewer grams than a window: select the one global (rightmost) min
+      var best = 0
+      var i = 1
+      while (i < grams.length) { if (grams(i) <= grams(best)) best = i; i += 1 }
+      selected.add(grams(best))
+      ()
+    } else {
+      var start = 0
+      while (start + w <= grams.length) {
+        var best = start
+        var i = start + 1
+        while (i < start + w) { if (grams(i) <= grams(best)) best = i; i += 1 }
+        selected.add(grams(best))
+        start += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    var j = 0
+    selected.forEach { h => out(j) = h.longValue; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Johnson–Lindenstrauss random projection to `outDims` components — the
   * same hash-derived pseudo-random matrix family as [[HyperplaneSketchExpr]]
   * but in its own `proj:` namespace (so projection axes never correlate with
@@ -507,4 +562,7 @@ object sketches {
 
   def randomProject(vec: Column, outDims: Int): Column =
     GraftBridge.column(RandomProjectExpr(GraftBridge.expression(vec), outDims))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowExpr(GraftBridge.expression(text), k, w))
 }

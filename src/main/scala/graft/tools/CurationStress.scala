@@ -322,6 +322,11 @@ object CurationStress {
       Similarity.projectedTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
         "embedding", k = 5, outDims = 16, rerank = 32).count()
     }
+    time("winnow_pairs", nDocs) {
+      Dedup.winnowedPairs(docs, "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .agg(sum(col("n_shared"))).collect()
+      nDocs
+    }
     time("anchor_terms", nDocs) {
       val pages = docs.select(col("doc_id"),
         concat(lit("https://site"), (col("doc_id") % 500).cast("string"),
