@@ -793,6 +793,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("k2") === (("z", Seq.empty, 1L)))
   }
 
+  test("streaming crawl-cleaning: C4 gates, canary automaton and winnow prints run per micro-batch") {
+    import graft.pipeline.{C4Rules, Decontaminate, Dedup}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goodLine = "a perfectly ordinary sentence with plenty of everyday words."
+    val goodPage = Seq(goodLine, goodLine, goodLine).mkString("\n")
+    val canary = "CANARY-GUID-0abc"
+    val input = MemoryStream[(Long, String)]
+    // all three operators are stateless scan-local expressions, so the
+    // exact batch columns drop into readStream with no state store at all
+    val stream = input.toDS().toDF("doc_id", "text")
+      .withColumn("c4", C4Rules.cleanPage(col("text")))
+      .withColumn("n_prints", size(Dedup.winnowFingerprints(col("text"), 3, 2)))
+      .where(col("c4.page_kept") === 1)
+    val cleaned = Decontaminate.canaryHits(
+      stream.select(col("doc_id"), col("c4.text_clean").as("text"), col("n_prints")),
+      "doc_id", "text", Seq(canary))
+    val query = stream.select("doc_id", "c4.n_kept", "n_prints")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_c4").toString)
+      .start()
+    val canaryQuery = cleaned
+      .writeStream.outputMode("append")
+      .format("memory").queryName("canary_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_can").toString)
+      .start()
+    try {
+      input.addData(
+        (1L, goodPage),
+        (2L, goodPage + s"\n$goodLine leaked $canary here."),
+        (3L, "too\nshort\npage"),
+        (4L, goodPage + "\nfunction f() { }"))
+      query.processAllAvailable()
+      canaryQuery.processAllAvailable()
+      val kept = spark.table("c4_stream_out")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      // 3 fails min kept lines; 4 trips the brace page gate
+      assert(kept.keySet === Set(1L, 2L))
+      assert(kept(1L)._1 === 3 && kept(2L)._1 === 4)
+      assert(kept.values.forall(_._2 > 0))
+      // only doc 2 carries the canary, found by the automaton mid-stream
+      val hits = spark.table("canary_stream_out")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(hits === Set((2L, canary)))
+      // batch parity: same columns, same verdicts
+      val batch = Seq((1L, goodPage),
+          (2L, goodPage + s"\n$goodLine leaked $canary here."),
+          (3L, "too\nshort\npage"), (4L, goodPage + "\nfunction f() { }"))
+        .toDF("doc_id", "text")
+        .withColumn("c4", C4Rules.cleanPage(col("text")))
+        .where(col("c4.page_kept") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch === kept.keySet)
+    } finally { query.stop(); canaryQuery.stop() }
+  }
+
   test("streaming incremental dedup: new micro-batches drop docs already in the static store") {
     // the daily-crawl steady state under readStream: the fingerprint store
     // is a STATIC frame, the crawl is a stream, and the stream-static
