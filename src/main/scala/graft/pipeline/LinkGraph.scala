@@ -60,9 +60,9 @@ object LinkGraph {
    */
   def domainEdges(pages: DataFrame, srcUrlCol: String, htmlCol: String): DataFrame =
     pages.select(
-        Urls.registeredDomain(Urls.normalize(col(srcUrlCol))).as("src"),
+        Urls.registeredDomainFast(col(srcUrlCol)).as("src"),
         explode(extractHrefs(col(htmlCol))).as("href"))
-      .select(col("src"), Urls.registeredDomain(Urls.normalize(col("href"))).as("dst"))
+      .select(col("src"), Urls.registeredDomainFast(col("href")).as("dst"))
       .where(col("src") =!= col("dst") && col("src") =!= "" && col("dst") =!= "")
       .distinct()
 
@@ -171,11 +171,11 @@ object LinkGraph {
   def anchorTerms(pages: DataFrame, srcUrlCol: String, htmlCol: String,
                   topK: Int = 20): DataFrame = {
     val tags = pages.select(
-      Urls.registeredDomain(Urls.normalize(col(srcUrlCol))).as("src"),
+      Urls.registeredDomainFast(col(srcUrlCol)).as("src"),
       explode(regexp_extract_all(col(htmlCol), lit(AnchorTagRe), lit(0))).as("tag"))
     val pairs = tags.select(col("src"),
-      Urls.registeredDomain(Urls.normalize(
-        regexp_extract(col("tag"), "<a href=\"([^\"]+)\"", 1))).as("domain"),
+      Urls.registeredDomainFast(
+        regexp_extract(col("tag"), "<a href=\"([^\"]+)\"", 1)).as("domain"),
       regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
       .where(col("src") =!= col("domain") && col("domain") =!= "")
     val terms = pairs.select(col("domain"),
@@ -194,6 +194,6 @@ object LinkGraph {
    */
   def authorityJoin(pages: DataFrame, urlCol: String, ranks: DataFrame): DataFrame =
     pages
-      .withColumn("domain", Urls.registeredDomain(Urls.normalize(col(urlCol))))
+      .withColumn("domain", Urls.registeredDomainFast(col(urlCol)))
       .join(broadcast(ranks.withColumnRenamed("node", "domain")), Seq("domain"), "left")
 }

@@ -107,6 +107,32 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("PROPERTY: registeredDomainFast equals registeredDomain(normalize(u))") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    def gen(): String = {
+      val scheme = Seq("http://", "HTTP://", "https://", "HTTPS://", "HtTpS://")(rnd.nextInt(5))
+      val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
+      val host = Seq("a.Example.COM", "sub.dom.example.org", "X9.io",
+        "u@pw.example.net", "single")(rnd.nextInt(5))
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/p", "/A/B", "/p/")(rnd.nextInt(4))
+      val q = Seq("", "?id=1", "?utm_source=a&b=2")(rnd.nextInt(3))
+      val frag = Seq("", "#Frag")(rnd.nextInt(2))
+      val pad = Seq("", " ")(rnd.nextInt(2))
+      pad + scheme + www + host + port + path + q + frag + pad
+    }
+    val urls = Seq.fill(400)(gen()) ++ Seq("not a url", "")
+    urls.toDF("u")
+      .select(col("u"),
+        Urls.registeredDomain(Urls.normalize(col("u"))).as("full"),
+        Urls.registeredDomainFast(col("u")).as("fast"))
+      .collect().foreach { r =>
+        assert(r.getString(1) === r.getString(2), s"mismatch on <${r.getString(0)}>")
+      }
+  }
+
   test("host and registeredDomain") {
     val s = spark
     import s.implicits._
