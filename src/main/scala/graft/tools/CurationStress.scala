@@ -322,10 +322,22 @@ object CurationStress {
       Similarity.projectedTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
         "embedding", k = 5, outDims = 16, rerank = 32).count()
     }
-    time("winnow_pairs", nDocs) {
-      Dedup.winnowedPairs(docs, "doc_id", "text", k = 5, w = 4, minShared = 2)
+    // the replication fixture is winnow's worst case: every print bucket
+    // holds all `mult` copies, so pair generation squares — the same
+    // lesson as SemDeDup: run exact dedup FIRST (here the bucket cap at
+    // mult/2 condemns the degenerate buckets and measures the scan/cap
+    // path; the second line measures real pair throughput post-collapse)
+    time("winnow_scan", nDocs) {
+      Dedup.winnowedPairs(docs, "doc_id", "text", k = 5, w = 4,
+          minShared = 2, maxBucketSize = mult / 2)
         .agg(sum(col("n_shared"))).collect()
       nDocs
+    }
+    time("winnow_pairs", nDocs / mult) {
+      val collapsed = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      Dedup.winnowedPairs(collapsed, "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .agg(sum(col("n_shared"))).collect()
+      nDocs / mult
     }
     time("anchor_terms", nDocs) {
       val pages = docs.select(col("doc_id"),
