@@ -167,10 +167,14 @@ object Dedup {
     val kept = prints.join(
       sizes.where(col("n") <= maxBucketSize).select("print"),
       Seq("print"), "left_semi")
+    // winnow() emits sorted DISTINCT hashes, so (id, print) rows are unique
+    // and the equi-join yields exactly one row per (id1, id2, shared print):
+    // a plain count is the distinct count, without per-group hash-set state
+    // on the operator's hottest aggregate
     kept.as("l").join(kept.as("r"),
         col("l.print") === col("r.print") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
-      .agg(countDistinct(col("l.print")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 

@@ -28,6 +28,13 @@ case class MultiContainsExpr(child: Expression, patterns: Seq[String])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"multi_contains needs a string column, got ${other.catalogString}")
+    }
+
   @transient private lazy val automaton = new AhoCorasick(patterns)
 
   override def nullSafeEval(input: Any): Any = {

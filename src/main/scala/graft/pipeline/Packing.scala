@@ -26,10 +26,14 @@ object Packing {
   /** Adds `start_offset`: the exclusive global prefix sum of `tokensCol`
     * in `idCol` order — or in `(orderCol, idCol)` order when an explicit
     * order column is given (e.g. a hash for shuffled-order carving).
-    * Output columns: idCol, tokensCol (long) [, orderCol], start_offset. */
+    * `carry` names extra (narrow!) columns to ride through the scan — they
+    * land in the output unchanged, saving the caller a corpus-wide rejoin;
+    * wide columns (text) should re-join by id instead.
+    * Output: idCol, tokensCol (long) [, orderCol] [, carry...], start_offset. */
   def withStartOffsets(df: DataFrame, idCol: String, tokensCol: String,
                        numPartitions: Int = 0,
-                       orderCol: Option[String] = None): DataFrame = {
+                       orderCol: Option[String] = None,
+                       carry: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -40,7 +44,7 @@ object Packing {
     // re-execution is not guaranteed to reproduce them)
     val parted = df.select(
         Seq(col(idCol), coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol)) ++
-          orderCol.map(col) : _*)
+          orderCol.map(col) ++ carry.map(col) : _*)
       .repartitionByRange(p, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -121,21 +125,22 @@ object Packing {
         concat(lpad(col("band").cast("string"), 19, "0"),
           md5(col(idCol).cast("string"))))
       .withColumn("__one", lit(1L))
-    val ranked = withStartOffsets(banded.select(idCol, tokensCol, "band", "__order")
-        .withColumn("__one", lit(1L)),
-        idCol, "__one", numPartitions, orderCol = Some("__order"))
+    // band and token count ride through the prefix-rank scan (narrow longs),
+    // so no corpus rejoin is needed and everything downstream — including
+    // the band-count collect — derives from the ONE persisted sorted scan
+    // inside withStartOffsets (rerun-stable by construction)
+    val ranked = withStartOffsets(banded, idCol, "__one", numPartitions,
+        orderCol = Some("__order"), carry = Seq("band", tokensCol))
       .withColumnRenamed("start_offset", "__grank")
     // per-band exclusive start rank: docs in lexicographically earlier
     // bands (bands are few — parameter-sized driver state)
-    val bandCounts = banded.groupBy("band").agg(count(lit(1)).as("n"))
+    val bandCounts = ranked.groupBy("band").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val bandStarts = bandCounts.map(_._1)
       .zip(bandCounts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
     val startExpr = bandStarts.foldLeft(lit(0L)) { case (acc, (b, s)) =>
       when(col("band") === b, lit(s)).otherwise(acc) }
-    val withBand = ranked
-      .join(banded.select(col(idCol), col("band"), col(tokensCol).as("__nt")), Seq(idCol))
-    withBand
+    ranked
       .withColumn("__brank", col("__grank") - startExpr)
       .withColumn("__per_bin", greatest(lit(1L), expr(s"$budget div band")))
       .withColumn("__band_bin", expr("__brank div __per_bin"))
@@ -143,8 +148,7 @@ object Packing {
       // bins never hold more docs than the band's population
       .withColumn("bin", startExpr + col("__band_bin"))
       .withColumn("slot", col("__brank") % col("__per_bin"))
-      .select(col(idCol), col("__nt").as(tokensCol), col("band"),
-        col("bin"), col("slot"))
+      .select(col(idCol), col(tokensCol), col("band"), col("bin"), col("slot"))
   }
 
   /** Token-budget corpus carving: keep documents, in deterministic

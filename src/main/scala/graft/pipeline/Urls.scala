@@ -94,11 +94,17 @@ object Urls {
     * the host first and folding it directly is equivalent for domain
     * purposes at a third of the regex work — the hot path for link-graph
     * edge extraction, where every href needs a domain but nothing else.
-    * Equivalence is property-tested against the full chain (UrlsSpec). */
-  def registeredDomainFast(url: Column): Column =
-    regexp_extract(
-      regexp_replace(lower(host(trim(url))), "^www\\.", ""),
-      DomainRe, 0)
+    * Equivalence is property-tested against the full chain (UrlsSpec).
+    * The `www.` strip mirrors [[PostLowerSteps]] exactly: it applies ONLY
+    * to http(s) URLs — a bare-scheme host like `ftp://www.example` keeps
+    * its `www` label in the full chain, so the fast path must too. */
+  def registeredDomainFast(url: Column): Column = {
+    val t = trim(url)
+    val h = lower(host(t))
+    val stripped = when(t.rlike("(?i)^https?://"),
+      regexp_replace(h, "^www\\.", "")).otherwise(h)
+    regexp_extract(stripped, DomainRe, 0)
+  }
 
   /**
    * Exact URL dedup: one survivor per normalized URL — the smallest id

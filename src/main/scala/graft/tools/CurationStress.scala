@@ -329,7 +329,7 @@ object CurationStress {
     // path; the second line measures real pair throughput post-collapse)
     time("winnow_scan", nDocs) {
       Dedup.winnowedPairs(docs, "doc_id", "text", k = 5, w = 4,
-          minShared = 2, maxBucketSize = mult / 2)
+          minShared = 2, maxBucketSize = math.max(1, mult / 2))
         .agg(sum(col("n_shared"))).collect()
       nDocs
     }

@@ -1122,11 +1122,16 @@ class EngineSpec extends AnyFunSuite {
       .body.contains("\"v\":\"new\""))
     // the WEAK batch path plans no fold: broadcast semi-join on the view,
     // no shuffle exchange anywhere
-    val weakPlan = lagged.multiGet(Seq(("t", "k")),
-      consistency = EmoSession.Weak).queryExecution.executedPlan.toString
+    val weakExec = lagged.multiGet(Seq(("t", "k")),
+      consistency = EmoSession.Weak).queryExecution.executedPlan
+    val weakPlan = weakExec.toString
     assert(weakPlan.contains("BroadcastHashJoin") ||
       weakPlan.contains("BroadcastNestedLoopJoin"))
-    assert(!weakPlan.contains("ShuffleExchange"),
+    // collect the node type, not a name substring: ShuffleExchangeExec
+    // prints as plain "Exchange", so a string match can never fail
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val weakShuffles = weakExec.collect { case e: ShuffleExchangeExec => e }
+    assert(weakShuffles.isEmpty,
       s"weak multiGet shuffled:\n$weakPlan")
     view.unpersist()
   }

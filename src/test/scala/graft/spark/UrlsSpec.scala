@@ -112,10 +112,13 @@ class UrlsSpec extends AnyFunSuite {
     import s.implicits._
     val rnd = new scala.util.Random(61)
     def gen(): String = {
-      val scheme = Seq("http://", "HTTP://", "https://", "HTTPS://", "HtTpS://")(rnd.nextInt(5))
+      // non-http(s) schemes pin the www-strip scope: the full chain keeps
+      // `www.` outside https?://, so the fast path must too
+      val scheme = Seq("http://", "HTTP://", "https://", "HTTPS://",
+        "HtTpS://", "ftp://", "FTP://", "s3://")(rnd.nextInt(8))
       val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
       val host = Seq("a.Example.COM", "sub.dom.example.org", "X9.io",
-        "u@pw.example.net", "single")(rnd.nextInt(5))
+        "u@pw.example.net", "single", "www.example")(rnd.nextInt(6))
       val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
       val path = Seq("", "/p", "/A/B", "/p/")(rnd.nextInt(4))
       val q = Seq("", "?id=1", "?utm_source=a&b=2")(rnd.nextInt(3))
