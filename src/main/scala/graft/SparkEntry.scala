@@ -253,6 +253,29 @@ object SparkEntry {
       graft.pipeline.Sources.readJsonlClean(s, path, schema)
     },
 
+    // WARC/WET round-trip: the CommonCrawl container format — corpus docs
+    // exported as conversion records (one gzip member per record, the
+    // random-access convention), read back via the streaming parser over
+    // sc.binaryFiles (records never materialize a shard in memory);
+    // malformed records would land in _corrupt instead of failing shards
+    "source_warc_roundtrip" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents").where(col("doc_id") < 100)
+        .select(
+          concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          col("text"))
+      // fresh per-invocation dir (same concurrency rationale as the JSONL
+      // round-trip above)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_warc_").toString
+      graft.pipeline.Warc.writeWet(docs, path, shards = 4)
+      graft.pipeline.Warc.readWarcClean(s, path)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"))
+    },
+
     // cluster-balanced sampling: cap vectors per sign-signature cell in
     // deterministic md5 order — the diversity-preserving downsample
     // (cluster-then-sample) that keeps rare regions represented
@@ -502,6 +525,28 @@ object SparkEntry {
     // partitioned store: each branch prunes to (table=orders, part subset);
     // the 4-way union must re-cover every orders doc exactly once — checked
     // against the DuckDB oracle over the raw orders table
+    // Z-order clustered layout: lineitem written on the Morton curve of
+    // (l_partkey, l_suppkey), then scanned with a 2-dim box predicate.
+    // Layout-only by construction — the oracle is plain filter
+    // equivalence; the per-file min/max narrowing that makes parquet
+    // row-group stats prune BOTH dimensions is ZOrderSpec's job
+    "store_zorder_scan" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_zorder_").toString
+      graft.pipeline.ZOrder.writeClustered(li, path, Seq("l_partkey", "l_suppkey"),
+        files = 8)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(100, 400) &&
+          col("l_suppkey").between(10, 60))
+        .groupBy(col("l_suppkey"))
+        // quantities are integral: sum as long so the oracle hash is exact
+        // (a double sum is summation-order-dependent)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    },
+
     "store_pruned_scan" -> { (s, dir) =>
       val path = storeOf(s, dir)
       // ONE from_json parse per row for both projected fields — two
@@ -1881,6 +1926,22 @@ object SparkEntry {
     // evicts and the sketch equals the exact GROUP BY — the KMV
     // "exact below k" oracle pattern; the approximation guarantees above
     // capacity are spec-pinned (TopKSketchSpec)
+    // KLL quantile sketch in the exact regime: per-language token-count
+    // quantiles with every group (<= 2.1k rows at sf0.1) under the 4096
+    // capacity, so no compaction fires anywhere and the sketch equals the
+    // discrete-quantile definition exactQuantilesBy computes — the KMV
+    // "exact below k" oracle pattern; the rank-error bound above capacity
+    // and merge invariance are QuantileSketchSpec's job
+    "stats_quantile_sketch" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(graft.pipeline.QuantileSketch.quantiles(
+          TextAnalysis.tokenCount(col("text")), Seq(250, 500, 750, 990)).as("qs"))
+        .select(col("lang"), explode(col("qs")).as("q"))
+        .select(col("lang"), col("q.q_permille").as("q_permille"),
+          col("q.value").as("value"))
+    },
+
     "stats_topk_sketch" -> { (s, dir) =>
       val docs = Tables.read(s, dir, "documents")
       docs.agg(graft.pipeline.TopKSketch.topK(
@@ -1977,6 +2038,10 @@ object SparkEntry {
         |GROUP BY user_id, event_type ORDER BY msg_id""".stripMargin,
 
     "source_jsonl_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "source_warc_roundtrip" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
 
@@ -2224,6 +2289,13 @@ object SparkEntry {
         |       max(epoch_ms(ts)) AS last_ms
         |FROM events GROUP BY 1 HAVING count(*) >= 20
         |ORDER BY n_changes DESC, key""".stripMargin,
+
+    "store_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "store_pruned_scan" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
@@ -3698,6 +3770,19 @@ object SparkEntry {
         |SELECT doc_id, band, CAST(start + brank // per_bin AS BIGINT) AS bin,
         |       CAST(brank % per_bin AS BIGINT) AS slot
         |FROM j""".stripMargin,
+
+    "stats_quantile_sketch" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
+        |           FROM documents),
+        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t GROUP BY lang, v),
+        |c AS (SELECT lang, value, cnt,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY value
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
+        |q(q_permille) AS (VALUES (250), (500), (750), (990))
+        |SELECT lang, q_permille, min(value) AS value FROM c, q
+        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |GROUP BY lang, q_permille ORDER BY lang, q_permille""".stripMargin,
 
     "stats_topk_sketch" ->
       """SELECT rank, item, cnt, CAST(0 AS BIGINT) AS err FROM (

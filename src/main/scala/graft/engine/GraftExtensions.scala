@@ -150,6 +150,19 @@ object GraftFunctions {
       exprs => graft.pipeline.SpaceSavingTopK(exprs.head, litInt(exprs(1)),
         if (exprs.length > 2) litInt(exprs(2)) else 4096).toAggregateExpression(),
       "scala_udf")
+    // KLL quantile sketch as a SQL aggregate (exact below capacity):
+    // emo_kll_quantiles(col, array(permilles...)[, capacity])
+    reg.createOrReplaceTempFunction("emo_kll_quantiles",
+      exprs => {
+        val ps = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(kids, _) =>
+            kids.map(litInt)
+          case other => throw new IllegalArgumentException(
+            s"emo_kll_quantiles: permilles must be an array literal, got $other")
+        }
+        graft.pipeline.KllQuantiles(exprs.head, ps,
+          if (exprs.length > 2) litInt(exprs(2)) else 4096).toAggregateExpression()
+      }, "scala_udf")
     // URL canonicalization from raw catalyst nodes (same bridge caveat as
     // the PII block), folded from the SAME step lists the Column API uses
     // (graft.pipeline.Urls) — parity is spec-asserted per fixture

@@ -24,7 +24,8 @@ object PlanAudit {
         "dedup_image", "multimodal_segments",
         "graph_pagerank", "emb_outliers", "sim_projected", "text_c4_rules",
         "pipeline_epochs", "graph_anchor_terms", "events_rolling",
-        "decon_canary", "stats_topk_sketch", "pipeline_pack_binned", "dedup_winnow", "scan_multiget_weak")
+        "decon_canary", "stats_topk_sketch", "pipeline_pack_binned", "dedup_winnow", "scan_multiget_weak",
+        "stats_quantile_sketch", "source_warc_roundtrip", "store_zorder_scan")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
