@@ -572,6 +572,45 @@ object SparkEntry {
       // semantics are scan_page's contract, not this query's
     },
 
+    // OPTIMIZE maintenance pass: the store is deliberately written as
+    // many small files (the streaming-materializer accretion pattern),
+    // compacted by DocStore.optimize (one (table,part,slot)-keyed
+    // shuffle, id-sorted files, two-rename swap), then condition-scanned.
+    // The oracle is content identity — optimize must be layout-only; the
+    // file-count collapse and id-sort are DocStoreOptimizeSpec's job
+    "store_optimize_scan" -> { (s, dir) =>
+      val docs = materialized("placement", dir)(
+        ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_store_opt_").toString + "/store"
+      DocStore.write(docs.repartition(24), path)
+      DocStore.optimize(s, path)
+      DocStore.scan(s, path, """intrinsic("~table":"orders")""")
+        .select(col("id").as("okey"),
+          get_json_object(col("body"), "$.status").as("status"))
+    },
+
+    // CDC MERGE: a change batch (every 5th orders doc re-resolved with a
+    // bumped version; every 10th tombstoned) applied to the store by
+    // rewriting ONLY affected (table, part) directories — matched-update,
+    // matched-delete and survivor paths all exercised; the untouched-
+    // directory guarantee is DocStoreMergeSpec's job
+    "store_merge_scan" -> { (s, dir) =>
+      val docs = materialized("placement", dir)(
+        ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_store_merge_").toString + "/store"
+      DocStore.write(docs, path)
+      val okey = col("id").cast("long")
+      val changes = docs
+        .where(col("table") === "orders" && okey % 5 === 0)
+        .withColumn("version", col("version") + 100)
+        .withColumn("deleted", okey % 10 === 0)
+      DocStore.merge(s, path, changes)
+      DocStore.scan(s, path, """intrinsic("~table":"orders")""")
+        .select(col("id").as("okey"), col("version"))
+    },
+
     // the compaction scheduler's skew report: hot delta logs that must be
     // checkpointed before they dominate a fold task
     "compaction_skew_report" -> { (s, dir) =>
@@ -1547,6 +1586,18 @@ object SparkEntry {
       Search.keywordTopK(docs, qs, "doc_id", "text", "q_id", "q_text", k = 5)
     },
 
+    // exact phrase search over positional postings: each posting matching
+    // phrase word i votes for anchor (pos - i); an anchor with all m
+    // offsets is a full occurrence — one aggregate, no per-word self-join;
+    // phrase tokens broadcast so only candidate postings shuffle
+    "search_phrase" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.read(s, dir, "documents")
+      val qs = Seq((1, "table value"), (2, "fast merge"),
+        (3, "key agg row")).toDF("q_id", "q_text")
+      Search.phraseHits(docs, qs, "doc_id", "text", "q_id", "q_text")
+    },
+
     // ===================================================== pipeline: multimodal
     "multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.fromText(Tables.read(s, dir, "documents"), "doc_id", "text")
@@ -1926,6 +1977,17 @@ object SparkEntry {
     // evicts and the sketch equals the exact GROUP BY — the KMV
     // "exact below k" oracle pattern; the approximation guarantees above
     // capacity are spec-pinned (TopKSketchSpec)
+    // ANALYZE profile: one aggregate pass over the table (count/min/max/
+    // KMV-ndv are all map-side combinable), unpivoted driver-side from
+    // the single parameter-sized result row; ndv is EXACT below the
+    // sketch capacity (custkey tops out ~15k at sf0.1, k=65536), so the
+    // oracle is plain COUNT(DISTINCT); min/max compare numerically BEFORE
+    // the string cast (min("9","10") traps are ProfileSpec's job)
+    "catalog_analyze" -> { (s, dir) =>
+      graft.pipeline.Profile.analyze(Tables.read(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
     // KLL quantile sketch in the exact regime: per-language token-count
     // quantiles with every group (<= 2.1k rows at sf0.1) under the 4096
     // capacity, so no compaction fires anywhere and the sketch equals the
@@ -2303,6 +2365,15 @@ object SparkEntry {
         |       o_orderstatus AS status,
         |       CAST(o_totalprice AS DOUBLE) AS total
         |FROM orders ORDER BY okey""".stripMargin,
+
+    "store_optimize_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey, o_orderstatus AS status
+        |FROM orders ORDER BY okey""".stripMargin,
+
+    "store_merge_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 101 ELSE 1 END AS BIGINT) AS version
+        |FROM orders WHERE o_orderkey % 10 <> 0 ORDER BY okey""".stripMargin,
 
     "cond_equal" ->
       """SELECT p_partkey FROM part WHERE p_size = 5 ORDER BY p_partkey""".stripMargin,
@@ -3102,6 +3173,23 @@ object SparkEntry {
         |  FROM m)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "search_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |u AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+        |hits AS (
+        |  SELECT 1 AS query_id, doc_id, count(*) AS n_hits FROM u
+        |  WHERE toks[i] = 'table' AND toks[i+1] = 'value' GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT 2 AS query_id, doc_id, count(*) AS n_hits FROM u
+        |  WHERE toks[i] = 'fast' AND toks[i+1] = 'merge' GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT 3 AS query_id, doc_id, count(*) AS n_hits FROM u
+        |  WHERE toks[i] = 'key' AND toks[i+1] = 'agg' AND toks[i+2] = 'row'
+        |  GROUP BY doc_id)
+        |SELECT query_id, doc_id, n_hits FROM hits
+        |ORDER BY query_id, doc_id""".stripMargin,
+
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt FROM documents),
@@ -3770,6 +3858,24 @@ object SparkEntry {
         |SELECT doc_id, band, CAST(start + brank // per_bin AS BIGINT) AS bin,
         |       CAST(brank % per_bin AS BIGINT) AS slot
         |FROM j""".stripMargin,
+
+    "catalog_analyze" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  count(*) - count(o_custkey) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS ndv,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |ORDER BY "column"""".stripMargin,
 
     "stats_quantile_sketch" ->
       """WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v

@@ -73,6 +73,167 @@ object DocStore {
     }
   }
 
+  /** Per-directory optimize report: files/bytes before and after. */
+  case class OptimizeStats(dirs: Long, filesBefore: Long, filesAfter: Long,
+                           bytes: Long)
+
+  /**
+   * OPTIMIZE: small-file compaction of the partitioned store — the
+   * maintenance pass every streaming-materialized lakehouse table needs.
+   * The materializer appends a few rows per micro-batch, so a (table,
+   * part) directory accretes thousands of KB-sized files; at 100 TB file
+   * LISTING (one NameNode/object-store round trip per file) starts to
+   * dominate scan setup, and per-file parquet footers defeat row-group
+   * skipping. This rewrites each directory into
+   * max(1, ceil(dirBytes/targetFileBytes)) files with rows ID-SORTED
+   * within each file, so point-get/multiGet scans prune on parquet
+   * min/max id stats.
+   *
+   * Scale shape: one shuffle keyed by (table, part, fileSlot) — the slot
+   * salt caps per-task data at ~targetFileBytes so oversized directories
+   * rewrite in parallel. The FILE split itself is enforced with
+   * `maxRecordsPerFile` (target bytes / measured avg row bytes), which
+   * holds under any task layout — AQE legitimately coalesces the tiny
+   * shuffle partitions of a small store into few tasks, and file sizing
+   * must not depend on that. The rewrite lands in a sibling temp dir and
+   * swaps in via two FS renames (the swap window is two metadata ops,
+   * not a data copy; readers between the renames retry — the same recipe
+   * as the Stash `_LATEST` pointer flip). Content is layout-invariant
+   * (spec-pinned identity).
+   */
+  def optimize(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20): OptimizeStats = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-directory (bytes, files) from one recursive listing
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var filesBefore = 0L
+    var totalBytes = 0L
+    val dirBytes = scala.collection.mutable.Map.empty[String, Long]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        filesBefore += 1
+        totalBytes += f.getLen
+        val dir = f.getPath.getParent.toString.stripPrefix(
+          fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString)
+        dirBytes(dir) = dirBytes.getOrElse(dir, 0L) + f.getLen
+      }
+    }
+    val slotsPerDir = dirBytes.map { case (d, b) =>
+      d -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
+    }
+    val slotsLookup = typedLit(slotsPerDir.map { case (d, s) => (d, s) }.toMap)
+    val df = read(spark, path)
+    val dirKey = concat(lit("/table="), col("table"),
+      lit(s"/$PartCol="), col(PartCol).cast(StringType))
+    val slots = coalesce(element_at(slotsLookup, dirKey), lit(1L))
+    val tmp = new org.apache.hadoop.fs.Path(path + ".optimize.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".optimize.old")
+    // avg row bytes from parquet metadata (count() is footer-only) sizes
+    // the per-file record cap
+    val totalRows = df.count()
+    val maxRecords =
+      if (totalRows == 0L) Long.MaxValue
+      else math.max(1L, (targetFileBytes.toDouble /
+        math.max(1.0, totalBytes.toDouble / totalRows)).toLong)
+    df.withColumn("__slot", pmod(xxhash64(col("id")), slots))
+      .repartition(col("table"), col(PartCol), col("__slot"))
+      .sortWithinPartitions("table", PartCol, "id")
+      .drop("__slot")
+      .write.partitionBy("table", PartCol).mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+      .parquet(tmp.toString)
+    // two-rename swap
+    fs.delete(old, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path), old),
+      s"optimize: could not move $path aside")
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path)),
+      s"optimize: could not install rewritten store (original at $old)")
+    fs.delete(old, true)
+    var filesAfter = 0L
+    val it2 = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    while (it2.hasNext) {
+      val f = it2.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        filesAfter += 1
+    }
+    OptimizeStats(dirBytes.size.toLong, filesBefore, filesAfter, totalBytes)
+  }
+
+  case class MergeStats(dirsRewritten: Long, upserts: Long, deletes: Long)
+
+  /**
+   * CDC MERGE: apply a batch of resolved-document changes (upserts +
+   * tombstones) to the store by rewriting ONLY the affected (table, part)
+   * directories — the incremental-materialization path that keeps a
+   * 100 TB store fresh without the full rewrite [[optimize]] performs.
+   * `changes` carries DocRow-shaped rows; rows with `deleted = true` are
+   * tombstones (the document leaves the store), everything else replaces
+   * the stored row with the same (table, id) — MERGE INTO ... WHEN
+   * MATCHED UPDATE / NOT MATCHED INSERT / MATCHED AND deleted DELETE.
+   *
+   * Scale shape: the affected-directory list is parameter-sized (bounded
+   * by tables × shards, NOT by |changes|); the store scan prunes to
+   * affected directories via partition-column predicates (coarse IN
+   * prune + exact pair semi-join), so untouched directories are never
+   * read, let alone rewritten. Survivors anti-join the changes on
+   * (table, id) — a shuffle bounded by the affected directories' data,
+   * not the store. Rewritten directories land in a sibling tmp store and
+   * swap in per-directory (rename per dir: each directory's flip is
+   * atomic; cross-directory readers during the swap window see mixed
+   * generations — same contract as the reference's eventually-consistent
+   * multi-row reads).
+   */
+  def merge(spark: SparkSession, path: String, changes: DataFrame,
+            shards: Int = DefaultShards): MergeStats = {
+    val withPart = changes.withColumn(PartCol,
+      expressions.emoPartition(col("table"), col("id"), shards))
+    val dirs = withPart.select(col("table"), col(PartCol)).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    require(dirs.nonEmpty, "merge: empty change batch")
+    val tables = dirs.map(_._1).distinct.toSeq
+    val parts = dirs.map(_._2).distinct.toSeq
+    val store = read(spark, path)
+    // coarse prune = partition-column IN lists (directory pruning);
+    // the exact (table, part) pair filter rides on top scan-side
+    val pairKeys = dirs.map { case (t, p) => s"$t/$p" }.toSet
+    val current = store
+      .where(col("table").isin(tables: _*) && col(PartCol).isin(parts: _*))
+      .where(concat(col("table"), lit("/"), col(PartCol).cast(StringType))
+        .isin(pairKeys.toSeq: _*))
+    val survivors = current.join(withPart.select("table", "id"),
+      Seq("table", "id"), "left_anti")
+    val upserts = withPart.where(!col("deleted"))
+    val merged = survivors.unionByName(
+      upserts.select(survivors.columns.map(col).toIndexedSeq: _*))
+    // count the batch BEFORE the swap: `changes` may itself read from the
+    // store being merged (a counted-after lineage would re-read mutated
+    // directories)
+    val nDel = changes.where(col("deleted")).count()
+    val nUpsert = changes.count() - nDel
+    val tmp = path + ".merge.tmp"
+    merged.repartition(col("table"), col(PartCol))
+      .sortWithinPartitions("table", PartCol, "id")
+      .write.partitionBy("table", PartCol).mode("overwrite").parquet(tmp)
+    // per-directory swap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { case (t, p) =>
+      val rel = s"table=$t/$PartCol=$p"
+      val dst = new org.apache.hadoop.fs.Path(path, rel)
+      val src = new org.apache.hadoop.fs.Path(tmp, rel)
+      fs.delete(dst, true)
+      if (fs.exists(src)) { // a dir can empty out entirely (all deleted)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst), s"merge: could not install $rel")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    MergeStats(dirs.length.toLong, nUpsert, nDel)
+  }
+
   /** Write the store BUCKETED by document id (catalog table): repeated
     * joins and multiGets against a bucketed store are shuffle-free on the
     * store side — Spark matches the bucket hash partitioning instead of

@@ -89,6 +89,48 @@ object Search {
       .select("query_id", "rank", "doc_id", "matched_terms", "matched_tf")
   }
 
+  /** Positional postings: one row per (doc, token occurrence) with the
+    * 0-based token index — the index structure phrase and proximity
+    * queries need. ~L rows per doc of length L (vs the tf-collapsed
+    * [[postings]]): a real deployment persists it pruned
+    * ([[prunePostings]] applies unchanged: it keys on token). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+
+  /** Exact phrase search: occurrences of each query phrase as CONSECUTIVE
+    * tokens. The alignment trick makes this a single aggregate, no
+    * self-join per phrase word: each posting that matches phrase word i
+    * votes for anchor position (pos − i); an anchor collecting ALL m
+    * distinct offsets is a full occurrence (repeated phrase words are
+    * handled — the vote is keyed by offset, not token).
+    *
+    * Scale shape: phrase tokens broadcast; the corpus-sized postings
+    * stream is filtered to candidate tokens SCAN-SIDE by the broadcast
+    * join, so only postings of phrase words shuffle (stopword-heavy
+    * phrases: prune first, same rule as keyword search). One aggregate to
+    * (query, doc, anchor), one to (query, doc).
+    *
+    * Returns (query_id, doc_id, n_hits), docs with >= 1 full occurrence. */
+  def phraseHits(docs: DataFrame, queries: DataFrame, idCol: String,
+                 textCol: String, qIdCol: String, qTextCol: String): DataFrame = {
+    val p = positionalPostings(docs, idCol, textCol)
+    val qt = queries
+      .select(col(qIdCol).as("query_id"),
+        posexplode(toks(col(qTextCol))).as(Seq("offset", "token")))
+      .where(col("token") =!= "")
+    val qLen = qt.groupBy("query_id").agg(countDistinct("offset").as("m"))
+    val anchors = p.join(broadcast(qt), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("offset")).as("anchor"))
+      .agg(countDistinct("offset").as("n_offsets"))
+    anchors.join(broadcast(qLen), Seq("query_id"))
+      .where(col("n_offsets") === col("m") && col("anchor") >= 0)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** BM25 top-k (k1/b are the classic defaults). Corpus scalars (N, avgdl)
     * are one tiny aggregate collected to the driver — the same legitimate-
     * scalar budget as IVF centroids. Per-candidate work is a token-keyed

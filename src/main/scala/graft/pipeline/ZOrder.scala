@@ -50,6 +50,8 @@ object ZOrder {
       min(col(c).cast("double")).as(s"__min_$c"),
       max(col(c).cast("double")).as(s"__max_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // empty or first-column-all-null input: no range to scale, constant z
+    if (r.isNullAt(0)) return df.withColumn(zCol, lit(0L))
     val maxRank = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       val lo = r.getDouble(2 * i)

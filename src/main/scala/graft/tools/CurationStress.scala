@@ -349,6 +349,63 @@ object CurationStress {
       LinkGraph.anchorTerms(pages, "url", "html", topK = 5)
         .agg(sum(col("cnt"))).collect()(0).getLong(0)
     }
+    // KLL sketch in the APPROXIMATE regime: open domain (doc_id-salted
+    // lengths make distinct ~ rows), capacity 1024 — state stays O(k·log)
+    // per partial buffer and only sketches cross the shuffle
+    time("kll_quantiles", nDocs) {
+      docs.select((TextAnalysis.tokenCount(col("text")) * 1000 +
+          (col("doc_id") % 1000)).as("v"))
+        .agg(QuantileSketch.quantiles(col("v"), Seq(500, 990), capacity = 1024))
+        .collect()
+      nDocs
+    }
+    // WARC export + streaming re-parse: the CommonCrawl shard path —
+    // member-per-record gzip write, record-at-a-time parse off the
+    // PortableDataStream (no shard ever materializes in memory)
+    val warcTmp = System.getProperty("java.io.tmpdir") + "/curation_stress_warc"
+    time("warc_write", nDocs) {
+      Warc.writeWet(docs.select(
+          concat(lit("https://c.example/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")),
+        warcTmp, shards = 64)
+      nDocs
+    }
+    time("warc_read", nDocs) {
+      Warc.readWarcClean(spark, warcTmp).count()
+    }
+    // phrase search: positional postings filtered to phrase tokens
+    // SCAN-SIDE by the broadcast join — only candidate postings shuffle,
+    // then two bounded aggregates (anchor votes, per-doc hits)
+    time("phrase_search", nDocs) {
+      val qs = spark.createDataFrame(Seq((1, "table value"), (2, "fast merge"),
+        (3, "key agg row"))).toDF("q_id", "q_text")
+      Search.phraseHits(docs, qs, "doc_id", "text", "q_id", "q_text")
+        .agg(sum(col("n_hits"))).collect()
+      nDocs
+    }
+    // store OPTIMIZE: the small-file compaction pass (here: rewrite the
+    // replicated store in one (table,part,slot)-keyed shuffle)
+    time("store_optimize", nDocs) {
+      val p = System.getProperty("java.io.tmpdir") + "/curation_stress_store"
+      graft.engine.DocStore.write(docs
+        .select(lit("documents").as("table"), col("doc_id").cast("string").as("id"),
+          lit(1L).as("version"), col("text").as("body"))
+        .repartition(64), p)
+      val st = graft.engine.DocStore.optimize(spark, p)
+      println(s"CURATION_STRESS store_optimize_files ${st.filesBefore} -> ${st.filesAfter}")
+      nDocs
+    }
+    // Z-order clustered write: one min/max pass + scan-local Morton code +
+    // range-partitioned sorted write (the layout cost a nightly OPTIMIZE
+    // pays once to make every later box scan prune)
+    time("zorder_write", nDocs) {
+      val zTmp = System.getProperty("java.io.tmpdir") + "/curation_stress_z"
+      ZOrder.writeClustered(
+        docs.select(col("doc_id"), (col("doc_id") % 10007).cast("int").as("x"),
+          ((col("doc_id") * 31) % 10007).cast("int").as("y")),
+        zTmp, Seq("x", "y"), files = 64)
+      nDocs
+    }
     spark.stop()
   }
 }

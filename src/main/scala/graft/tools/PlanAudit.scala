@@ -25,7 +25,9 @@ object PlanAudit {
         "graph_pagerank", "emb_outliers", "sim_projected", "text_c4_rules",
         "pipeline_epochs", "graph_anchor_terms", "events_rolling",
         "decon_canary", "stats_topk_sketch", "pipeline_pack_binned", "dedup_winnow", "scan_multiget_weak",
-        "stats_quantile_sketch", "source_warc_roundtrip", "store_zorder_scan")
+        "stats_quantile_sketch", "source_warc_roundtrip", "store_zorder_scan",
+        "search_phrase", "store_optimize_scan", "store_merge_scan",
+        "catalog_analyze")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -258,4 +258,43 @@ class SearchSpec extends AnyFunSuite {
     val rates = Mixing.mixRates(d, "source", "text", Map("s0" -> 1.0), 1000000L)
     assert(rates("s0") === 1.0)
   }
+
+  test("phraseHits: consecutive-token matches incl. overlapping and repeated words") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),       // one "quick brown"
+      (2L, "quick brown quick brown"),   // two
+      (3L, "brown quick"),               // reversed: none
+      (4L, "a a a"),                     // overlapping "a a": two
+      (5L, "")                           // empty doc
+    ).toDF("doc_id", "text")
+    val qs = Seq((10, "quick brown"), (20, "a a"), (30, "missing phrase"))
+      .toDF("q_id", "q_text")
+    val got = Search.phraseHits(docs, qs, "doc_id", "text", "q_id", "q_text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((10, 1L) -> 1L, (10, 2L) -> 2L, (20, 4L) -> 2L))
+  }
+
+  test("PROPERTY: phraseHits matches a naive sliding-window count on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val phrases = Seq((1, "a b"), (2, "b b"), (3, "c a d"), (4, "a a"))
+    def naive(text: String, phrase: String): Long = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      val p = phrase.trim.toLowerCase.split("\\s+").toSeq
+      (0 to t.length - p.length).count(i => t.slice(i, i + p.length) == p).toLong
+    }
+    val expect = (for ((qid, ph) <- phrases; (did, text) <- docs;
+                       n = naive(text, ph) if n > 0) yield (qid, did) -> n).toMap
+    val got = Search.phraseHits(docs.toDF("doc_id", "text"),
+        phrases.toDF("q_id", "q_text"), "doc_id", "text", "q_id", "q_text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
 }
