@@ -579,15 +579,37 @@ object SparkEntry {
     // The oracle is content identity — optimize must be layout-only; the
     // file-count collapse and id-sort are DocStoreOptimizeSpec's job
     "store_optimize_scan" -> { (s, dir) =>
+      // orders only: the oracle covers one table, writing the rest of the
+      // placement would just pad the maintenance pass being measured
       val docs = materialized("placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+        .where(col("table") === "orders")
       val path = java.nio.file.Files
         .createTempDirectory("graft_store_opt_").toString + "/store"
-      DocStore.write(docs.repartition(24), path)
+      DocStore.write(docs.repartition(8), path)
       DocStore.optimize(s, path)
       DocStore.scan(s, path, """intrinsic("~table":"orders")""")
         .select(col("id").as("okey"),
           get_json_object(col("body"), "$.status").as("status"))
+    },
+
+    // snapshot generations: v1 published without every 7th orders doc,
+    // v2 with everything, then a TIME-TRAVEL read of v1 — generation
+    // isolation (v2's publish must not leak into the pinned read) is the
+    // oracle's assertion; pointer flips/rollback/vacuum are
+    // DocStoreSnapshotsSpec's job
+    "store_snapshot_scan" -> { (s, dir) =>
+      // orders only — same rationale as store_optimize_scan
+      val docs = materialized("placement", dir)(
+        ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+        .where(col("table") === "orders")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snap_").toString + "/snaps"
+      val okey = col("id").cast("long")
+      val v1 = DocStore.Snapshots.write(docs.where(okey % 7 =!= 0), root)
+      DocStore.Snapshots.write(docs, root)
+      DocStore.Snapshots.read(s, root, v1)
+        .select(col("id").as("okey"))
     },
 
     // CDC MERGE: a change batch (every 5th orders doc re-resolved with a
@@ -596,8 +618,10 @@ object SparkEntry {
     // matched-delete and survivor paths all exercised; the untouched-
     // directory guarantee is DocStoreMergeSpec's job
     "store_merge_scan" -> { (s, dir) =>
+      // orders only — same rationale as store_optimize_scan
       val docs = materialized("placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
+        .where(col("table") === "orders")
       val path = java.nio.file.Files
         .createTempDirectory("graft_store_merge_").toString + "/store"
       DocStore.write(docs, path)
@@ -2369,6 +2393,10 @@ object SparkEntry {
     "store_optimize_scan" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey, o_orderstatus AS status
         |FROM orders ORDER BY okey""".stripMargin,
+
+    "store_snapshot_scan" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey FROM orders
+        |WHERE o_orderkey % 7 <> 0 ORDER BY okey""".stripMargin,
 
     "store_merge_scan" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey,

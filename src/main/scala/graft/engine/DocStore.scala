@@ -234,6 +234,107 @@ object DocStore {
     MergeStats(dirs.length.toLong, nUpsert, nDel)
   }
 
+  // ------------------------------------------------- snapshot generations
+
+  /**
+   * Versioned snapshot generations with a `_LATEST` pointer — time travel
+   * and rollback for the resolved store (the parquet-side analog of the
+   * Stash export's `_LATEST` flip, `common/stash/StashUtil` semantics).
+   *
+   * Layout: `root/v=N/` holds a complete store generation; `root/_LATEST`
+   * holds the current version number. Publishing = write the new
+   * generation fully, then flip the pointer (temp-file + rename: readers
+   * see the old or the new generation, never a partial one). Rollback is
+   * a pointer flip to an older live generation; vacuum deletes
+   * generations past a retention count but never the pointed-at one.
+   *
+   * At 100 TB a full generation per snapshot is the BATCH cadence
+   * (weekly Stash-style exports); the hourly freshness path is [[merge]]
+   * against the latest generation — the two compose: merge mutates the
+   * newest generation in place, snapshots pin the states training runs
+   * need to reproduce.
+   */
+  object Snapshots {
+    private def fsOf(spark: SparkSession, root: String) =
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def latestPath(root: String) =
+      new org.apache.hadoop.fs.Path(root, "_LATEST")
+
+    /** Versions present on disk (sorted ascending). */
+    def versions(spark: SparkSession, root: String): Seq[Long] = {
+      val fs = fsOf(spark, root)
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) return Seq.empty
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+    }
+
+    /** The `_LATEST`-pointed version, if published. */
+    def latest(spark: SparkSession, root: String): Option[Long] = {
+      val fs = fsOf(spark, root)
+      if (!fs.exists(latestPath(root))) None
+      else {
+        val in = fs.open(latestPath(root))
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+
+    private def flipPointer(spark: SparkSession, root: String, v: Long): Unit = {
+      val fs = fsOf(spark, root)
+      val tmp = new org.apache.hadoop.fs.Path(root, s"._LATEST.$v.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(latestPath(root), false)
+      require(fs.rename(tmp, latestPath(root)), "snapshot: pointer flip failed")
+    }
+
+    /** Publish a new generation; returns its version number. */
+    def write(docs: DataFrame, root: String,
+              shards: Int = DefaultShards): Long = {
+      val spark = docs.sparkSession
+      val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
+      DocStore.write(docs, s"$root/v=$next", shards)
+      flipPointer(spark, root, next)
+      next
+    }
+
+    /** Read a generation (default: the `_LATEST`-pointed one). */
+    def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+      val v = if (version >= 0) version
+        else latest(spark, root).getOrElse(
+          throw new IllegalStateException(s"no published snapshot under $root"))
+      require(versions(spark, root).contains(v), s"snapshot v=$v not on disk")
+      DocStore.read(spark, s"$root/v=$v")
+    }
+
+    /** Point `_LATEST` back at an older live generation. */
+    def rollback(spark: SparkSession, root: String, to: Long): Unit = {
+      require(versions(spark, root).contains(to), s"cannot roll back to absent v=$to")
+      flipPointer(spark, root, to)
+    }
+
+    /** Delete generations beyond the newest `keep`, never the pointed-at
+      * one; returns the versions removed. */
+    def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+      require(keep >= 1, "vacuum must keep at least one generation")
+      val fs = fsOf(spark, root)
+      val all = versions(spark, root)
+      val pinned = latest(spark, root)
+      val drop = all.dropRight(keep).filterNot(pinned.contains)
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+        ()
+      }
+      drop
+    }
+  }
+
   /** Write the store BUCKETED by document id (catalog table): repeated
     * joins and multiGets against a bucketed store are shuffle-free on the
     * store side — Spark matches the bucket hash partitioning instead of
