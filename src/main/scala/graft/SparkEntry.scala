@@ -1696,6 +1696,28 @@ object SparkEntry {
           graft.pipeline.Urls.registeredDomain(graft.pipeline.Urls.normalize(raw)).as("domain"))
     },
 
+    // robots.txt longest-prefix-match rules (RFC 9309): the rule table
+    // rides as one array literal, the verdict is a scan-local chain of
+    // codegen'd higher-order functions (filter + array_max over
+    // (prefix_len, allow) structs — lexicographic struct order IS the
+    // longest-then-allow rule); zero joins, zero shuffles
+    "url_rules" -> { (s, dir) =>
+      import graft.pipeline.Urls
+      val docs = Tables.read(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit("/private/"))
+          .when(col("doc_id") % 4 === 1, lit("/private/blog/"))
+          .when(col("doc_id") % 4 === 2, lit("/public/"))
+          .otherwise(lit("/")),
+        lit("p"), col("doc_id").cast("string"))
+      val rules = Seq(
+        Urls.UrlRule("src1.example.com", "/private/", allow = false),
+        Urls.UrlRule("src1.example.com", "/private/blog/", allow = true),
+        Urls.UrlRule("src2.example.com", "/", allow = false))
+      Urls.applyRules(docs.select(col("doc_id"), url.as("url")), "url", rules)
+        .select("doc_id")
+    },
+
     // exact URL dedup after normalization: 500 docs collapse onto 97 pages
     // (case/www/utm/fragment variants of the same URL); one hash aggregate
     "url_dedup" -> { (s, dir) =>
@@ -3604,6 +3626,11 @@ object SparkEntry {
         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1),
         |    '[^.]+\.[^.]+$') AS domain
         |FROM s6 ORDER BY doc_id""".stripMargin,
+
+    "url_rules" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT ((source = 'src1' AND doc_id % 4 = 0) OR source = 'src2')
+        |ORDER BY doc_id""".stripMargin,
 
     "url_dedup" ->
       """SELECT 'https://mirror.example.com/page/' || CAST(doc_id % 97 AS VARCHAR) AS url_norm,

@@ -42,9 +42,12 @@ object Outliers {
   }
 
   /** Euclidean distance from a vector column to a fixed center, summed in
-    * index order (deterministic per row). */
+    * index order (deterministic per row). The center rides as ONE array
+    * literal (typedLit), not dims separate lit nodes — an element-wise
+    * `array(lit,lit,…)` at 384 dims makes janino compile a thousand-node
+    * expression per query (measured ~2s of fixed codegen latency). */
   def distanceTo(vecCol: Column, center: Array[Double]): Column = {
-    val c = array(center.toIndexedSeq.map(lit(_)): _*)
+    val c = typedLit(center.toIndexedSeq)
     sqrt(aggregate(
       zip_with(vecCol, c, (v, m) => (v.cast("double") - m) * (v.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x))

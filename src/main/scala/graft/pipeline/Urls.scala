@@ -147,4 +147,46 @@ object Urls {
         countDistinct(col("url_norm")).as("n_urls"),
         min(col(idCol)).as("first_id"))
   }
+
+  // -------------------------------------------------- robots-style rules
+
+  /** Path component of a URL ("" if none; query/fragment excluded). */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** A robots.txt-style rule: allow/disallow a path prefix on a host. */
+  final case class UrlRule(host: String, pathPrefix: String, allow: Boolean)
+
+  /**
+   * Longest-prefix-match URL rule verdict (RFC 9309 §2.2.2 robots.txt
+   * semantics — the filter a compliant crawl pipeline applies before
+   * fetching, and a curation pipeline re-applies when a site's rules
+   * arrive after the crawl): among the rules whose host matches the
+   * URL's host and whose path prefix starts the URL's path, the LONGEST
+   * prefix wins; at equal length `allow` wins; a URL matching no rule is
+   * allowed.
+   *
+   * Scale shape: the rule table rides the plan as ONE array literal
+   * (rule sets are per-host and small), and the verdict is computed
+   * SCAN-LOCALLY with codegen'd higher-order functions — filter the rule
+   * array per row, take `array_max` over (prefix_length, allow) structs
+   * (lexicographic struct ordering implements exactly the
+   * longest-then-allow rule). Zero joins, zero shuffles, no UDF.
+   */
+  def ruleVerdict(url: Column, rules: Seq[UrlRule]): Column = {
+    require(rules.nonEmpty, "ruleVerdict needs at least one rule")
+    val rulesLit = typedLit(rules.map(r => (r.host, r.pathPrefix, r.allow)))
+    val h = host(url)
+    val p = path(url)
+    val matching = filter(rulesLit, r =>
+      r.getField("_1") === h && startswith(p, r.getField("_2")))
+    val best = array_max(transform(matching, r =>
+      struct(length(r.getField("_2")).as("len"), r.getField("_3").as("allow"))))
+    coalesce(best.getField("allow"), lit(true))
+  }
+
+  /** Rows of `df` whose URL the rules allow (null URLs kept — no URL, no
+    * rule to violate; the NOT-NULL gate is a separate quality filter). */
+  def applyRules(df: DataFrame, urlCol: String, rules: Seq[UrlRule]): DataFrame =
+    df.where(col(urlCol).isNull || ruleVerdict(col(urlCol), rules))
 }

@@ -882,4 +882,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids === Set(11L, 13L), "store hits dropped in every micro-batch")
     } finally query.stop()
   }
+
+  test("streaming KLL sketch: grouped quantiles over micro-batches equal the batch result") {
+    import graft.pipeline.QuantileSketch
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 600).map(i => (s"g${i % 3}", rnd.nextInt(100000).toLong))
+    val input = MemoryStream[(String, Long)]
+    // complete-mode grouped aggregate: the TypedImperativeAggregate's
+    // serialize/merge path is exactly what the state store exercises
+    val agg = input.toDS().toDF("g", "v")
+      .groupBy("g")
+      .agg(QuantileSketch.quantiles(col("v"), Seq(500, 900), capacity = 1024).as("qs"))
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kll_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_kll").toString)
+      .start()
+    try {
+      rows.grouped(150).foreach { chunk => input.addData(chunk); query.processAllAvailable() }
+      val streamed = spark.table("kll_stream_out")
+        .select(col("g"), explode(col("qs")).as("q"))
+        .select(col("g"), col("q.q_permille"), col("q.value"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = rows.toDF("g", "v").groupBy("g")
+        .agg(QuantileSketch.quantiles(col("v"), Seq(500, 900), capacity = 1024).as("qs"))
+        .select(col("g"), explode(col("qs")).as("q"))
+        .select(col("g"), col("q.q_permille"), col("q.value"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // exact regime (200 values per group << capacity): both are the
+      // exact discrete quantile, so equality is guaranteed, not just close
+      assert(streamed === batch)
+    } finally query.stop()
+  }
 }

@@ -196,4 +196,61 @@ class UrlsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("a.com", 3L, 2L, 1L), ("b.net", 1L, 1L, 4L)))
   }
+
+  test("ruleVerdict: longest prefix wins, allow wins ties, no match allows, null kept") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      Urls.UrlRule("a.com", "/private/", allow = false),
+      Urls.UrlRule("a.com", "/private/blog/", allow = true),
+      Urls.UrlRule("a.com", "/tie/", allow = false),
+      Urls.UrlRule("a.com", "/tie/", allow = true),
+      Urls.UrlRule("b.com", "/", allow = false))
+    val df = Seq(
+      Some("https://a.com/private/x"),      // blocked
+      Some("https://a.com/private/blog/x"), // longer allow wins
+      Some("https://a.com/tie/x"),          // equal length -> allow wins
+      Some("https://a.com/open/x"),         // no match -> allowed
+      Some("https://b.com/anything"),       // host-wide block
+      Some("https://c.com/private/x"),      // other host: rules don't apply
+      None                                   // null url kept
+    ).toDF("url")
+    val kept = Urls.applyRules(df, "url", rules)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(kept === Set(Some("https://a.com/private/blog/x"),
+      Some("https://a.com/tie/x"), Some("https://a.com/open/x"),
+      Some("https://c.com/private/x"), None))
+  }
+
+  test("PROPERTY: ruleVerdict matches a naive longest-match reference on random URLs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(71)
+    val hosts = Vector("h0.com", "h1.com", "h2.com")
+    val segs = Vector("a", "b", "c")
+    val rules = (0 until 12).map { _ =>
+      val depth = rnd.nextInt(3)
+      val prefix = "/" + (0 until depth).map(_ => segs(rnd.nextInt(3)) + "/").mkString
+      Urls.UrlRule(hosts(rnd.nextInt(3)), prefix, rnd.nextBoolean())
+    }
+    val urls = (0 until 300).map { _ =>
+      val depth = rnd.nextInt(4)
+      s"https://${hosts(rnd.nextInt(3))}/" +
+        (0 until depth).map(_ => segs(rnd.nextInt(3)) + "/").mkString + "page"
+    }
+    def naive(u: String): Boolean = {
+      val host = u.stripPrefix("https://").takeWhile(_ != '/')
+      val path = u.stripPrefix("https://" + host)
+      val m = rules.filter(r => r.host == host && path.startsWith(r.pathPrefix))
+      if (m.isEmpty) true
+      else {
+        val maxLen = m.map(_.pathPrefix.length).max
+        m.filter(_.pathPrefix.length == maxLen).exists(_.allow)
+      }
+    }
+    val got = urls.toDF("url")
+      .select(col("url"), Urls.ruleVerdict(col("url"), rules).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1))
+    got.foreach { case (u, v) => assert(v === naive(u), u) }
+  }
 }
