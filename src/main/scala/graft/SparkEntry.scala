@@ -586,7 +586,9 @@ object SparkEntry {
         .where(col("table") === "orders")
       val path = java.nio.file.Files
         .createTempDirectory("graft_store_opt_").toString + "/store"
-      DocStore.write(docs.repartition(8), path)
+      // plant the accretion pattern (8 writer tasks x 16 dirs of small
+      // files) that the OPTIMIZE pass being measured must collapse
+      DocStore.writeFragmented(docs, path, tasks = 8)
       DocStore.optimize(s, path)
       DocStore.scan(s, path, """intrinsic("~table":"orders")""")
         .select(col("id").as("okey"),

@@ -42,10 +42,50 @@ object DocStore {
   /** Number of storage partitions per table (RowKeyUtils.java:21 fan-out). */
   val DefaultShards = 16
 
-  /** Write resolved docs (DocRow columns) as the partitioned store. */
-  def write(docs: DataFrame, path: String, shards: Int = DefaultShards): Unit =
+  /** Write resolved docs (DocRow columns) as the partitioned store.
+    *
+    * The shuffle is ALIGNED with the directory layout: rows repartition by
+    * (table, part[, slot]) so each (table, part) directory receives exactly
+    * `writeSlots` files no matter how the input was partitioned — an
+    * unaligned write makes every upstream task open a writer per directory
+    * it touches (P tasks × 16 parts = P·16 KB-sized files per table), and
+    * every later listing/merge/scan pays for that fragmentation. Rows are
+    * id-sorted within files so point-get / multiGet scans prune on parquet
+    * min/max id stats — the same layout [[optimize]] restores after
+    * streaming appends. `writeSlots` is the write-parallelism/file-size
+    * knob: tasks = dirs × slots, bytes-per-file = dirBytes / slots; raise
+    * it for huge tables (optimize later resizes by measured bytes). AQE
+    * may coalesce slots of a SMALL directory back into one task — benign:
+    * exactly the dirs that didn't need the extra files. */
+  def write(docs: DataFrame, path: String, shards: Int = DefaultShards,
+            writeSlots: Int = 1): Unit = {
+    val withPart = docs.withColumn(PartCol,
+      expressions.emoPartition(col("table"), col("id"), shards))
+    val aligned =
+      if (writeSlots <= 1) withPart.repartition(col("table"), col(PartCol))
+      else withPart
+        .withColumn("__slot", pmod(xxhash64(col("id")), lit(writeSlots.toLong)))
+        .repartition(col("table"), col(PartCol), col("__slot"))
+        .drop("__slot")
+    aligned
+      .sortWithinPartitions("table", PartCol, "id")
+      .write
+      .partitionBy("table", PartCol)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Write WITHOUT aligning the shuffle to the directory layout: `tasks`
+    * writer tasks each open a file in every directory they touch — the
+    * many-small-files accretion pattern a per-micro-batch streaming
+    * materializer leaves behind. This is the fixture generator for the
+    * maintenance path ([[optimize]] exists to repair exactly this layout);
+    * production batch writes go through [[write]], which cannot fragment. */
+  def writeFragmented(docs: DataFrame, path: String,
+                      shards: Int = DefaultShards, tasks: Int = 8): Unit =
     docs
       .withColumn(PartCol, expressions.emoPartition(col("table"), col("id"), shards))
+      .repartition(tasks)
       .write
       .partitionBy("table", PartCol)
       .mode("overwrite")

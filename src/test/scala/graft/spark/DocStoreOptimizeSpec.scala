@@ -37,7 +37,7 @@ class DocStoreOptimizeSpec extends AnyFunSuite {
     val docs = docsDf(2000)
     val path = java.nio.file.Files.createTempDirectory("dso_").toString + "/store"
     // accretion pattern: 16 writer tasks -> up to 16 files per directory
-    DocStore.write(docs.repartition(16), path)
+    DocStore.writeFragmented(docs, path, tasks = 16)
     val before = dataFiles(path).size
     val contentBefore = DocStore.read(spark, path)
       .select("table", "id", "version", "body")
@@ -64,7 +64,7 @@ class DocStoreOptimizeSpec extends AnyFunSuite {
   test("oversized directories split across multiple id-sorted files") {
     val docs = docsDf(3000)
     val path = java.nio.file.Files.createTempDirectory("dso_split_").toString + "/store"
-    DocStore.write(docs.repartition(4), path)
+    DocStore.writeFragmented(docs, path, tasks = 4)
     val perDirBytes = dataFiles(path)
       .groupBy(_.getParentFile.toString).map(_._2.map(_.length).sum)
     // target ~1/3 of the biggest directory: splits must happen
