@@ -39,14 +39,22 @@ object DocStore {
 
   val PartCol = "part"
 
+  /** Internal shuffle-salt column for slot-aligned writes; deliberately
+    * namespaced so it cannot silently collide with (and overwrite) a
+    * caller's data column — [[write]]/[[optimize]] assert its absence. */
+  val SlotCol = "__graft_write_slot"
+
   /** Number of storage partitions per table (RowKeyUtils.java:21 fan-out). */
   val DefaultShards = 16
 
   /** Write resolved docs (DocRow columns) as the partitioned store.
     *
     * The shuffle is ALIGNED with the directory layout: rows repartition by
-    * (table, part[, slot]) so each (table, part) directory receives exactly
-    * `writeSlots` files no matter how the input was partitioned — an
+    * (table, part[, slot]) so each (table, part) directory receives AT MOST
+    * `writeSlots` files no matter how the input was partitioned (hash
+    * collisions in the shuffle-partition space or AQE coalescing can land
+    * two slots of one directory in the same task, merging them — strictly
+    * fewer files, never more) — an
     * unaligned write makes every upstream task open a writer per directory
     * it touches (P tasks × 16 parts = P·16 KB-sized files per table), and
     * every later listing/merge/scan pays for that fragmentation. Rows are
@@ -59,14 +67,16 @@ object DocStore {
     * exactly the dirs that didn't need the extra files. */
   def write(docs: DataFrame, path: String, shards: Int = DefaultShards,
             writeSlots: Int = 1): Unit = {
+    require(!docs.columns.contains(SlotCol),
+      s"DocStore.write: input must not carry the internal column $SlotCol")
     val withPart = docs.withColumn(PartCol,
       expressions.emoPartition(col("table"), col("id"), shards))
     val aligned =
       if (writeSlots <= 1) withPart.repartition(col("table"), col(PartCol))
       else withPart
-        .withColumn("__slot", pmod(xxhash64(col("id")), lit(writeSlots.toLong)))
-        .repartition(col("table"), col(PartCol), col("__slot"))
-        .drop("__slot")
+        .withColumn(SlotCol, pmod(xxhash64(col("id")), lit(writeSlots.toLong)))
+        .repartition(col("table"), col(PartCol), col(SlotCol))
+        .drop(SlotCol)
     aligned
       .sortWithinPartitions("table", PartCol, "id")
       .write
@@ -178,10 +188,12 @@ object DocStore {
       if (totalRows == 0L) Long.MaxValue
       else math.max(1L, (targetFileBytes.toDouble /
         math.max(1.0, totalBytes.toDouble / totalRows)).toLong)
-    df.withColumn("__slot", pmod(xxhash64(col("id")), slots))
-      .repartition(col("table"), col(PartCol), col("__slot"))
+    require(!df.columns.contains(SlotCol),
+      s"DocStore.optimize: store must not carry the internal column $SlotCol")
+    df.withColumn(SlotCol, pmod(xxhash64(col("id")), slots))
+      .repartition(col("table"), col(PartCol), col(SlotCol))
       .sortWithinPartitions("table", PartCol, "id")
-      .drop("__slot")
+      .drop(SlotCol)
       .write.partitionBy("table", PartCol).mode("overwrite")
       .option("maxRecordsPerFile", maxRecords)
       .parquet(tmp.toString)
@@ -250,9 +262,12 @@ object DocStore {
       upserts.select(survivors.columns.map(col).toIndexedSeq: _*))
     // count the batch BEFORE the swap: `changes` may itself read from the
     // store being merged (a counted-after lineage would re-read mutated
-    // directories)
-    val nDel = changes.where(col("deleted")).count()
-    val nUpsert = changes.count() - nDel
+    // directories); one combined pass — the batch lineage can be expensive
+    val statsRow = changes.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("deleted"), 1L).otherwise(0L)), lit(0L)).as("nd"))
+      .head()
+    val nDel = statsRow.getLong(1)
+    val nUpsert = statsRow.getLong(0) - nDel
     val tmp = path + ".merge.tmp"
     merged.repartition(col("table"), col(PartCol))
       .sortWithinPartitions("table", PartCol, "id")

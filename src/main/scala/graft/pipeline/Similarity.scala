@@ -176,10 +176,10 @@ object Similarity {
     * neighbors (the input to graph-based curation — connected-component
     * dedup over similarity edges, graph diversity sampling). Candidates
     * come from the LSH bucket self-join (ids-only through the shuffle,
-    * vectors re-join by id); because every row is a query here, the
-    * scored stream is REPARTITIONED BY QUERY before the heap rank so
-    * per-partition heap state is (N/numPartitions) × k rows — the
-    * unbounded-Q case [[rankTopKPerQuery]]'s contract warns about.
+    * vectors re-join by id); because every row is a query here (the
+    * unbounded-Q case [[rankTopKPerQuery]]'s contract warns about), the
+    * rank is a plain window — Spark's WindowGroupLimit pushes a
+    * spillable partial top-k below the single query-keyed exchange.
     * Returns (id, rank, neighbor_id, score); rows whose buckets yield no
     * candidates are absent (isolated points have no edges). */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -204,8 +204,21 @@ object Similarity {
       .join(base.select(col("id").as("neighbor_id"), col("vec").as("cv")), "neighbor_id")
       .withColumn("score", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "score")
-      .repartition(col("query_id"))
-    rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
+    // Q = N here ("every row is a query"), which breaks
+    // [[rankTopKPerQuery]]'s small-Q heap contract: per-partition heap
+    // maps would retain up to a whole partition's rows as JVM objects, and
+    // the grouped variant (repartition(query_id) first) pays a full-stream
+    // exchange just to bound them. The plain rank window is the better
+    // plan in this regime — Catalyst plans it as Sort +
+    // WindowGroupLimit(Partial) BELOW the shuffle (a spillable,
+    // codegen'd streaming top-k that sends only <= k rows per
+    // (query, partition) into the exchange), then WindowGroupLimit(Final)
+    // + Window above it: exactly one query-keyed exchange, Tungsten rows
+    // throughout, no heap-map state. Spec-pinned in CurationOpsSpec (one
+    // hashpartitioning(query_id) exchange, partial group-limit below it).
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id").as("id"), col("rank"), col("neighbor_id"), col("score"))
   }
 

@@ -90,10 +90,12 @@ object TextClean {
                            sepRegex: String): Column = {
     val segs = TextAnalysis.segments(textCol, sepRegex)
     if (boiler.isEmpty) segs
-    else {
-      val boilerArr = array(boiler.map(lit): _*)
-      filter(segs, s => !array_contains(boilerArr, s))
-    }
+    // hash-SET membership, not array_contains over a plan-literal array:
+    // per-segment cost is one hash probe regardless of |boiler| (a 100k
+    // list under array_contains is 100k string compares per segment —
+    // O(segments × |boiler|) over the corpus). Exact string equality, so
+    // the oracle's NOT IN formulation is matched bit-for-bit.
+    else filter(segs, s => !textExpressions.inStringSet(s, boiler))
   }
 
   /** The rewrite half: text with a known boilerplate list stripped,

@@ -251,6 +251,33 @@ case class BigramCoverageExpr(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** O(1) membership probe against a fixed string set — the scale-safe
+  * replacement for `array_contains(array(lit...), x)`, whose plan-literal
+  * array costs O(|set|) string compares PER PROBE (O(segments × |set|)
+  * over a corpus for boilerplate stripping). The set rides in the
+  * serialized plan exactly like the literal array did (shipped once per
+  * executor via the broadcast task binary, not per task), but the probe is
+  * a single hash lookup, so per-segment cost is independent of |set|.
+  * Exact string semantics — no hashing false-positives. */
+case class StringSetContainsExpr(child: Expression, strings: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  // UTF8String has value-based equals/hashCode, so probes need no decode
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](strings.size * 2)
+    strings.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    set.contains(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Ordered, NON-distinct word n-grams in ONE tokenization pass — output
   * parity with the builtin [[TextAnalysis.wordNgrams]] (whose
   * slice-per-gram formulation costs O(n²) array work per document; this
@@ -344,6 +371,9 @@ object UnicodeNormalizeExpr {
 object textExpressions {
   def wordNgrams(text: Column, n: Int): Column =
     GraftBridge.column(WordNgramsExpr(GraftBridge.expression(text), n))
+
+  def inStringSet(text: Column, strings: Seq[String]): Column =
+    GraftBridge.column(StringSetContainsExpr(GraftBridge.expression(text), strings))
 
   def bigramCoverage(text: Column, vocab: Seq[String]): Column =
     GraftBridge.column(BigramCoverageExpr(GraftBridge.expression(text), vocab))

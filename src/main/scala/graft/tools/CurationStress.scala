@@ -383,16 +383,21 @@ object CurationStress {
         .agg(sum(col("n_hits"))).collect()
       nDocs
     }
-    // store OPTIMIZE: the small-file compaction pass (here: rewrite the
-    // replicated store in one (table,part,slot)-keyed shuffle)
+    // store OPTIMIZE: the small-file compaction pass. The fixture must be
+    // genuinely fragmented — writeFragmented (64 unaligned writer tasks,
+    // each opening a file per directory it touches) is the accretion
+    // pattern optimize exists to repair; DocStore.write would align the
+    // shuffle and hand optimize a pre-compacted no-op store.
     time("store_optimize", nDocs) {
       val p = System.getProperty("java.io.tmpdir") + "/curation_stress_store"
-      graft.engine.DocStore.write(docs
+      graft.engine.DocStore.writeFragmented(docs
         .select(lit("documents").as("table"), col("doc_id").cast("string").as("id"),
-          lit(1L).as("version"), col("text").as("body"))
-        .repartition(64), p)
+          lit(1L).as("version"), col("text").as("body")),
+        p, tasks = 64)
       val st = graft.engine.DocStore.optimize(spark, p)
       println(s"CURATION_STRESS store_optimize_files ${st.filesBefore} -> ${st.filesAfter}")
+      require(st.filesBefore > st.filesAfter,
+        s"store_optimize fixture was not fragmented (${st.filesBefore} -> ${st.filesAfter})")
       nDocs
     }
     // Z-order clustered write: one min/max pass + scan-local Morton code +

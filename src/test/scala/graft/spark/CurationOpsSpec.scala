@@ -261,6 +261,15 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(top1(500L + i) === i.toLong, s"copy ${500 + i} top-1")
       assert(top1(i.toLong) === 500L + i, s"original $i top-1")
     }
+    // plan contract for the Q = N regime: the rank is a plain window with
+    // Spark's partial top-k pushed below its shuffle (spillable, codegen),
+    // and no extra explicit repartition rides in front of it
+    val plan = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit (partial top-k pushdown) in plan:\n$plan")
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"unexpected explicit repartition in knnGraph plan:\n$plan")
   }
 
   test("ivfBuild auto-sizes cells to ~sqrt(N) when nCells <= 0") {
