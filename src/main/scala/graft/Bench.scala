@@ -3,8 +3,76 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Perf harness: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line (driver contract). */
+  * prints one JSON line (driver contract). Also measures the STREAMING
+  * runtime (materializer fold + databus fanout — the reference's core
+  * serving path) so a `flatMapGroupsWithState` or fanout-expression
+  * regression lands in the artifact like any batch operator, and writes
+  * the full per-query map to BENCH_full_latest.json so per-query history
+  * survives the bounded-width stdout tail line. */
 object Bench {
+
+  /** Streaming rows for the bench artifact: (name, seconds, rows/sec). */
+  private def streamingRows(spark: SparkSession, sfDir: String): Seq[(String, Double, Double)] = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    // materializer: drive the full change log through the streaming fold in
+    // 5 micro-batches (tools/StreamStress methodology — MemoryStream +
+    // processAllAvailable, so the measured time is the state-store fold, not
+    // source latency)
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val all = graft.engine.EventLog.changes(spark, sfDir)
+        .select("table", "key", "ms", "seq", "node", "delta", "tags")
+        .as[graft.resolve.ChangeRow].collect()
+      val input = MemoryStream[graft.resolve.ChangeRow]
+      val q = graft.streaming.Materializer.materialize(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("bench_stream_out")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
+        .start()
+      val t0 = System.nanoTime()
+      all.grouped(all.length / 5 + 1).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      out += (("streaming_materializer", secs, all.length / secs))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming_materializer failed: ${e.getMessage}")
+      out += (("streaming_materializer", -1.0, -1.0))
+    }
+
+    // fanout at 500 standing subscriptions over the change log — the
+    // single-scan MultiSubscriptionMatch path (DefaultFanout's real
+    // cardinality); measured as events/s through the match + explode
+    try {
+      val events = graft.engine.EventLog.changes(spark, sfDir)
+        .select("table", "key", "ms", "seq", "node", "tags")
+      val types = Seq("purchase", "view", "error", "signup")
+      val subs = (1 to 500).map { i =>
+        val cond = i % 4 match {
+          case 0 => s"""{..,"~tags":contains("${types(i % types.size)}")}"""
+          case 1 => s"""intrinsic("~id":like("k${i % 10}*"))"""
+          case 2 => """and(intrinsic("~table":"events"),{..,"~tags":containsAny("error","view")})"""
+          case _ => s"""not({..,"~tags":contains("${types(i % types.size)}")})"""
+        }
+        graft.streaming.Subscription(s"sub$i", cond)
+      }
+      val nEvents = events.count()
+      val t0 = System.nanoTime()
+      graft.streaming.Databus.fanout(events, subs).queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      out += (("streaming_fanout500", secs, nEvents / secs))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming_fanout500 failed: ${e.getMessage}")
+      out += (("streaming_fanout500", -1.0, -1.0))
+    }
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,6 +81,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // OFF: executor logs share the forked process's console with the
@@ -51,13 +121,30 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // streaming rows: one pass (a streaming query replays from its own
+    // checkpoint, so rep-min semantics don't apply); throughput lands in
+    // the full-artifact file
+    val streaming = streamingRows(spark, sfDir)
     val results = named.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).min
-    }
+    } ++ streaming.map { case (n, s, _) => n -> s }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"materialize"}""")
+    val throughput = streaming.map { case (n, _, rps) =>
+      "\"" + n + "_rows_per_sec\":" + f"$rps%.0f" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"materialize","streaming":$throughput}"""
+    println(fullLine)
+    // full per-query artifact ON DISK: the stdout tail line below is
+    // bounded-width by design (it drops most per-query entries), so the
+    // complete map is persisted here for round-over-round diffing
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_full_latest.json: ${e.getMessage}")
+    }
     // The per-query line above grows with the query count and can outrun a
     // log tail window; this compact line is printed LAST so any tail of
     // stdout always contains one complete, parseable JSON record. It keeps
@@ -66,10 +153,10 @@ object Bench {
     // bounded regardless of how many operators SparkEntry declares.
     val headline = Seq("resolve_fold", "scan_multi_table", "join_fanout",
       "dedup_minhash", "sim_topk", "stash_roundtrip", "pipeline_curation",
-      "cond_bool_algebra")
+      "cond_bool_algebra", "streaming_materializer", "streaming_fanout500")
     val hq = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir","streaming":$throughput}""")
     spark.stop()
   }
 }

@@ -693,6 +693,22 @@ object SparkEntry {
         .select(col("p_partkey")).orderBy("p_partkey")
     },
 
+    // §2.10 SQL surface end-to-end: the condition DSL through spark.sql
+    // TEXT via the registered `emo_cond` function — FunctionRegistry →
+    // EmoCondEval parity-eval path, oracle-gated (the DataFrame queries
+    // above never exercise the SQL parser + registry route)
+    "cond_sql" -> { (s, dir) =>
+      graft.engine.GraftFunctions.register(s)
+      Tables.read(s, dir, "part")
+        .selectExpr("p_partkey",
+          "to_json(struct(p_size, p_brand, p_type)) AS body")
+        .createOrReplaceTempView("graft_cond_sql_part")
+      s.sql(
+        """SELECT p_partkey FROM graft_cond_sql_part
+          |WHERE emo_cond(body, '{..,"p_size":in(5,10,15),"p_type":like("ECO*")}')
+          |ORDER BY p_partkey""".stripMargin)
+    },
+
     "cond_bool_algebra" -> { (s, dir) =>
       val o = Tables.read(s, dir, "orders")
       val c = graft.condition.Conditions.fromString(
@@ -2450,6 +2466,11 @@ object SparkEntry {
     "cond_like" ->
       """SELECT p_partkey FROM part
         |WHERE p_type LIKE 'ECO%' AND p_name LIKE '%widget%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "cond_sql" ->
+      """SELECT p_partkey FROM part
+        |WHERE p_size IN (5,10,15) AND p_type LIKE 'ECO%'
         |ORDER BY p_partkey""".stripMargin,
 
     "cond_bool_algebra" ->

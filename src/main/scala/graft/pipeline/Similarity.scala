@@ -476,6 +476,29 @@ object Similarity {
    */
   def pqTopK(codebooks: Seq[Seq[Seq[Double]]], index: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, rerank: Int = 64): DataFrame = {
+    val candidates = pqAdcCandidates(codebooks, index, queries, idCol, vecCol, rerank)
+      .select("query_id", "neighbor_id")
+    // raw vectors re-join for the <= Q*rerank survivors only
+    val withVec = candidates.join(
+      index.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = withVec.join(broadcast(q), Seq("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(exact, "query_id", "score", "neighbor_id", k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** The ADC candidate-generation half of [[pqTopK]], with the ADC rank
+    * exposed: (query_id, neighbor_id, rank), rank 1 = best approximate
+    * score, rank <= rerank. Split out so harnesses can assert a planted
+    * neighbor's survival MARGIN (rank well under rerank, i.e. headroom
+    * against denser corpora), not merely that it survived — a fixture
+    * whose planted copy scrapes in at rank = rerank flips silently on the
+    * next scale-up. */
+  def pqAdcCandidates(codebooks: Seq[Seq[Seq[Double]]], index: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      rerank: Int): DataFrame = {
     val m = codebooks.size
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).collect()
     val qIds = qRows.map(_.get(0))
@@ -505,17 +528,8 @@ object Similarity {
       .withColumn("query_id", element_at(qIdLit, col("pos") + 1))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("col").as("adc"))
-    val candidates = rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
-      .select("query_id", "neighbor_id")
-    // raw vectors re-join for the <= Q*rerank survivors only
-    val withVec = candidates.join(
-      index.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val exact = withVec.join(broadcast(q), Seq("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
-      .select("query_id", "neighbor_id", "score")
-    rankTopKPerQuery(exact, "query_id", "score", "neighbor_id", k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
+      .select("query_id", "neighbor_id", "rank")
   }
 
   /**

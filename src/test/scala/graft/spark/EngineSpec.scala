@@ -299,6 +299,31 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall too low: $recall")
   }
 
+  test("sim_pq harness margin: planted copy's ADC rank has rerank/2 headroom at the correctness SF") {
+    // mirrors SparkEntry's sim_pq fixture at the SF the driver verifies
+    // (sf0.01): the oracle match relies on the planted copy SURVIVING ADC
+    // candidate generation at rerank=64 — this pins the survival margin
+    // (rank <= rerank/2), so a denser future corpus that erodes ADC
+    // separation fails HERE loudly instead of flipping the oracle silently
+    val emb = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.unionByName(queries.withColumn("vec_id", col("vec_id") + 1000000L))
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val index = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
+    val rerank = 64
+    val copyRanks = Similarity.pqAdcCandidates(books, index, queries,
+        "vec_id", "embedding", rerank)
+      .where(col("neighbor_id") === col("query_id") + 1000000L)
+      .select("query_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 10L).foreach { q =>
+      val r = copyRanks.getOrElse(q,
+        fail(s"query $q: planted copy did not survive ADC candidate generation"))
+      assert(r <= rerank / 2,
+        s"query $q: planted copy's ADC rank $r has no headroom against rerank=$rerank")
+    }
+  }
+
   test("plan contract: ANN top-k ranks per (query, input-partition) first — no corpus-wide single-reducer sort") {
     val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.where(col("vec_id") < 3)
