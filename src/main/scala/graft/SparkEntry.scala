@@ -1034,6 +1034,26 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
     },
 
+    // IVF-PQ composed (the billion-scale FAISS IndexIVFPQ shape): coarse
+    // cells prune candidates to nProbe/nCells of the corpus, PQ ADC scores
+    // only probed pairs, exact cosine re-ranks. Planted-copy construction:
+    // the identical copy lands in the query's own nearest cell (same
+    // assignment expression), encodes to identical codes, tops ADC, and
+    // exact re-rank returns it at cosine 1.0 — the oracle's exact top-1
+    "sim_ivfpq" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val corpus = emb.unionByName(
+        queries.withColumn("vec_id", col("vec_id") + 1000000L))
+      val (centroids, _) = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", centroids, books)
+      Similarity.ivfPqTopK(centroids, books, index, queries,
+          "vec_id", "embedding", k = 1, nProbe = 4, rerank = 64)
+        .select("query_id", "rank", "neighbor_id")
+    },
+
     // ========================================================== pipeline: text
     "text_tokens" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
@@ -1388,6 +1408,29 @@ object SparkEntry {
       graft.pipeline.Quantize.quantizeAll(emb, "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("qmin"), col("qscale"),
           aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+    },
+
+    // data-map k-means on a planted 3-group fixture: each vector gets a
+    // dominant one-hot group dimension (group = vec_id % 3) with the
+    // natural embedding scaled down to noise, so the groups are
+    // near-orthogonal — farthest-point seeding then puts one seed per
+    // group (cross-group distance dominates the pool) and Lloyd
+    // assignment recovers the groups EXACTLY. Cluster ids are arbitrary,
+    // so the output canonicalizes each cluster to its minimum member id —
+    // a label the oracle computes without running k-means
+    "emb_kmeans" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val g = pmod(col("vec_id"), lit(3)).cast("int")
+      val planted = emb.select(col("vec_id"),
+        concat(
+          array((0 until 3).map(i => when(g === i, lit(100.0)).otherwise(lit(0.0))): _*),
+          transform(col("embedding"), x => x * lit(0.01))).as("vec"))
+      val (_, assigned) = Similarity.kmeans(planted, "vec_id", "vec", k = 3, iters = 2)
+      val labels = assigned.groupBy("cluster").agg(min("id").as("label"))
+      assigned.select(col("id").as("vec_id"), col("cluster"))
+        .join(broadcast(labels), "cluster")
+        .select(col("vec_id"), col("label").cast("bigint").as("cluster_label"))
+        .orderBy("vec_id")
     },
 
     // serving-path top-k over the QUANTIZED store (midpoint dequantize +
@@ -2745,6 +2788,20 @@ object SparkEntry {
         |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
         |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_ivfpq" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM all_v WHERE vec_id < 10)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
+        |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
     "cond_partition" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS INTEGER), CAST(20 AS BIGINT)),
@@ -3514,6 +3571,11 @@ object SparkEntry {
         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans
         |FROM all_docs a LEFT JOIN p ON a.doc_id = p.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "emb_kmeans" ->
+      """SELECT vec_id,
+        |  CAST(min(vec_id) OVER (PARTITION BY vec_id % 3) AS BIGINT) AS cluster_label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "emb_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -303,14 +303,27 @@ object Similarity {
       .select("vec").collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toSeq)
       .toSeq
+    centroids = lloydRefine(base, centroids, iters)
+    val index = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
+    (centroids, index)
+  }
+
+  /** Exact Lloyd refinement passes over driver-held centroids (shared by
+    * [[ivfBuild]] and [[kmeans]]): assign every row to its max-cosine
+    * centroid, recompute per-centroid dimension means, repeat. Decimal
+    * accumulation — exact and associative, so the mean (and hence every
+    * centroid) is identical under ANY partitioning; double `avg` wobbles
+    * with float summation order across hosts. Empty cells keep their old
+    * centroid. One scan + one (cell, pos)-keyed aggregate per iteration;
+    * driver state is k × dims doubles. */
+  private def lloydRefine(base: DataFrame, seeds: Seq[Seq[Double]],
+                          iters: Int): Seq[Seq[Double]] = {
+    var centroids = seeds
     var it = 0
     while (it < iters) {
       val assigned = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
-        // decimal accumulation: exact and associative, so the mean (and hence
-        // every centroid) is identical under ANY partitioning — double `avg`
-        // wobbles with float summation order across hosts
         .groupBy("cell", "pos")
         .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
           .cast("double").as("m"))
@@ -320,8 +333,37 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
       it += 1
     }
-    val index = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
-    (centroids, index)
+    centroids
+  }
+
+  /**
+   * Lloyd k-means over an embedding column — the data-map / corpus-atlas
+   * clustering operator (topic balance audits, per-cluster quality
+   * profiles, SemDeDup cell structure exposed as a first-class result).
+   * Deterministic end-to-end: farthest-point (Gonzalez) seeding over a
+   * hash-sampled candidate pool — on separated data this guarantees one
+   * seed per natural cluster, unlike [[ivfBuild]]'s raw hash seeding,
+   * which may double-seed a cluster (IVF keeps hash seeding because its
+   * k can reach 65536, where O(pool × k) driver seeding is real money; a
+   * data map's k is tens-to-hundreds) — then decimal-exact Lloyd means
+   * (partitioning-invariant) and max-cosine assignment.
+   *
+   * Returns (centroids, assignments (id, vec, cluster)). Scale shape:
+   * centroids are parameter-sized driver state (k × dims); each
+   * iteration is one scan + one (cell, pos)-keyed map-side-combinable
+   * aggregate; assignment is a single scan-local expression pass.
+   */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 2, seedSample: Int = 8): (Seq[Seq[Double]], DataFrame) = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pool = base.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(math.max(k, seedSample * k))
+      .select("vec").collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
+    require(pool.length >= k, s"kmeans: ${pool.length} rows < k=$k")
+    val seeds = farthestPointSeeds(pool, k).map(_.toSeq).toSeq
+    val centroids = lloydRefine(base, seeds, iters)
+    (centroids, base.withColumn("cluster", nearestCentroid(col("vec"), centroids)))
   }
 
   /** Column: index of the nearest centroid (max cosine) for a vector —
@@ -499,12 +541,33 @@ object Similarity {
   def pqAdcCandidates(codebooks: Seq[Seq[Seq[Double]]], index: DataFrame,
                       queries: DataFrame, idCol: String, vecCol: String,
                       rerank: Int): DataFrame = {
+    val t = adcTables(codebooks, queries, idCol, vecCol)
+    // ids-only through the N×Q explode and both rank shuffles: the wide raw
+    // vector stays out of the candidate stream entirely
+    val scored = index
+      .withColumn("adc", sketches.pqAdcScores(col("codes"), t.luts, t.norm2, t.qNorms))
+      .select(col("id").as("neighbor_id"), posexplode(col("adc")))
+      .withColumn("query_id", element_at(t.qIdLit, col("pos") + 1))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("col").as("adc"))
+    rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Driver-computed ADC lookup tables for a bounded query set:
+    * luts(q)(s)(c) = dot(q's block s, codebook s centroid c), plus the
+    * centroid/query norms the cosine denominator needs and the query-id
+    * array literal that maps a query index back to its id. */
+  private case class AdcTables(qIdLit: Column, luts: Seq[Seq[Seq[Double]]],
+                               norm2: Seq[Seq[Double]], qNorms: Seq[Double])
+
+  private def adcTables(codebooks: Seq[Seq[Seq[Double]]], queries: DataFrame,
+                        idCol: String, vecCol: String): AdcTables = {
     val m = codebooks.size
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")).collect()
     val qIds = qRows.map(_.get(0))
     val qVecs = qRows.map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue).toArray)
     val subDim = codebooks.head.head.size
-    // luts(q)(s)(c) = dot(q's block s, codebook s centroid c)
     val luts: Seq[Seq[Seq[Double]]] = qVecs.toSeq.map { qv =>
       require(qv.length == m * subDim,
         s"query dims ${qv.length} != codebook dims ${m * subDim}")
@@ -519,17 +582,64 @@ object Similarity {
     }
     val norm2: Seq[Seq[Double]] = codebooks.map(_.map(_.map(x => x * x).sum))
     val qNorms: Seq[Double] = qVecs.toSeq.map(v => math.sqrt(v.map(x => x * x).sum))
-    val qIdLit = array(qIds.map(lit(_)).toIndexedSeq: _*)
-    // ids-only through the N×Q explode and both rank shuffles: the wide raw
-    // vector stays out of the candidate stream entirely
-    val scored = index
-      .withColumn("adc", sketches.pqAdcScores(col("codes"), luts, norm2, qNorms))
-      .select(col("id").as("neighbor_id"), posexplode(col("adc")))
-      .withColumn("query_id", element_at(qIdLit, col("pos") + 1))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("col").as("adc"))
-    rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
-      .select("query_id", "neighbor_id", "rank")
+    AdcTables(array(qIds.map(lit(_)).toIndexedSeq: _*), luts, norm2, qNorms)
+  }
+
+  /** Encode the corpus for [[ivfPqTopK]]: (id, vec, cell, codes) — the
+    * coarse-quantizer cell AND the PQ codes in one pass. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Seq[Double]],
+                 codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val m = codebooks.size
+    require(dims % m == 0, s"vector dims $dims not divisible by m=$m codebooks")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      nearestCentroid(col(vecCol), centroids).as("cell"),
+      sketches.pqEncode(col(vecCol), codebooks).as("codes"))
+  }
+
+  /**
+   * IVF-PQ composed ANN top-k — the billion-scale shape (Jégou et al.
+   * TPAMI 2011 §V; FAISS IndexIVFPQ): the coarse quantizer restricts each
+   * query to its `nProbe` nearest cells, PQ ADC scores ONLY the rows in
+   * probed cells (one m-add chain per surviving pair via the pair-scoring
+   * expression — scoring all Q queries per row would throw away the probe
+   * pruning), and exact cosine re-ranks the top `rerank` survivors.
+   *
+   * Scale shape: probed (query, cell) pairs are a Q × nProbe broadcast;
+   * candidate generation is a broadcast equi-join on `cell` (the corpus
+   * never shuffles — with the store partitioned by cell it prunes to
+   * nProbe/nCells of the data); the candidate stream carries only
+   * (query_id, neighbor_id, adc) through the bounded-heap rank; raw
+   * vectors re-join for <= Q × rerank survivors. Probe cells are computed
+   * with the SAME expression that assigned index cells, so an identical
+   * vector is guaranteed to be probed (the planted-fixture exactness the
+   * oracle pins — no driver-vs-executor float divergence).
+   */
+  def ivfPqTopK(centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                index: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nProbe: Int = 4,
+                rerank: Int = 64): DataFrame = {
+    val t = adcTables(codebooks, queries, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.select(col("query_id"),
+        explode(sketches.nearestCells(col("qv"), centroids, nProbe)).as("cell"))
+      .withColumn("qidx", (array_position(t.qIdLit, col("query_id")) - 1).cast("int"))
+      .select("cell", "query_id", "qidx")
+    val scored = index.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("adc",
+        sketches.pqAdcPairScore(col("codes"), col("qidx"), t.luts, t.norm2, t.qNorms))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc"))
+    val candidates = rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
+      .select("query_id", "neighbor_id")
+    val withVec = candidates.join(
+      index.select(col("id").as("neighbor_id"), col("vec").as("cv")), Seq("neighbor_id"))
+    val exact = withVec.join(broadcast(q), Seq("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "score")
+    rankTopKPerQuery(exact, "query_id", "score", "neighbor_id", k)
+      .select("query_id", "rank", "neighbor_id", "score")
   }
 
   /**

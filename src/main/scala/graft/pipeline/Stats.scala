@@ -33,7 +33,15 @@ object Stats {
   /** Exact discrete quantiles at the given permille points (500 = median).
     * Returns (q_permille, value). The histogram window is over #distinct
     * values — bounded-domain by contract — so the single-partition sort
-    * Spark warns about is a few thousand rows, not the corpus. */
+    * Spark warns about is a few thousand rows, not the corpus.
+    *
+    * WARNING — bounded domains ONLY (token counts, sizes in bins, scores
+    * quantized to ints). The cumulative window funnels every DISTINCT
+    * value through one reducer: pointed at an open domain (latencies in
+    * ns, raw doubles, ids) that reducer sees the corpus and this operator
+    * becomes the single-node sort everything else here avoids. For open
+    * domains use [[QuantileSketch.kllQuantiles]] — mergeable, bounded
+    * state, exact below sketch capacity. */
   def exactQuantiles(df: DataFrame, valueCol: Column, permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
       s"permilles must be in (0, 1000]: $permilles")

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -414,6 +414,51 @@ case class PqAdcScoresExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pair ADC score: the [[PqAdcScoresExpr]] arithmetic for ONE
+  * (row, query) pairing, with the query picked per row by the `qIdx`
+  * child column. This is the IVF-PQ shape: after the coarse quantizer has
+  * joined each row to only the queries probing its cell, scoring all Q
+  * queries per row ([[PqAdcScoresExpr]]'s contract) would throw away the
+  * probe pruning — this evaluates exactly the paired query's add-chain,
+  * so candidate scoring is O(m) per surviving pair. */
+case class PqAdcPairScoreExpr(codesExpr: Expression, qIdxExpr: Expression,
+                              luts: Seq[Seq[Seq[Double]]],
+                              norm2: Seq[Seq[Double]],
+                              qNorms: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = codesExpr
+  override def right: Expression = qIdxExpr
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = codesExpr.nullable || qIdxExpr.nullable
+
+  @transient private lazy val lutArr: Array[Array[Array[Double]]] =
+    luts.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val norm2Arr: Array[Array[Double]] =
+    norm2.map(_.toArray).toArray
+  @transient private lazy val qNormArr: Array[Double] = qNorms.toArray
+
+  override def nullSafeEval(codesAny: Any, qIdxAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val q = qIdxAny.asInstanceOf[Int]
+    val m = codes.numElements()
+    var rec2 = 0.0
+    var dot = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      rec2 += norm2Arr(s)(c)
+      dot += lutArr(q)(s)(c)
+      s += 1
+    }
+    val denom = qNormArr(q) * math.sqrt(rec2)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codesExpr = l, qIdxExpr = r)
+}
+
 /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing: Local
   * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
   * algorithm): hash every k-token gram, slide a window of `w` consecutive
@@ -559,6 +604,11 @@ object sketches {
   def pqAdcScores(codes: Column, luts: Seq[Seq[Seq[Double]]],
                   norm2: Seq[Seq[Double]], qNorms: Seq[Double]): Column =
     GraftBridge.column(PqAdcScoresExpr(GraftBridge.expression(codes), luts, norm2, qNorms))
+
+  def pqAdcPairScore(codes: Column, qIdx: Column, luts: Seq[Seq[Seq[Double]]],
+                     norm2: Seq[Seq[Double]], qNorms: Seq[Double]): Column =
+    GraftBridge.column(PqAdcPairScoreExpr(GraftBridge.expression(codes),
+      GraftBridge.expression(qIdx), luts, norm2, qNorms))
 
   def randomProject(vec: Column, outDims: Int): Column =
     GraftBridge.column(RandomProjectExpr(GraftBridge.expression(vec), outDims))

@@ -74,6 +74,23 @@ object CurationStress {
         .agg(count(col("h"))).collect()
       nDocs
     }
+    // boilerplate strip: per-segment probe cost must be INDEPENDENT of
+    // |boiler| (hash-set membership) — the capped 100k-entry list and a
+    // 100-entry list should run at the same docs/s; the old plan-literal
+    // array_contains was O(|boiler|) compares per segment, three orders
+    // of magnitude apart on this pair
+    val boiler100 = (1 to 100).map(i => s"boilerplate sentinel $i")
+    val boiler100k = (1 to 100000).map(i => s"boilerplate sentinel $i")
+    time("boiler_100", nDocs) {
+      docs.select(md5(TextClean.stripSegments(col("text"), boiler100)).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
+    time("boiler_100k", nDocs) {
+      docs.select(md5(TextClean.stripSegments(col("text"), boiler100k)).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
     // NOTE: actions must consume computed columns — a bare count() lets
     // Catalyst eliminate unique-keyed outer joins and prune projections,
     // timing nothing but the scan

@@ -272,6 +272,35 @@ class CurationOpsSpec extends AnyFunSuite {
       s"unexpected explicit repartition in knnGraph plan:\n$plan")
   }
 
+  test("kmeans: farthest-point seeding recovers planted orthogonal groups; partitioning-invariant") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // 3 near-orthogonal groups: dominant one-hot dim + small noise
+    val rows = (0 until 300).map { i =>
+      val g = i % 3
+      val v = Seq.tabulate(8)(d =>
+        (if (d == g) 100.0 else 0.0) + rnd.nextDouble() * 0.01)
+      (i.toLong, v)
+    }
+    def run(parts: Int) = {
+      val df = rows.toDF("vec_id", "vec").repartition(parts)
+      Similarity.kmeans(df, "vec_id", "vec", k = 3, iters = 2)
+    }
+    val (c1, a1) = run(4)
+    val groups = a1.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // exact recovery: cluster assignment is constant within each planted
+    // group and distinct across groups
+    val byGroup = groups.groupBy(_._1 % 3).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    assert(byGroup.values.forall(_.size == 1), s"split group: $byGroup")
+    assert(byGroup.values.flatten.toSet.size === 3, s"merged groups: $byGroup")
+    // decimal Lloyd means: centroids identical under a different partitioning
+    val (c2, _) = run(13)
+    assert(c1 === c2, "centroids not partitioning-invariant")
+  }
+
   test("ivfBuild auto-sizes cells to ~sqrt(N) when nCells <= 0") {
     import graft.pipeline.Similarity
     val s = spark

@@ -299,6 +299,35 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall too low: $recall")
   }
 
+  test("IVF-PQ composed: planted copies recalled; full-probe full-rerank equals brute force") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.unionByName(queries.withColumn("vec_id", col("vec_id") + 1000000L))
+    val (centroids, _) = Similarity.ivfBuild(corpus, "vec_id", "embedding", nCells = 8, iters = 1)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", centroids, books)
+    // planted-copy exactness at operator defaults: the copy shares the
+    // query's nearest cell (same assignment expression) and its codes, so
+    // it survives probing + ADC and exact re-rank returns it at cosine 1.0
+    val top1 = Similarity.ivfPqTopK(centroids, books, index, queries,
+        "vec_id", "embedding", k = 1, nProbe = 4, rerank = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 === (0 until 5).map(i => (i.toLong, i + 1000000L)).toSet)
+    // hard guarantee independent of codebook/centroid quality: probing
+    // EVERY cell with rerank >= corpus size makes the composed operator
+    // IDENTICAL to brute force over the same corpus
+    val n = corpus.count().toInt
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfPqTopK(centroids, books, index, queries,
+        "vec_id", "embedding", k = 5, nProbe = centroids.size, rerank = n)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "ivfPqTopK with full probe + full rerank must equal brute force")
+  }
+
   test("sim_pq harness margin: planted copy's ADC rank has rerank/2 headroom at the correctness SF") {
     // mirrors SparkEntry's sim_pq fixture at the SF the driver verifies
     // (sf0.01): the oracle match relies on the planted copy SURVIVING ADC
