@@ -1062,6 +1062,34 @@ object SparkEntry {
           TextAnalysis.charCount(col("text")).as("n_chars_m"))
     },
 
+    // C4-style blocklist gate: blocked-token count in one tokenization
+    // pass (O(1) hash probe per token), thresholded with integer math so
+    // the oracle carries no floats
+    "text_blocklist" -> { (s, dir) =>
+      val words = Seq("scan", "merge", "window")
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.textExpressions.blocklistStats(col("text"), words).as("st"))
+        .select(col("doc_id"),
+          col("st.n_blocked").as("n_blocked"),
+          col("st.n_tokens").as("n_tokens"),
+          (col("st.n_blocked") * 1000 <= col("st.n_tokens") * 150).as("allowed"))
+        .orderBy("doc_id")
+    },
+
+    // ftfy-style mojibake repair: the planted unicode suffix is broken the
+    // way real pipelines break it (UTF-8 bytes misread as Latin-1) and
+    // repaired scan-locally; the oracle reproduces the clean planted text
+    // without ever seeing the mojibake
+    "text_mojibake" -> { (s, dir) =>
+      val planted = concat(col("text"), lit(" café — naïve…"))
+      val moji = decode(encode(planted, "UTF-8"), "ISO-8859-1")
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.textExpressions.fixMojibake(moji).as("text_fixed"))
+        .orderBy("doc_id")
+    },
+
     "text_langid" -> { (s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -2848,6 +2876,20 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
         |       CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('scan','merge','window'))) AS INT) AS n_blocked,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  len(list_filter(toks, x -> x IN ('scan','merge','window'))) * 1000
+        |    <= len(toks) * 150 AS allowed
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_mojibake" ->
+      """SELECT doc_id, text || ' café — naïve…' AS text_fixed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->

@@ -278,6 +278,92 @@ case class StringSetContainsExpr(child: Expression, strings: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Blocklist screening in one tokenization pass — struct<n_blocked,
+  * n_tokens> (the C4-style badwords gate: filter/flag documents whose
+  * blocked-token fraction crosses a threshold). O(1) hash probe per token
+  * against the fixed word set; thresholding stays integer math caller-side
+  * (n_blocked * 1000 vs n_tokens * permille) so the oracle is float-free. */
+case class BlocklistStatsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_blocked", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(w => s.add(w.toLowerCase))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    var blocked = 0
+    var i = 0
+    while (i < tokens.length) {
+      if (set.contains(tokens(i))) blocked += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](blocked, tokens.length))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Mojibake repair (the ftfy core heuristic): text that is the Latin-1 /
+  * windows-1252 misdecoding of UTF-8 bytes ("café" → "cafÃ©") is restored
+  * by re-encoding its chars as Latin-1 bytes and strictly decoding them as
+  * UTF-8. The repair applies ONLY when it is provably safe: every char is
+  * <= 0xFF (so the Latin-1 re-encoding is lossless) AND the byte string is
+  * valid UTF-8 containing at least one multibyte sequence (so the decode
+  * is a real repair, not an ASCII no-op); otherwise the input passes
+  * through untouched — clean text can never be corrupted. `maxPasses`
+  * handles double-mojibake (misdecoded twice). Scan-local single pass. */
+case class MojibakeRepairExpr(child: Expression, maxPasses: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  private def repairOnce(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var i = 0
+    var multibyte = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return s // not a Latin-1 misdecode
+      if (c > 0x7F) multibyte = true
+      bytes(i) = c.toByte
+      i += 1
+    }
+    if (!multibyte) return s // pure ASCII: nothing to repair
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    var s = input.asInstanceOf[UTF8String].toString
+    var p = 0
+    var changed = true
+    while (p < maxPasses && changed) {
+      val r = repairOnce(s)
+      changed = r != s
+      s = r
+      p += 1
+    }
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Ordered, NON-distinct word n-grams in ONE tokenization pass — output
   * parity with the builtin [[TextAnalysis.wordNgrams]] (whose
   * slice-per-gram formulation costs O(n²) array work per document; this
@@ -374,6 +460,12 @@ object textExpressions {
 
   def inStringSet(text: Column, strings: Seq[String]): Column =
     GraftBridge.column(StringSetContainsExpr(GraftBridge.expression(text), strings))
+
+  def blocklistStats(text: Column, words: Seq[String]): Column =
+    GraftBridge.column(BlocklistStatsExpr(GraftBridge.expression(text), words))
+
+  def fixMojibake(text: Column, maxPasses: Int = 1): Column =
+    GraftBridge.column(MojibakeRepairExpr(GraftBridge.expression(text), maxPasses))
 
   def bigramCoverage(text: Column, vocab: Seq[String]): Column =
     GraftBridge.column(BigramCoverageExpr(GraftBridge.expression(text), vocab))

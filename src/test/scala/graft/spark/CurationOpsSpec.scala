@@ -240,6 +240,52 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mojibake repair: restores misdecoded UTF-8, never corrupts clean text") {
+    import graft.pipeline.textExpressions
+    val clean = "café — naïve… 東京"
+    // mojibake = the string's UTF-8 bytes misread as Latin-1
+    def breakOnce(s: String): String =
+      new String(s.getBytes("UTF-8").map(b => (b & 0xFF).toChar))
+    val cases = docs(
+      (1L, breakOnce(clean)),                  // single misdecode
+      (2L, breakOnce(breakOnce("café"))),      // double misdecode
+      (3L, "plain ascii only"),                // no-op
+      (4L, "real café, already correct"),      // latin1 accents: NOT valid UTF-8 bytes -> untouched
+      (5L, "日本語テキスト"))                    // chars > 0xFF: untouched
+    val out = cases
+      .select(col("id"), textExpressions.fixMojibake(col("text"), maxPasses = 2).as("f"),
+        col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 === clean)
+    assert(out(2L)._1 === "café")
+    assert(out(3L)._1 === out(3L)._2)
+    assert(out(4L)._1 === out(4L)._2)
+    assert(out(5L)._1 === out(5L)._2)
+    // maxPasses = 1 unwraps exactly one layer of a double misdecode
+    val once = cases.where(col("id") === 2L)
+      .select(textExpressions.fixMojibake(col("text"), maxPasses = 1))
+      .head().getString(0)
+    assert(once === breakOnce("café"))
+  }
+
+  test("blocklistStats: counts match a naive reference; case-insensitive; empty-text convention") {
+    import graft.pipeline.textExpressions
+    val words = Seq("Fox", "dog")
+    val d = docs(
+      (1L, "The quick brown FOX jumps over the lazy dog"),
+      (2L, "no blocked words here"),
+      (3L, ""))
+    val out = d.select(col("id"),
+        textExpressions.blocklistStats(col("text"), words).as("st"))
+      .select(col("id"), col("st.n_blocked"), col("st.n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) === ((2, 9)))
+    assert(out(2L) === ((0, 4)))
+    // tokenize convention: empty text is one empty token (parity with
+    // split(lower(trim(text)), "\\s+") and the text_tokens oracle)
+    assert(out(3L) === ((0, 1)))
+  }
+
   test("knnGraph: planted copies are each other's top-1; k rows max per id") {
     import graft.pipeline.Similarity
     val s = spark
