@@ -223,6 +223,16 @@ object SparkEntry {
           "event_id", gapMs = 43200000L)
     },
 
+    // the same session rollup through Spark's NATIVE session_window
+    // operator (the streaming-capable formulation; batch/stream parity +
+    // exact-gap boundary spec-pinned in StreamingSpec) — oracle-gates the
+    // engine's own gap-session semantics against the lag/running-sum rule
+    "events_session_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "ts_ms")
+      graft.streaming.Sessions.sessionWindowStats(ev, "user_id", "ts_ms",
+        "event_id", gapMs = 43200000L)
+    },
+
     // ordered funnel view -> click -> purchase: per-stage bounded min
     // aggregates co-keyed on user, strict-ts advancement. Scoped to the
     // first days of the stream so depths actually spread (the full month
@@ -2282,6 +2292,24 @@ object SparkEntry {
         |       min(event_id) AS first_event, max(event_id) AS last_event,
         |       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_session_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                OR ts_ms - lag(ts_ms) OVER w > 43200000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event,
+        |       CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (

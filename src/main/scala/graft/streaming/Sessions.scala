@@ -63,6 +63,42 @@ object Sessions {
         (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"))
 
   /**
+   * Session rollup via Spark's NATIVE `session_window` aggregate — the
+   * same stats as [[sessionStats]] computed by the engine's own
+   * gap-session operator, usable identically in batch and Structured
+   * Streaming (pass `watermarkDelayMs` on a stream: completed sessions
+   * emit in append mode once the watermark passes session end + gap, and
+   * state is bounded by OPEN sessions only — the shape that survives
+   * unbounded streams, where [[sessionize]]'s lag + running-sum
+   * formulation needs each entity's full history under one task).
+   *
+   * Semantics alignment (probed and spec-pinned in StreamingSpec,
+   * including the exact-gap boundary): the native operator merges events
+   * with `diff <= gap` — identical to [[sessionize]]'s `diff <= gapMs`
+   * rule, so the two formulations agree with the same gap value.
+   *
+   * Output: entityCol, session_start_ms, n_events, first_event,
+   * last_event, duration_ms — all integers (oracle-safe).
+   */
+  def sessionWindowStats(df: DataFrame, entityCol: String, tsCol: String,
+                         tieCol: String, gapMs: Long,
+                         watermarkDelayMs: Option[Long] = None): DataFrame = {
+    val withTs = df.withColumn("_ts", timestamp_millis(col(tsCol)))
+    val marked = watermarkDelayMs.fold(withTs)(d =>
+      withTs.withWatermark("_ts", s"$d milliseconds"))
+    marked
+      .groupBy(col(entityCol),
+        session_window(col("_ts"), s"$gapMs milliseconds").as("_w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tieCol)).as("first_event"),
+        max(col(tieCol)).as("last_event"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"))
+      .select(col(entityCol),
+        unix_millis(col("_w").getField("start")).as("session_start_ms"),
+        col("n_events"), col("first_event"), col("last_event"), col("duration_ms"))
+  }
+
+  /**
    * Within-session transition counts — first-order Markov statistics over
    * the event-type sequence: one row per (from_type, to_type) pair of
    * consecutive same-entity events whose gap stays within `gapMs` (pass

@@ -917,4 +917,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  test("native session_window rollup: batch parity with sessionStats (incl. exact-gap boundary), " +
+      "streaming append emits completed sessions") {
+    import graft.streaming.Sessions
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    // u1: one session with an EXACT-gap step (diff == gap must merge, the
+    // boundary both formulations must agree on), then a break, then a
+    // singleton; u2: one session
+    val events = Seq(
+      ("u1", 0L, 1L), ("u1", 1000L, 2L), ("u1", 1500L, 3L), // session A (exact gap inside)
+      ("u1", 5000L, 4L),                                    // session B (gap 3500 > 1000)
+      ("u2", 100L, 5L), ("u2", 600L, 6L))
+    val df = events.toDF("user", "ms", "eid")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // batch parity: native rollup == lag/running-sum rollup, keyed by
+    // (entity, first_event) since the two number sessions differently
+    val native = Sessions.sessionWindowStats(df, "user", "ms", "eid", gap)
+      .select(col("user"), col("n_events"), col("first_event"),
+        col("last_event"), col("duration_ms")).collect()
+    val classic = Sessions.sessionStats(df, "user", "ms", "eid", gap)
+      .select(col("user"), col("n_events"), col("first_event"),
+        col("last_event"), col("duration_ms")).collect()
+    assert(canon(native) === canon(classic))
+    assert(canon(native).contains(("u1", 3L, 1L, 3L, 1500L)), s"exact-gap merge: ${canon(native)}")
+    // streaming: append mode emits a session once the watermark passes its
+    // end + gap; the late sentinel only advances the watermark
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = Sessions.sessionWindowStats(
+      input.toDS().toDF("user", "ms", "eid"), "user", "ms", "eid", gap,
+      watermarkDelayMs = Some(0L))
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sess").toString)
+      .start()
+    try {
+      // batches split so no event falls behind the 0-delay watermark
+      // (max ts seen so far), while u1's session A still MERGES across
+      // the batch boundary through the session state store
+      input.addData(Seq(("u1", 0L, 1L), ("u1", 1000L, 2L),
+        ("u2", 100L, 5L), ("u2", 600L, 6L))); query.processAllAvailable()
+      input.addData(Seq(("u1", 1500L, 3L), ("u1", 5000L, 4L)))
+      query.processAllAvailable()
+      input.addData(("wm", 10_000_000L, 99L)); query.processAllAvailable()
+      val streamed = spark.table("sess_stream_out")
+        .where(col("user") =!= "wm")
+        .select(col("user"), col("n_events"), col("first_event"),
+          col("last_event"), col("duration_ms")).collect()
+      assert(canon(streamed) === canon(classic))
+    } finally query.stop()
+  }
 }
