@@ -326,6 +326,17 @@ class EngineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact, "ivfPqTopK with full probe + full rerank must equal brute force")
+    // plan contract: candidate generation is a BROADCAST join on cell (the
+    // corpus side never shuffles for probing) and the rank keeps the
+    // shuffle-free bounded-heap phase
+    val q2 = Similarity.ivfPqTopK(centroids, books, index, queries,
+      "vec_id", "embedding", k = 1, nProbe = 4, rerank = 16)
+    q2.collect()
+    val plan = q2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed-cell join must broadcast the (query, cell) side:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"candidate rank lost the shuffle-free local top-k phase:\n$plan")
   }
 
   test("sim_pq harness margin: planted copy's ADC rank has rerank/2 headroom at the correctness SF") {
