@@ -1674,6 +1674,22 @@ object SparkEntry {
         .agg(graft.pipeline.Kmv.distinctCount(col("user_id")).as("n_users"))
     },
 
+    // KMV SET operations: distinct-overlap audit between two cohorts (old
+    // vs new snapshot URL sets, per-surface user bases) — each side
+    // sketches in the SAME single pass (conditional inputs), the combine
+    // is an O(k) merge walk in one scalar expression; exact below sketch
+    // capacity, which this data is (oracle regime)
+    "stats_kmv_setops" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id")
+      ev.agg(
+          graft.pipeline.Kmv.sketch(
+            when(pmod(col("user_id"), lit(2)) === 0, col("user_id"))).as("sa"),
+          graft.pipeline.Kmv.sketch(
+            when(pmod(col("user_id"), lit(3)) === 0, col("user_id"))).as("sb"))
+        .select(graft.pipeline.Kmv.setCounts(col("sa"), col("sb")).as("c"))
+        .select(col("c.n_a"), col("c.n_b"), col("c.n_union"), col("c.n_intersect"))
+    },
+
     // corpus-profiling quantiles: histogram-first exact discrete quantiles
     // (the window runs over #distinct token counts, never corpus rows)
     "stats_quantiles" -> { (s, dir) =>
@@ -3319,6 +3335,15 @@ object SparkEntry {
     "stats_kmv" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "stats_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_intersect""".stripMargin,
 
     "stats_quantiles" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v

@@ -145,6 +145,17 @@ object GraftFunctions {
       exprs => graft.pipeline.KmvDistinct(exprs.head,
         if (exprs.length > 1) litInt(exprs(1)) else 65536).toAggregateExpression(),
       "scala_udf")
+    // the sketch itself (sorted k-min hash array) + two-sketch set
+    // estimates: emo_kmv_setcounts(a, b [, k]) -> struct<n_a, n_b,
+    // n_union, n_intersect>, exact below capacity
+    reg.createOrReplaceTempFunction("emo_kmv_sketch",
+      exprs => graft.pipeline.KmvSketchAgg(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1)) else 65536).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("emo_kmv_setcounts",
+      exprs => graft.pipeline.KmvSetCountsExpr(exprs(0), exprs(1),
+        if (exprs.length > 2) litInt(exprs(2)) else 65536),
+      "scala_udf")
     // SpaceSaving heavy hitters as a SQL aggregate (exact below capacity)
     reg.createOrReplaceTempFunction("emo_topk_sketch",
       exprs => graft.pipeline.SpaceSavingTopK(exprs.head, litInt(exprs(1)),

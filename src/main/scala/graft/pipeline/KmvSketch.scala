@@ -37,6 +37,24 @@ object Kmv {
   def distinctCount(c: Column, k: Int = 65536): Column =
     GraftBridge.column(
       KmvDistinct(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Aggregate Column: the sketch ITSELF (sorted k-min hash array) — the
+    * mergeable value that [[setCounts]] combines, so overlap audits
+    * between two corpora (old vs new snapshot URL sets, per-source user
+    * bases) run in ONE pass each and combine driver-side in O(k). */
+  def sketch(c: Column, k: Int = 65536): Column =
+    GraftBridge.column(
+      KmvSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Scalar Column over two [[sketch]] arrays: struct<n_a, n_b, n_union,
+    * n_intersect> distinct-count estimates (Beyer et al., SIGMOD 2007
+    * §4: union from the merged k-min set, intersection via the Jaccard
+    * fraction within it). EXACT whenever both sketches are below
+    * capacity — they then ARE the complete hash sets — which is the
+    * regime the oracle pins. */
+  def setCounts(a: Column, b: Column, k: Int = 65536): Column =
+    GraftBridge.column(KmvSetCountsExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), k))
 }
 
 /** Bounded set of the k smallest hashes, unsigned order. */
@@ -53,18 +71,17 @@ final class KmvBuffer(val k: Int) {
   }
 }
 
-case class KmvDistinct(child: Expression, k: Int,
-                       mutableAggBufferOffset: Int = 0,
-                       inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+/** Shared buffer/merge/serde plumbing for the KMV aggregates — the two
+  * concrete shapes differ only in what `eval` returns (estimate vs the
+  * sketch itself). */
+abstract class KmvAggBase extends TypedImperativeAggregate[KmvBuffer]
+    with UnaryLike[Expression] {
 
-  require(k >= 16, s"KMV needs k >= 16, got $k")
+  def k: Int
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "kmv_distinct"
 
-  private def hashOf(v: Any): Long = child.dataType match {
+  protected def hashOf(v: Any): Long = child.dataType match {
     case LongType    => XXH64.hashLong(v.asInstanceOf[Long], 42L)
     case IntegerType => XXH64.hashLong(v.asInstanceOf[Int].toLong, 42L)
     case StringType =>
@@ -75,7 +92,13 @@ case class KmvDistinct(child: Expression, k: Int,
       s"kmv_distinct: unsupported input type $other (long/int/string)")
   }
 
-  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+  // validated here, NOT in the constructor: Java deserialization on
+  // executors instantiates the expression before its fields are restored,
+  // so a constructor-time require sees k = 0 and kills the task
+  override def createAggregationBuffer(): KmvBuffer = {
+    require(k >= 16, s"KMV needs k >= 16, got $k")
+    new KmvBuffer(k)
+  }
 
   override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
@@ -86,17 +109,6 @@ case class KmvDistinct(child: Expression, k: Int,
   override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
     other.set.forEach(h => buffer.add(h))
     buffer
-  }
-
-  override def eval(buffer: KmvBuffer): Any = {
-    val n = buffer.set.size
-    if (n < k) n.toLong // sketch holds the whole distinct set: exact
-    else {
-      // theta = k-th smallest hash normalized to (0,1]; top 53 bits keep
-      // full double precision
-      val theta = (buffer.set.last >>> 11).toDouble / (1L << 53).toDouble
-      math.round((k - 1) / math.max(theta, java.lang.Double.MIN_NORMAL))
-    }
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {
@@ -114,6 +126,30 @@ case class KmvDistinct(child: Expression, k: Int,
     while (i < n) { buf.set.add(bb.getLong); i += 1 }
     buf
   }
+}
+
+/** The (k−1)/M_k distinct-count estimate; exact below capacity. */
+object KmvEstimate {
+  def apply(kthMinUnsigned: Long, size: Int, k: Int): Long =
+    if (size < k) size.toLong // complete distinct set: exact
+    else {
+      // theta = k-th smallest hash normalized to (0,1]; top 53 bits keep
+      // full double precision
+      val theta = (kthMinUnsigned >>> 11).toDouble / (1L << 53).toDouble
+      math.round((k - 1) / math.max(theta, java.lang.Double.MIN_NORMAL))
+    }
+}
+
+case class KmvDistinct(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0) extends KmvAggBase {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_distinct"
+
+  override def eval(buffer: KmvBuffer): Any =
+    if (buffer.set.isEmpty) 0L
+    else KmvEstimate(buffer.set.last, buffer.set.size, k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -121,4 +157,83 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
     copy(child = newChild)
+}
+
+/** The sketch as a VALUE: sorted (unsigned) k-min hash array, ready for
+  * [[KmvSetCountsExpr]] or cross-run persistence. */
+case class KmvSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0) extends KmvAggBase {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val out = new Array[Long](buffer.set.size)
+    var i = 0
+    buffer.set.forEach { h => out(i) = h; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+    copy(child = newChild)
+}
+
+/** Combine two KMV sketches into struct<n_a, n_b, n_union, n_intersect>
+  * distinct-count estimates. Union: the k smallest of the merged hash
+  * sets with the standard (k−1)/M_k estimator; intersection: the Jaccard
+  * fraction of shared hashes within that merged k-min set, scaled by the
+  * union estimate (Beyer et al., SIGMOD 2007). When BOTH inputs are below
+  * capacity the sketches are complete hash sets and every output is
+  * exact — the oracle-pinned regime. One O(|a|+|b|) merge walk per row;
+  * intended for the parameter-sized outputs of [[Kmv.sketch]]. */
+case class KmvSetCountsExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false),
+    StructField("n_union", LongType, nullable = false),
+    StructField("n_intersect", LongType, nullable = false)))
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val ad = aAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = bAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val a = ad.toLongArray()
+    val b = bd.toLongArray()
+    val nA = if (a.isEmpty) 0L else KmvEstimate(a(a.length - 1), a.length, k)
+    val nB = if (b.isEmpty) 0L else KmvEstimate(b(b.length - 1), b.length, k)
+    val bothExact = a.length < k && b.length < k
+    // merge walk in unsigned order over the two sorted arrays; for the
+    // exact regime keep the WHOLE union, otherwise only the k smallest
+    val cap = if (bothExact) a.length + b.length else k
+    var i = 0; var j = 0; var u = 0; var common = 0
+    var lastU = 0L
+    while (u < cap && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length ||
+        (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+      val h = if (takeA) a(i) else b(j)
+      if (takeA && j < b.length && a(i) == b(j)) { common += 1; j += 1 }
+      if (takeA) i += 1 else j += 1
+      lastU = h; u += 1
+    }
+    val nUnion =
+      if (bothExact) u.toLong
+      else KmvEstimate(lastU, u, k)
+    val nIntersect =
+      if (bothExact) common.toLong
+      else if (u == 0) 0L
+      else math.round(common.toDouble / u * nUnion)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nA, nB, nUnion, nIntersect))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

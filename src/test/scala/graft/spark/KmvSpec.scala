@@ -49,6 +49,41 @@ class KmvSpec extends AnyFunSuite {
     assert(ests.distinct.size === 1, s"partitioning changed the estimate: $ests")
   }
 
+  test("set operations: exact below capacity, bounded error above, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // exact regime: sketches are complete hash sets -> all four counts exact
+    val df = spark.range(12000).select(col("id"))
+    def sketches(d: org.apache.spark.sql.DataFrame, k: Int) = d.agg(
+      Kmv.sketch(when(col("id") % 2 === 0, col("id")), k).as("sa"),
+      Kmv.sketch(when(col("id") % 3 === 0, col("id")), k).as("sb"))
+    val exact = sketches(df.limit(600), k = 1024)
+      .select(Kmv.setCounts(col("sa"), col("sb"), k = 1024).as("c"))
+      .select("c.n_a", "c.n_b", "c.n_union", "c.n_intersect")
+      .collect()(0)
+    assert((exact.getLong(0), exact.getLong(1), exact.getLong(2), exact.getLong(3))
+      === ((300L, 200L, 400L, 100L)))
+    // estimate regime: 6000/4000/8000/2000 true counts, k = 512 -> rse ~4.4%
+    val est = sketches(df, k = 512)
+      .select(Kmv.setCounts(col("sa"), col("sb"), k = 512).as("c"))
+      .select("c.n_a", "c.n_b", "c.n_union", "c.n_intersect")
+      .collect()(0)
+    // intersection compounds union noise with the Jaccard-fraction
+    // binomial (rse ~ sqrt(U/(I*k)) ~ 9% here), so its bound is looser
+    val trues = Seq((6000L, 0.15), (4000L, 0.15), (8000L, 0.15), (2000L, 0.25))
+    trues.zipWithIndex.foreach { case ((t, bound), i) =>
+      val e = est.getLong(i)
+      assert(math.abs(e - t).toDouble / t < bound, s"field $i: est $e vs true $t")
+    }
+    // merge correctness: estimates identical under any partitioning
+    val ests = Seq(1, 3, 16).map { p =>
+      sketches(df.repartition(p), k = 512)
+        .select(Kmv.setCounts(col("sa"), col("sb"), k = 512).as("c"))
+        .select("c.n_union").collect()(0).getLong(0)
+    }
+    assert(ests.distinct.size === 1, s"partitioning changed the union estimate: $ests")
+  }
+
   test("nulls ignored; string input supported; grouped aggregation") {
     val s = spark
     import s.implicits._
