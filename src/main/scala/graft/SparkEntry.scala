@@ -1146,6 +1146,24 @@ object SparkEntry {
         .select(col("doc_id"), col("label"))
     },
 
+    // per-document drop audit: every removed doc tagged with the FIRST
+    // stage that dropped it ("why did my page disappear") — ids-only
+    // anti-diff per stage inside Curation.run, oracle replays the same
+    // stage predicates in SQL
+    "pipeline_curation_drops" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents").select("doc_id", "text")
+      // planted exact copies so BOTH stages attribute drops: the copies
+      // (higher ids, identical text) die at exact_dedup, quality/lang
+      // failures die at gates
+      val planted = docs.unionByName(docs.where(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val res = graft.pipeline.Curation.run(planted, "doc_id", "text",
+        graft.pipeline.Curation.Config(minTokens = 20, requireRepetitionOk = false,
+          langs = Set("en")),
+        trackFunnel = false, trackDrops = true)
+      res.drops.get.orderBy("doc_id")
+    },
+
     // table metadata catalog: create/template/drop as a folded system-table
     // delta log (the reference's __system tables); the oracle pins the
     // expected fold of the fixed metadata history
@@ -3926,6 +3944,38 @@ object SparkEntry {
         |    AND s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh)
         |SELECT q.doc_id, e.label FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |ORDER BY q.doc_id""".stripMargin,
+
+    "pipeline_curation_drops" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |dd AS (
+        |  SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+        |toks AS (
+        |  SELECT d.doc_id, string_split_regex(trim(lower(d.text)), '\s+') AS t, d.text
+        |  FROM base d JOIN dd USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, t, text,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','los','y','es','un','una','que'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','de'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+        |  FROM toks),
+        |pass AS (
+        |  SELECT doc_id FROM scored
+        |  WHERE len(t) >= 20
+        |    AND (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / greatest(len(t),1)) <= 12.0
+        |    AND (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text),1)) <= 0.2
+        |    AND s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh)
+        |SELECT d.doc_id,
+        |  CASE WHEN dd.doc_id IS NULL THEN 'exact_dedup' ELSE 'gates' END AS stage
+        |FROM base d
+        |LEFT JOIN dd ON d.doc_id = dd.doc_id
+        |WHERE dd.doc_id IS NULL
+        |   OR d.doc_id NOT IN (SELECT doc_id FROM pass)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "graph_pagerank" -> {
       // three unrolled integer PageRank iterations; '//' is DuckDB floor

@@ -86,7 +86,8 @@ object Curation {
       packBudget: Option[Long] = None,             // emit seq_id when set
       shards: Option[ShardConfig] = None)          // emit shard/pos when set
 
-  final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)])
+  final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)],
+                          drops: Option[DataFrame] = None)
 
   /** Runs the configured stages over (idCol, textCol); `evalSet` enables
     * decontamination. With `trackFunnel` each stage's surviving-row count
@@ -95,13 +96,31 @@ object Curation {
     * (and each stage reads its predecessor's materialization, not the raw
     * scan). `trackFunnel = false` skips counts and persists, leaving one
     * lazily-planned job — except the DSIR stage, whose histogram collects
-    * force it to persist the pool either way. */
+    * force it to persist the pool either way.
+    *
+    * With `trackDrops` the result additionally carries a per-document
+    * audit frame (idCol, stage): each dropped document tagged with the
+    * FIRST stage that removed it — the "why did my page disappear"
+    * explainability question every production curation pipeline gets
+    * asked. Cost: one ids-only anti-diff per stage, sized by that stage's
+    * drop count (rewrite-only stages diff to empty); the audit frame is
+    * lazy, so untouched it costs nothing. */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
           evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
-          dsirTarget: Option[DataFrame] = None): Result = {
+          dsirTarget: Option[DataFrame] = None,
+          trackDrops: Boolean = false): Result = {
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val dropParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var persisted: Option[DataFrame] = None
-    def stage(name: String, next: DataFrame): DataFrame =
+    var df = input
+    def stage(name: String, next: DataFrame): DataFrame = {
+      // `df` still holds the PREDECESSOR frame here (reassignment happens
+      // after stage returns), so the ids-only except is exactly the docs
+      // this stage removed
+      if (trackDrops)
+        dropParts += df.select(col(idCol))
+          .except(next.select(col(idCol)))
+          .withColumn("stage", lit(name))
       if (!trackFunnel) next
       else {
         val p = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -110,7 +129,7 @@ object Curation {
         persisted = Some(p)
         p
       }
-    var df = input
+    }
     if (trackFunnel) counts += ("input" -> df.count())
 
     // raw crawl payloads become text before any content operator sees them
@@ -301,6 +320,9 @@ object Curation {
         df.select(key).distinct(), key, sc.nShards, sc.seed)
       df = df.join(assign, Seq(key))
     }
-    Result(df, counts.toSeq)
+    Result(df, counts.toSeq,
+      drops =
+        if (trackDrops && dropParts.nonEmpty) Some(dropParts.reduce(_.unionByName(_)))
+        else None)
   }
 }
