@@ -873,6 +873,24 @@ object SparkEntry {
     },
 
     // ====================================================== §2.8 scalar functions
+    // O-Rison audit codec (RisonHelper parity): encode a per-order audit
+    // map and decode it back to canonical JSON; the oracle assembles both
+    // strings per the public Rison grammar (bare ids vs quoted strings)
+    "fn_rison" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders").where(col("o_orderkey") <= 400)
+      // o_orderpriority values start with a digit -> Rison must quote;
+      // the "c <status>" note has a space -> quoted; host/status are bare
+      val json = concat(
+        lit("{\"comment\":\""), col("o_orderpriority"),
+        lit("\",\"host\":\"emodb-01\",\"key\":"), col("o_orderkey"),
+        lit(",\"note\":\"c "), col("o_orderstatus"), lit("\",\"ok\":true}"))
+      o.select(col("o_orderkey"),
+          graft.engine.expressions.toORison(json).as("orison"),
+          graft.engine.expressions.fromORison(
+            graft.engine.expressions.toORison(json)).as("json_rt"))
+        .orderBy("o_orderkey")
+    },
+
     "fn_strings" -> { (s, dir) =>
       Tables.read(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -2722,6 +2740,14 @@ object SparkEntry {
         |   AND max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) = 1
         |   AND max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) = 1
         |ORDER BY key""".stripMargin,
+
+    "fn_rison" ->
+      """SELECT o_orderkey,
+        |  'comment:''' || o_orderpriority || ''',host:emodb-01,key:' || o_orderkey
+        |    || ',note:''c ' || o_orderstatus || ''',ok:!t' AS orison,
+        |  '{"comment":"' || o_orderpriority || '","host":"emodb-01","key":' || o_orderkey
+        |    || ',"note":"c ' || o_orderstatus || '","ok":true}' AS json_rt
+        |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin,
 
     "fn_strings" ->
       """SELECT o_orderkey,

@@ -130,6 +130,25 @@ object GraftFunctions {
             CLit.create(UrlPattern), CLit.create("<URL>")), PhonePattern)),
         "scala_udf")
     }
+    // O-Rison audit codec (RisonHelper parity)
+    reg.createOrReplaceTempFunction("emo_to_orison",
+      exprs => ToORisonExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_from_orison",
+      exprs => FromORisonExpr(exprs.head), "scala_udf")
+    // emo_blocklist(text, array('w1','w2',...)) -> struct<n_blocked, n_tokens>
+    reg.createOrReplaceTempFunction("emo_blocklist",
+      exprs => {
+        require(exprs(1).foldable, "emo_blocklist: the word list must be a literal array")
+        val words = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        graft.pipeline.BlocklistStatsExpr(exprs.head, words)
+      }, "scala_udf")
+    // emo_fix_mojibake(text [, max_passes])
+    reg.createOrReplaceTempFunction("emo_fix_mojibake",
+      exprs => graft.pipeline.MojibakeRepairExpr(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1)) else 1), "scala_udf")
     reg.createOrReplaceTempFunction("emo_repetition_ok",
       exprs => graft.pipeline.RepetitionOkExpr(exprs(0),
         if (exprs.length > 1) litDouble(exprs(1)) else 0.20,

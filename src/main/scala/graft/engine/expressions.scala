@@ -4,7 +4,7 @@ import graft.condition.{Condition, ConditionEvaluator, Conditions, IntrinsicsVie
 import graft.json.{Hashes, JsonCodec}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -171,6 +171,31 @@ case class EmoJsonGet(body: Expression, path: Expression)
     copy(body = c(0), path = c(1))
 }
 
+/** JSON text -> O-Rison text (the reference's audit-parameter encoding,
+  * RisonHelper.asORison). Canonical: object keys sort, so the output is a
+  * pure function of the JSON value. */
+case class ToORisonExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.json.Rison.encodeORison(
+      JsonCodec.parse(input.asInstanceOf[UTF8String].toString)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** O-Rison text -> canonical JSON text (RisonHelper.fromORison): lets
+  * reference-style audit strings flow into every JSON-consuming operator. */
+case class FromORisonExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(JsonCodec.render(
+      graft.json.Rison.decodeORison(input.asInstanceOf[UTF8String].toString)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object expressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -216,6 +241,10 @@ object expressions {
   /** Canonical-JSON value at a dot-path (null if undefined). */
   def emoJsonGet(body: Column, path: String): Column =
     toCol(EmoJsonGet(toExpr(body), toExpr(org.apache.spark.sql.functions.lit(path))))
+
+  /** JSON text -> O-Rison audit encoding, and back (canonical JSON out). */
+  def toORison(json: Column): Column = toCol(ToORisonExpr(toExpr(json)))
+  def fromORison(orison: Column): Column = toCol(FromORisonExpr(toExpr(orison)))
 
   /** Full-intrinsics variant (doc frames). */
   def emoCondEvalFull(conditionText: String, body: Column, id: Column, table: Column,

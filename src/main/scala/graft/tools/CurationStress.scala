@@ -246,6 +246,23 @@ object CurationStress {
         Dedup.signCluster(col("embedding"), 14), tau = 0.99,
         maxClusterSize = 2000).where(col("kept")).count()
     }
+    // data-map k-means: 2 Lloyd iterations = 2 scans + 2 (cell,pos)-keyed
+    // aggregates; driver state is k × dims doubles
+    time("kmeans", nVecs) {
+      val (_, assigned) = Similarity.kmeans(emb, "vec_id", "embedding",
+        k = 64, iters = 2)
+      assigned.groupBy("cluster").count().count()
+    }
+    // IVF-PQ composed: coarse cells prune the ADC stream to nProbe/nCells
+    // of the corpus; per-pair ADC expression on the probed join only
+    time("ivfpq_topk", nVecs) {
+      val (centroids, _) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = 64, iters = 1)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(emb, "vec_id", "embedding", centroids, books)
+      Similarity.ivfPqTopK(centroids, books, index, queries,
+        "vec_id", "embedding", k = 3, nProbe = 8, rerank = 64).count()
+    }
     // round-5e: corpus-global segment dedup WITH reconstruction — the
     // replicated corpus is the worst case (every window appears `mult`
     // times, every doc is rewritten, so the text-side join cannot
