@@ -873,6 +873,27 @@ object SparkEntry {
     },
 
     // ====================================================== §2.8 scalar functions
+    // databus event-key codec (EventKeyFormat parity): per-user event-store
+    // ids (slab = md5(user), sequential hex counter, fixed checksum) are
+    // prefix-compressed into ONE event key; the oracle replays the I/X
+    // compression rule in SQL (constant checksum keeps the shared-prefix
+    // arithmetic expressible), and the decode expression round-trips
+    "fn_event_key" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select("user_id", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val ids = ev.withColumn("rn", row_number().over(w))
+        .withColumn("eid", concat(md5(col("user_id").cast("string")),
+          lpad(lower(hex(col("rn"))), 4, "0"), lit("aaaa")))
+      ids.groupBy("user_id")
+        .agg(sort_array(collect_list("eid")).as("ids"))
+        .select(col("user_id"),
+          graft.streaming.EventKey.encodeCol(col("ids")).as("event_key"),
+          size(graft.streaming.EventKey.decodeCol(
+            graft.streaming.EventKey.encodeCol(col("ids")))).as("n_ids"))
+        .orderBy("user_id")
+    },
+
     // O-Rison audit codec (RisonHelper parity): encode a per-order audit
     // map and decode it back to canonical JSON; the oracle assembles both
     // strings per the public Rison grammar (bare ids vs quoted strings)
@@ -2740,6 +2761,33 @@ object SparkEntry {
         |   AND max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) = 1
         |   AND max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) = 1
         |ORDER BY key""".stripMargin,
+
+    "fn_event_key" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, rn,
+        |         lpad(lower(to_hex(rn)), 4, '0') AS c,
+        |         md5(CAST(user_id AS VARCHAR)) || lpad(lower(to_hex(rn)), 4, '0') || 'aaaa' AS eid
+        |  FROM r),
+        |p AS (
+        |  SELECT user_id, rn, eid, c,
+        |         lag(c) OVER (PARTITION BY user_id ORDER BY rn) AS cprev
+        |  FROM i),
+        |enc AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN cprev IS NULL THEN eid
+        |         ELSE 'X' || substr(c, 1 + CASE
+        |             WHEN substr(cprev,1,3) = substr(c,1,3) THEN 3
+        |             WHEN substr(cprev,1,2) = substr(c,1,2) THEN 2
+        |             WHEN substr(cprev,1,1) = substr(c,1,1) THEN 1
+        |             ELSE 0 END) || 'aaaa' END AS piece
+        |  FROM p)
+        |SELECT user_id, string_agg(piece, '' ORDER BY rn) AS event_key,
+        |       CAST(count(*) AS INT) AS n_ids
+        |FROM enc GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "fn_rison" ->
       """SELECT o_orderkey,

@@ -130,6 +130,11 @@ object GraftFunctions {
             CLit.create(UrlPattern), CLit.create("<URL>")), PhonePattern)),
         "scala_udf")
     }
+    // databus event-key codec (EventKeyFormat parity)
+    reg.createOrReplaceTempFunction("emo_event_key_encode",
+      exprs => graft.streaming.EventKeyEncodeExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("emo_event_key_decode",
+      exprs => graft.streaming.EventKeyDecodeExpr(exprs.head), "scala_udf")
     // O-Rison audit codec (RisonHelper parity)
     reg.createOrReplaceTempFunction("emo_to_orison",
       exprs => ToORisonExpr(exprs.head), "scala_udf")
