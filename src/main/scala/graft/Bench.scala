@@ -33,13 +33,14 @@ object Bench {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
         .start()
-      val t0 = System.nanoTime()
-      all.grouped(all.length / 5 + 1).foreach { b =>
-        input.addData(b.toIndexedSeq); q.processAllAvailable()
-      }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      out += (("streaming_materializer", secs, all.length / secs))
+      try {
+        val t0 = System.nanoTime()
+        all.grouped(all.length / 5 + 1).foreach { b =>
+          input.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        out += (("streaming_materializer", secs, all.length / secs))
+      } finally q.stop() // a leaked query would contaminate the fanout timing
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming_materializer failed: ${e.getMessage}")
       out += (("streaming_materializer", -1.0, -1.0))
@@ -51,16 +52,8 @@ object Bench {
     try {
       val events = graft.engine.EventLog.changes(spark, sfDir)
         .select("table", "key", "ms", "seq", "node", "tags")
-      val types = Seq("purchase", "view", "error", "signup")
-      val subs = (1 to 500).map { i =>
-        val cond = i % 4 match {
-          case 0 => s"""{..,"~tags":contains("${types(i % types.size)}")}"""
-          case 1 => s"""intrinsic("~id":like("k${i % 10}*"))"""
-          case 2 => """and(intrinsic("~table":"events"),{..,"~tags":containsAny("error","view")})"""
-          case _ => s"""not({..,"~tags":contains("${types(i % types.size)}")})"""
-        }
-        graft.streaming.Subscription(s"sub$i", cond)
-      }
+      // the SAME mix FanoutProfile decomposes (one shared definition)
+      val subs = graft.tools.FanoutFixtures.subscriptionMix(500)
       val nEvents = events.count()
       val t0 = System.nanoTime()
       graft.streaming.Databus.fanout(events, subs).queryExecution.toRdd.count()
@@ -130,7 +123,9 @@ object Bench {
     } ++ streaming.map { case (n, s, _) => n -> s }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed rows keep their -1 sentinel in the per-query map (visible) but
+    // must not SUBTRACT from the headline total a round-over-round diff reads
+    val total = results.map(_._2).filter(_ >= 0).sum
     val throughput = streaming.map { case (n, _, rps) =>
       "\"" + n + "_rows_per_sec\":" + f"$rps%.0f" }.mkString("{", ",", "}")
     val fullLine =

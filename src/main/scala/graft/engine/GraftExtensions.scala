@@ -177,8 +177,7 @@ object GraftFunctions {
         if (exprs.length > 1) litInt(exprs(1)) else 65536).toAggregateExpression(),
       "scala_udf")
     reg.createOrReplaceTempFunction("emo_kmv_setcounts",
-      exprs => graft.pipeline.KmvSetCountsExpr(exprs(0), exprs(1),
-        if (exprs.length > 2) litInt(exprs(2)) else 65536),
+      exprs => graft.pipeline.KmvSetCountsExpr(exprs(0), exprs(1)),
       "scala_udf")
     // SpaceSaving heavy hitters as a SQL aggregate (exact below capacity)
     reg.createOrReplaceTempFunction("emo_topk_sketch",

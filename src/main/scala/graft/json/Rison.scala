@@ -58,7 +58,11 @@ object Rison {
     case JDouble(n) =>
       if (n.isNaN || n.isInfinite)
         throw new IllegalArgumentException("non-finite numbers are not Rison")
-      sb.append(n); ()
+      // Java renders scientific notation with 'E'; the Rison grammar only
+      // admits lowercase 'e' (no '+', which Double.toString never emits) —
+      // lowercasing keeps encode(decode) and spec-parser compatibility for
+      // magnitudes like 1e21 / 1e-5
+      sb.append(java.lang.Double.toString(n).replace('E', 'e')); ()
     case JString(s) => appendString(sb, s)
     case JArr(items) =>
       sb.append("!(")
@@ -202,10 +206,14 @@ object Rison {
       while (p.more && p.peek.isDigit) p.next()
     }
     val text = p.s.substring(start, p.i)
-    if (isDouble) JDouble(text.toDouble)
-    else
-      try JLong(text.toLong)
-      catch { case _: NumberFormatException => JDouble(text.toDouble) }
+    try {
+      if (isDouble) JDouble(text.toDouble)
+      else
+        try JLong(text.toLong)
+        catch { case _: NumberFormatException => JDouble(text.toDouble) }
+    } catch {
+      case _: NumberFormatException => p.fail(s"malformed number '$text'")
+    }
   }
 
   private def parseObjBody(p: P, untilParen: Boolean): JValue = {
@@ -216,7 +224,11 @@ object Rison {
     var done = false
     while (!done) {
       val key = if (p.more && p.peek == '\'') { p.next(); parseQuoted(p) }
-        else parseId(p)
+        else {
+          val id = parseId(p)
+          if (id.isEmpty) p.fail("empty bare key") // '' quotes an empty key
+          id
+        }
       p.expect(':')
       fields += key -> parseValue(p)
       if (untilParen) {

@@ -102,9 +102,10 @@ object Curation {
     * audit frame (idCol, stage): each dropped document tagged with the
     * FIRST stage that removed it — the "why did my page disappear"
     * explainability question every production curation pipeline gets
-    * asked. Cost: one ids-only anti-diff per stage, sized by that stage's
-    * drop count (rewrite-only stages diff to empty); the audit frame is
-    * lazy, so untouched it costs nothing. */
+    * asked. Cost: one ids-only anti-diff per stage, materialized against
+    * the cached stage frames while they are still resident (trackDrops
+    * implies funnel-style per-stage persists), sized by that stage's
+    * drop count — rewrite-only stages diff to empty. */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
           evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
           dsirTarget: Option[DataFrame] = None,
@@ -114,21 +115,31 @@ object Curation {
     var persisted: Option[DataFrame] = None
     var df = input
     def stage(name: String, next: DataFrame): DataFrame = {
+      val cache = trackFunnel || trackDrops
+      val out =
+        if (cache) next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else next
       // `df` still holds the PREDECESSOR frame here (reassignment happens
       // after stage returns), so the ids-only except is exactly the docs
-      // this stage removed
-      if (trackDrops)
-        dropParts += df.select(col(idCol))
-          .except(next.select(col(idCol)))
+      // this stage removed. The diff MATERIALIZES now, while the
+      // predecessor is still cached — a lazy plan evaluated after the
+      // unpersist chain advances would re-run the whole upstream pipeline
+      // once per stage (O(stages²) lineage work) instead of the one
+      // anti-diff per stage this feature promises.
+      if (trackDrops) {
+        val lost = df.select(col(idCol))
+          .except(out.select(col(idCol)))
           .withColumn("stage", lit(name))
-      if (!trackFunnel) next
-      else {
-        val p = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        counts += (name -> p.count())
-        persisted.foreach(_.unpersist())
-        persisted = Some(p)
-        p
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lost.count()
+        dropParts += lost
       }
+      if (trackFunnel) counts += (name -> out.count())
+      if (cache) {
+        persisted.foreach(_.unpersist())
+        persisted = Some(out)
+      }
+      out
     }
     if (trackFunnel) counts += ("input" -> df.count())
 

@@ -38,23 +38,27 @@ object Kmv {
     GraftBridge.column(
       KmvDistinct(GraftBridge.expression(c), k).toAggregateExpression())
 
-  /** Aggregate Column: the sketch ITSELF (sorted k-min hash array) — the
-    * mergeable value that [[setCounts]] combines, so overlap audits
-    * between two corpora (old vs new snapshot URL sets, per-source user
-    * bases) run in ONE pass each and combine driver-side in O(k). */
+  /** Aggregate Column: the sketch ITSELF — struct<k, mins> with the
+    * sorted k-min hash array — the mergeable value [[setCounts]]
+    * combines, so overlap audits between two corpora (old vs new
+    * snapshot URL sets, per-source user bases) run in ONE pass each and
+    * combine driver-side in O(k). The sketch CARRIES its capacity: a
+    * combiner cannot misread a saturated small-k sketch as a complete
+    * set (the silent-wrong-answer mode a bare hash array invites). */
   def sketch(c: Column, k: Int = 65536): Column =
     GraftBridge.column(
       KmvSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
 
-  /** Scalar Column over two [[sketch]] arrays: struct<n_a, n_b, n_union,
+  /** Scalar Column over two [[sketch]] values: struct<n_a, n_b, n_union,
     * n_intersect> distinct-count estimates (Beyer et al., SIGMOD 2007
-    * §4: union from the merged k-min set, intersection via the Jaccard
-    * fraction within it). EXACT whenever both sketches are below
-    * capacity — they then ARE the complete hash sets — which is the
-    * regime the oracle pins. */
-  def setCounts(a: Column, b: Column, k: Int = 65536): Column =
+    * §4: union from the merged k-min set at the smaller of the two
+    * capacities, intersection via the Jaccard fraction within it).
+    * EXACT whenever both sketches are below their capacities — they then
+    * ARE the complete hash sets — which is the regime the oracle pins.
+    * Mixed capacities combine correctly (effective k = min). */
+  def setCounts(a: Column, b: Column): Column =
     GraftBridge.column(KmvSetCountsExpr(
-      GraftBridge.expression(a), GraftBridge.expression(b), k))
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** Bounded set of the k smallest hashes, unsigned order. */
@@ -159,20 +163,23 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChild)
 }
 
-/** The sketch as a VALUE: sorted (unsigned) k-min hash array, ready for
-  * [[KmvSetCountsExpr]] or cross-run persistence. */
+/** The sketch as a VALUE: struct<k, mins> with the sorted (unsigned)
+  * k-min hash array, ready for [[KmvSetCountsExpr]] or cross-run
+  * persistence. Capacity rides in the value so downstream combiners can
+  * tell "complete set of 512 values" from "saturated k=512 sketch". */
 case class KmvSketchAgg(child: Expression, k: Int,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0) extends KmvAggBase {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = KmvSketchAgg.SketchType
   override def prettyName: String = "kmv_sketch"
 
   override def eval(buffer: KmvBuffer): Any = {
     val out = new Array[Long](buffer.set.size)
     var i = 0
     buffer.set.forEach { h => out(i) = h; i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](k, new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
@@ -183,15 +190,24 @@ case class KmvSketchAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+object KmvSketchAgg {
+  /** struct<k, mins>: capacity + sorted (unsigned) k-min hashes. */
+  val SketchType: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("mins", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
 /** Combine two KMV sketches into struct<n_a, n_b, n_union, n_intersect>
-  * distinct-count estimates. Union: the k smallest of the merged hash
-  * sets with the standard (k−1)/M_k estimator; intersection: the Jaccard
-  * fraction of shared hashes within that merged k-min set, scaled by the
-  * union estimate (Beyer et al., SIGMOD 2007). When BOTH inputs are below
-  * capacity the sketches are complete hash sets and every output is
-  * exact — the oracle-pinned regime. One O(|a|+|b|) merge walk per row;
-  * intended for the parameter-sized outputs of [[Kmv.sketch]]. */
-case class KmvSetCountsExpr(left: Expression, right: Expression, k: Int)
+  * distinct-count estimates. Union: the k' smallest of the merged hash
+  * sets (k' = the smaller input capacity) with the standard (k'−1)/M_k'
+  * estimator; intersection: the Jaccard fraction of shared hashes within
+  * that merged k'-min set, scaled by the union estimate (Beyer et al.,
+  * SIGMOD 2007). When BOTH inputs are below their capacities the
+  * sketches are complete hash sets and every output is exact — the
+  * oracle-pinned regime. Capacities ride inside the sketch values, so a
+  * saturated small-k sketch can never be misread as a complete set. One
+  * O(|a|+|b|) merge walk per row. */
+case class KmvSetCountsExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -203,16 +219,21 @@ case class KmvSetCountsExpr(left: Expression, right: Expression, k: Int)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def nullSafeEval(aAny: Any, bAny: Any): Any = {
-    val ad = aAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val bd = bAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val a = ad.toLongArray()
-    val b = bd.toLongArray()
-    val nA = if (a.isEmpty) 0L else KmvEstimate(a(a.length - 1), a.length, k)
-    val nB = if (b.isEmpty) 0L else KmvEstimate(b(b.length - 1), b.length, k)
-    val bothExact = a.length < k && b.length < k
+    val ra = aAny.asInstanceOf[InternalRow]
+    val rb = bAny.asInstanceOf[InternalRow]
+    val kA = ra.getInt(0)
+    val kB = rb.getInt(0)
+    val a = ra.getArray(1).toLongArray()
+    val b = rb.getArray(1).toLongArray()
+    val nA = if (a.isEmpty) 0L else KmvEstimate(a(a.length - 1), a.length, kA)
+    val nB = if (b.isEmpty) 0L else KmvEstimate(b(b.length - 1), b.length, kB)
+    val bothExact = a.length < kA && b.length < kB
     // merge walk in unsigned order over the two sorted arrays; for the
-    // exact regime keep the WHOLE union, otherwise only the k smallest
-    val cap = if (bothExact) a.length + b.length else k
+    // exact regime keep the WHOLE union, otherwise only the k' smallest
+    // (k' = min capacity — hashes past the smaller sketch's threshold
+    // are not comparable across the two)
+    val kEff = math.min(kA, kB)
+    val cap = if (bothExact) a.length + b.length else kEff
     var i = 0; var j = 0; var u = 0; var common = 0
     var lastU = 0L
     while (u < cap && (i < a.length || j < b.length)) {
@@ -225,7 +246,7 @@ case class KmvSetCountsExpr(left: Expression, right: Expression, k: Int)
     }
     val nUnion =
       if (bothExact) u.toLong
-      else KmvEstimate(lastU, u, k)
+      else KmvEstimate(lastU, u, kEff)
     val nIntersect =
       if (bothExact) common.toLong
       else if (u == 0) 0L

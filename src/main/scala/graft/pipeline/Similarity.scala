@@ -297,12 +297,7 @@ object Similarity {
       if (nCells > 0) nCells
       else math.min(65536, math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt))
     // deterministic seed centroids: the nCells corpus rows with smallest id-hash
-    var centroids: Seq[Seq[Double]] = base
-      .withColumn("h", xxhash64(col("id")))
-      .orderBy(col("h"), col("id")).limit(cells)
-      .select("vec").collect()
-      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toSeq)
-      .toSeq
+    var centroids: Seq[Seq[Double]] = seedPool(base, cells).map(_.toSeq).toSeq
     centroids = lloydRefine(base, centroids, iters)
     val index = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
     (centroids, index)
@@ -356,10 +351,7 @@ object Similarity {
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int = 2, seedSample: Int = 8): (Seq[Seq[Double]], DataFrame) = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val pool = base.withColumn("h", xxhash64(col("id")))
-      .orderBy(col("h"), col("id")).limit(math.max(k, seedSample * k))
-      .select("vec").collect()
-      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
+    val pool = seedPool(base, math.max(k, seedSample * k))
     require(pool.length >= k, s"kmeans: ${pool.length} rows < k=$k")
     val seeds = farthestPointSeeds(pool, k).map(_.toSeq).toSeq
     val centroids = lloydRefine(base, seeds, iters)
@@ -414,12 +406,8 @@ object Similarity {
     val dims = base.select(size(col("vec"))).head().getInt(0)
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    // candidate seed pool: the seedSample*k smallest-id-hash rows (id as a
-    // tie-break makes the order total even on hash collisions)
-    val pool = base.withColumn("h", xxhash64(col("id")))
-      .orderBy(col("h"), col("id")).limit(math.max(k, seedSample * k))
-      .select("vec").collect()
-      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
+    // candidate seed pool: the seedSample*k smallest-id-hash rows
+    val pool = seedPool(base, math.max(k, seedSample * k))
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       val blocks = pool.map(v => v.slice(s * subDim, (s + 1) * subDim))
       farthestPointSeeds(blocks, k).map(_.toSeq).toSeq
@@ -553,6 +541,16 @@ object Similarity {
     rankTopKPerQuery(scored, "query_id", "adc", "neighbor_id", rerank)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** Deterministic hash-sampled candidate pool shared by the seeding
+    * paths (IVF cells, k-means, PQ codebooks): the n smallest-id-hash
+    * rows' vectors — id as a tie-break makes the order total even on
+    * hash collisions, so seeding is identical under any partitioning. */
+  private def seedPool(base: DataFrame, n: Int): Array[Array[Double]] =
+    base.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(n)
+      .select("vec").collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)
 
   /** Driver-computed ADC lookup tables for a bounded query set:
     * luts(q)(s)(c) = dot(q's block s, codebook s centroid c), plus the

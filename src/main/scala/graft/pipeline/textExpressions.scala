@@ -329,18 +329,15 @@ case class MojibakeRepairExpr(child: Expression, maxPasses: Int)
   override def nullable: Boolean = child.nullable
 
   private def repairOnce(s: String): String = {
-    val n = s.length
-    val bytes = new Array[Byte](n)
+    val bytes = MojibakeRepairExpr.misdecodeBytes(s)
+    if (bytes == null) return s // not a cp1252/Latin-1 misdecode
+    var hasHigh = false
     var i = 0
-    var multibyte = false
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c > 0xFF) return s // not a Latin-1 misdecode
-      if (c > 0x7F) multibyte = true
-      bytes(i) = c.toByte
+    while (i < bytes.length && !hasHigh) {
+      if (bytes(i) < 0) hasHigh = true
       i += 1
     }
-    if (!multibyte) return s // pure ASCII: nothing to repair
+    if (!hasHigh) return s // pure ASCII: nothing to repair
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
@@ -362,6 +359,45 @@ case class MojibakeRepairExpr(child: Expression, maxPasses: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MojibakeRepairExpr {
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  // CharsetEncoder is stateful and not thread-safe: one per executor thread
+  private val cp1252Encoder = ThreadLocal.withInitial(() =>
+    Cp1252.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
+  /** The bytes the text was misdecoded FROM, or null if the text cannot be
+    * a single-byte misdecode at all. windows-1252 first — the common
+    * real-world form, where UTF-8 continuation bytes 0x80–0x9F surfaced as
+    * punctuation (0x80 → €, 0x93/0x94 → smart quotes) — then Latin-1 for
+    * the C1-control chars cp1252 has no byte for. The two charsets agree
+    * everywhere else, so the order only decides who handles its own
+    * exclusive range. */
+  private[pipeline] def misdecodeBytes(s: String): Array[Byte] = {
+    val enc = cp1252Encoder.get()
+    enc.reset()
+    try {
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      val arr = new Array[Byte](bb.remaining())
+      bb.get(arr)
+      arr
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        val n = s.length
+        val bytes = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val c = s.charAt(i)
+          if (c > 0xFF) return null
+          bytes(i) = c.toByte
+          i += 1
+        }
+        bytes
+    }
+  }
 }
 
 /** Ordered, NON-distinct word n-grams in ONE tokenization pass — output

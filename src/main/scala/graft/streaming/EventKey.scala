@@ -61,7 +61,12 @@ object EventKey {
     var prev: String = null
     def combine(chunk: String): String =
       if (prev == null) chunk
-      else prev.substring(0, prev.length - chunk.length) + chunk
+      else {
+        // an X continuation can only REPLACE a suffix of the previous id
+        require(chunk.length <= prev.length,
+          s"Malformed event key: X chunk '$chunk' longer than previous id '$prev'")
+        prev.substring(0, prev.length - chunk.length) + chunk
+      }
     var i = 0
     while (i < eventKey.length) {
       val ch = eventKey.charAt(i)

@@ -83,6 +83,8 @@ object Sessions {
   def sessionWindowStats(df: DataFrame, entityCol: String, tsCol: String,
                          tieCol: String, gapMs: Long,
                          watermarkDelayMs: Option[Long] = None): DataFrame = {
+    require(!df.columns.contains("_ts") && !df.columns.contains("_w"),
+      "sessionWindowStats: input must not carry the internal columns _ts/_w")
     val withTs = df.withColumn("_ts", timestamp_millis(col(tsCol)))
     val marked = watermarkDelayMs.fold(withTs)(d =>
       withTs.withWatermark("_ts", s"$d milliseconds"))

@@ -17,16 +17,7 @@ object FanoutProfile {
       .select("table", "key", "ms", "seq", "node", "tags")
       .persist()
     val n = events.count()
-    val types = Seq("purchase", "view", "error", "signup")
-    def subsOf(k: Int): Seq[Subscription] = (1 to k).map { i =>
-      val cond = i % 4 match {
-        case 0 => s"""{..,"~tags":contains("${types(i % types.size)}")}"""
-        case 1 => s"""intrinsic("~id":like("k${i % 10}*"))"""
-        case 2 => """and(intrinsic("~table":"events"),{..,"~tags":containsAny("error","view")})"""
-        case _ => s"""not({..,"~tags":contains("${types(i % types.size)}")})"""
-      }
-      Subscription(s"sub$i", cond)
-    }
+    def subsOf(k: Int): Seq[Subscription] = FanoutFixtures.subscriptionMix(k)
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val out = f
       println(f"FANOUT_PROFILE $name out=$out secs=${(System.nanoTime() - t0) / 1e9}%.2f")

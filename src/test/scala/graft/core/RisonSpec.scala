@@ -82,8 +82,9 @@ class RisonSpec extends AnyFunSuite {
   }
 
   test("malformed input rejected: trailing garbage, bad escapes, unterminated") {
-    Seq("(a:1", "'abc", "!x", "(a:1)x", "!(1,", "(a)").foreach { bad =>
+    Seq("(a:1", "'abc", "!x", "(a:1)x", "!(1,", "(a)", "(:1)", "-", "(a:-)").foreach { bad =>
       intercept[IllegalArgumentException](Rison.decode(bad))
     }
+    intercept[IllegalArgumentException](Rison.decodeORison(":1"))
   }
 }

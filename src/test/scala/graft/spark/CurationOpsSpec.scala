@@ -243,15 +243,22 @@ class CurationOpsSpec extends AnyFunSuite {
   test("mojibake repair: restores misdecoded UTF-8, never corrupts clean text") {
     import graft.pipeline.textExpressions
     val clean = "café — naïve… 東京"
-    // mojibake = the string's UTF-8 bytes misread as Latin-1
+    // mojibake = the string's UTF-8 bytes misread as Latin-1 / cp1252
     def breakOnce(s: String): String =
       new String(s.getBytes("UTF-8").map(b => (b & 0xFF).toChar))
+    def breakCp1252(s: String): String =
+      new String(s.getBytes("UTF-8"), "windows-1252")
+    // UTF-8 bytes 0x80-0x9F land on DEFINED cp1252 punctuation ('”' is
+    // excluded: its 0x9D byte is undefined in cp1252, so that misdecode is
+    // lossy — U+FFFD — and correctly unrepairable)
+    val cp1252Clean = "em — dash “quote… €5"
     val cases = docs(
-      (1L, breakOnce(clean)),                  // single misdecode
+      (1L, breakOnce(clean)),                  // single Latin-1 misdecode
       (2L, breakOnce(breakOnce("café"))),      // double misdecode
       (3L, "plain ascii only"),                // no-op
       (4L, "real café, already correct"),      // latin1 accents: NOT valid UTF-8 bytes -> untouched
-      (5L, "日本語テキスト"))                    // chars > 0xFF: untouched
+      (5L, "日本語テキスト"),                    // CJK: untouched
+      (6L, breakCp1252(cp1252Clean)))          // windows-1252 misdecode (€/smart-quote range)
     val out = cases
       .select(col("id"), textExpressions.fixMojibake(col("text"), maxPasses = 2).as("f"),
         col("text"))
@@ -261,6 +268,7 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 === out(3L)._2)
     assert(out(4L)._1 === out(4L)._2)
     assert(out(5L)._1 === out(5L)._2)
+    assert(out(6L)._1 === cp1252Clean, "cp1252 misdecode must repair")
     // maxPasses = 1 unwraps exactly one layer of a double misdecode
     val once = cases.where(col("id") === 2L)
       .select(textExpressions.fixMojibake(col("text"), maxPasses = 1))

@@ -58,14 +58,14 @@ class KmvSpec extends AnyFunSuite {
       Kmv.sketch(when(col("id") % 2 === 0, col("id")), k).as("sa"),
       Kmv.sketch(when(col("id") % 3 === 0, col("id")), k).as("sb"))
     val exact = sketches(df.limit(600), k = 1024)
-      .select(Kmv.setCounts(col("sa"), col("sb"), k = 1024).as("c"))
+      .select(Kmv.setCounts(col("sa"), col("sb")).as("c"))
       .select("c.n_a", "c.n_b", "c.n_union", "c.n_intersect")
       .collect()(0)
     assert((exact.getLong(0), exact.getLong(1), exact.getLong(2), exact.getLong(3))
       === ((300L, 200L, 400L, 100L)))
     // estimate regime: 6000/4000/8000/2000 true counts, k = 512 -> rse ~4.4%
     val est = sketches(df, k = 512)
-      .select(Kmv.setCounts(col("sa"), col("sb"), k = 512).as("c"))
+      .select(Kmv.setCounts(col("sa"), col("sb")).as("c"))
       .select("c.n_a", "c.n_b", "c.n_union", "c.n_intersect")
       .collect()(0)
     // intersection compounds union noise with the Jaccard-fraction
@@ -78,10 +78,30 @@ class KmvSpec extends AnyFunSuite {
     // merge correctness: estimates identical under any partitioning
     val ests = Seq(1, 3, 16).map { p =>
       sketches(df.repartition(p), k = 512)
-        .select(Kmv.setCounts(col("sa"), col("sb"), k = 512).as("c"))
+        .select(Kmv.setCounts(col("sa"), col("sb")).as("c"))
         .select("c.n_union").collect()(0).getLong(0)
     }
     assert(ests.distinct.size === 1, s"partitioning changed the union estimate: $ests")
+  }
+
+  test("set operations with MIXED capacities: saturated small-k sketch is never misread as exact") {
+    val s = spark
+    import s.implicits._
+    // a: k=64, saturated (6000 distinct evens); b: k=4096, complete (20
+    // distinct multiples of 600). A bare-array design would see
+    // |a| = 64 < 4096 and claim the union "exact" at 84; carrying k in
+    // the sketch keeps the estimate near the true 6010.
+    val df = spark.range(12000).select(col("id"))
+    val skA = df.agg(Kmv.sketch(when(col("id") % 2 === 0, col("id")), k = 64).as("sa"))
+    val skB = df.agg(Kmv.sketch(when(col("id") % 600 === 0, col("id")), k = 4096).as("sb"))
+    val c = skA.crossJoin(skB)
+      .select(Kmv.setCounts(col("sa"), col("sb")).as("c"))
+      .select("c.n_a", "c.n_b", "c.n_union", "c.n_intersect").collect()(0)
+    assert(c.getLong(1) === 20L) // complete side stays exact
+    val trueUnion = 6010.0
+    assert(math.abs(c.getLong(2) - trueUnion) / trueUnion < 0.30,
+      s"union estimate ${c.getLong(2)} vs true $trueUnion")
+    assert(c.getLong(2) > 3000L, "saturated sketch misread as complete set")
   }
 
   test("nulls ignored; string input supported; grouped aggregation") {
