@@ -1854,6 +1854,21 @@ object SparkEntry {
         .where(col("id2") === col("id1") + 1000000L)
     },
 
+    // the gradient-hash (dHash) variant of the same planted-copy dedup:
+    // exposure-shift-robust fingerprint, identical banded shape; the
+    // row-shift invariance property itself is spec-pinned in
+    // MultimodalSpec (the oracle here pins exact-copy identity)
+    "dedup_image_dhash" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+      val copies = Multimodal.syntheticMedia(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L), "doc_id", "text")
+      Multimodal.imageNearDuplicates(media.unionAll(copies), maxHamming = 3,
+          useDHash = true)
+        .where(col("id2") === col("id1") + 1000000L)
+    },
+
     // ========================================================= pipeline: urls
     // URL canonicalization: messy URLs are constructed deterministically per
     // doc (scheme/WWW case, default ports, tracking params, fragments,
@@ -3861,6 +3876,10 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin,
 
     "dedup_image" ->
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2, 0 AS hamming
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY id1""".stripMargin,
+
+    "dedup_image_dhash" ->
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2, 0 AS hamming
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY id1""".stripMargin,
 

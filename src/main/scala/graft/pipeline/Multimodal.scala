@@ -299,34 +299,7 @@ object Multimodal {
     * Identical payloads hash identically; small pixel noise flips few
     * bits, so near-duplicate frames sit at small Hamming distance.
     * Non-BMP/malformed payloads return None. */
-  def imageAHash(b: Array[Byte]): Option[Long] = parseBmpHeader(b).map { h =>
-    val cell = new Array[Double](64)
-    var gy = 0
-    while (gy < 8) {
-      val y0 = (gy.toLong * h.height / 8).toInt
-      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h.height / 8).toInt)
-      var gx = 0
-      while (gx < 8) {
-        val x0 = (gx.toLong * h.width / 8).toInt
-        val x1 = math.max(x0 + 1, ((gx + 1).toLong * h.width / 8).toInt)
-        var sum = 0L
-        var sy = y0
-        while (sy < y1) {
-          val rowBase = h.pixelOffset + h.srcRow(sy) * h.rowSize
-          var sx = x0
-          while (sx < x1) {
-            val base = rowBase + sx * 3
-            sum += (77 * (b(base + 2) & 0xff) + 150 * (b(base + 1) & 0xff) +
-              29 * (b(base) & 0xff)) >> 8
-            sx += 1
-          }
-          sy += 1
-        }
-        cell(gy * 8 + gx) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
-        gx += 1
-      }
-      gy += 1
-    }
+  def imageAHash(b: Array[Byte]): Option[Long] = lumaGrid(b, 8, 8).map { cell =>
     val mean = cell.sum / 64
     var hash = 0L
     var i = 0
@@ -334,12 +307,69 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit difference-hash (dHash): luminance box-averaged onto a 9x8
+    * grid, bit (8*gy+gx) set when cell (gx+1) is brighter than cell gx in
+    * its row — the horizontal-GRADIENT fingerprint. Same banded-dedup
+    * contract as [[imageAHash]] with one extra property the spec pins: a
+    * uniform brightness shift moves every cell mean equally, so gradients
+    * (and the hash) are INVARIANT — the exposure-variant near-dup case
+    * aHash's global-mean threshold gets wrong. */
+  def imageDHash(b: Array[Byte]): Option[Long] = lumaGrid(b, 9, 8).map { cell =>
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gy * 9 + gx + 1) > cell(gy * 9 + gx)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Shared grid pass for the perceptual hashes: mean luminance of a
+    * gw×gh box grid over a 24-bpp BMP (one pass over the pixels). */
+  private def lumaGrid(b: Array[Byte], gw: Int, gh: Int): Option[Array[Double]] =
+    parseBmpHeader(b).map { h =>
+      val cell = new Array[Double](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = (gy.toLong * h.height / gh).toInt
+        val y1 = math.max(y0 + 1, ((gy + 1).toLong * h.height / gh).toInt)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = (gx.toLong * h.width / gw).toInt
+          val x1 = math.max(x0 + 1, ((gx + 1).toLong * h.width / gw).toInt)
+          var sum = 0L
+          var sy = y0
+          while (sy < y1) {
+            val rowBase = h.pixelOffset + h.srcRow(sy) * h.rowSize
+            var sx = x0
+            while (sx < x1) {
+              val base = rowBase + sx * 3
+              sum += (77 * (b(base + 2) & 0xff) + 150 * (b(base + 1) & 0xff) +
+                29 * (b(base) & 0xff)) >> 8
+              sx += 1
+            }
+            sy += 1
+          }
+          cell(gy * gw + gx) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      cell
+    }
+
   /** Perceptual hashes of the BMP payloads in a media stream:
     * (media_id, ahash). Non-BMP rows are absent. Scan-local. */
-  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+  def imageHashes(media: Dataset[MediaRow], useDHash: Boolean = false): DataFrame = {
     import media.sparkSession.implicits._
+    val hashFn: Array[Byte] => Option[Long] =
+      if (useDHash) imageDHash else imageAHash
     media.flatMap { r =>
-      imageAHash(if (r.media == null) Array.emptyByteArray else r.media)
+      hashFn(if (r.media == null) Array.emptyByteArray else r.media)
         .map(h => (r.media_id, h))
     }.toDF("media_id", "ahash")
   }
@@ -349,15 +379,17 @@ object Multimodal {
     * the text paths: the 64-bit hash splits into `bands` equal chunks,
     * candidates share at least one chunk (guaranteed complete for
     * maxHamming < bands by pigeonhole; approximate above), and the exact
-    * `bit_count(xor)` verifies. Only (id, hash) travels — no payloads. */
+    * `bit_count(xor)` verifies. Only (id, hash) travels — no payloads.
+    * `useDHash` swaps in the gradient hash ([[imageDHash]]) — the variant
+    * that survives exposure shifts between duplicate fetches. */
   def imageNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3,
-                          bands: Int = 4): DataFrame = {
+                          bands: Int = 4, useDHash: Boolean = false): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     val bits = 64 / bands
     // -1L >>> (64-bits) is correct at bits=64 too; (1L << 64) - 1 would
     // overflow to 0 and collapse every hash into one cross-product bucket
     val mask = -1L >>> (64 - bits)
-    val hashes = imageHashes(media)
+    val hashes = imageHashes(media, useDHash)
     val banded = hashes.select(col("media_id"), col("ahash"),
       posexplode(array((0 until bands).map(bd =>
         shiftrightunsigned(col("ahash"), bd * bits)

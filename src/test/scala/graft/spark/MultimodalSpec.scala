@@ -216,6 +216,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(segs.toSeq === Seq((0, 0L, 2000L, 2), (1, 3000L, 5000L, 2)))
   }
 
+  test("imageDHash: row-constant exposure shift is invisible to the gradient hash, not to aHash") {
+    // base luminance <= ~170, shift <= 62 -> no channel clips, so the
+    // per-row shift averages out EXACTLY inside each grid row
+    def img(shift: Int => Int): Array[Byte] =
+      Multimodal.encodeBmp(32, 32, (x, y) => {
+        val v = (x * 7 + y * 2) % 170
+        val s = shift(y)
+        (v + s, (v / 2) + s, (170 - v) / 2 + s)
+      })
+    val flat = img(_ => 0)
+    val vignette = img(y => y * 2) // top-to-bottom brightness ramp
+    assert(Multimodal.imageDHash(flat) === Multimodal.imageDHash(flat.clone()))
+    assert(Multimodal.imageDHash(flat) === Multimodal.imageDHash(vignette),
+      "dHash compares cells WITHIN a row: a row-constant shift must cancel")
+    val aFlat = Multimodal.imageAHash(flat).get
+    val aVig = Multimodal.imageAHash(vignette).get
+    assert(java.lang.Long.bitCount(aFlat ^ aVig) > 0,
+      "the ramp lifts whole rows over aHash's global mean — the case dHash exists for")
+    assert(Multimodal.imageDHash("RIFFxxxxWAVE".getBytes).isEmpty)
+    // dedup path on dHash: the shifted duplicate lands at hamming 0
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/bmp", flat),
+      MediaRow(2L, "image/bmp", vignette), // exposure-shifted duplicate
+      MediaRow(3L, "image/bmp", Multimodal.encodeBmp(32, 32,
+        (x, y) => ((x * 13 + y * 11) % 200, x % 150, y % 150)))).toDS()
+    val viaD = Multimodal.imageNearDuplicates(media, maxHamming = 0, useDHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaD.toSeq === Seq((1L, 2L, 0)))
+  }
+
   test("imageAHash: identical payloads collide, noise stays near, dedup finds planted pairs") {
     lazy val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")

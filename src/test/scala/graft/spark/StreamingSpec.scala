@@ -918,6 +918,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming SpaceSaving top-k: grouped sketch over micro-batches equals the batch result (exact regime)") {
+    import graft.pipeline.TopKSketch
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    // zipfish token stream over 3 groups; < capacity distinct per group
+    // so the sketch is in its exact regime and streaming MUST equal batch
+    val rows = (0 until 900).map { i =>
+      (s"g${i % 3}", s"tok${(math.pow(rnd.nextDouble(), 2) * 40).toInt}")
+    }
+    val agg = (d: org.apache.spark.sql.DataFrame) => d.groupBy("g")
+      .agg(TopKSketch.topK(col("v"), n = 5, capacity = 256).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.item"), col("t.count"))
+    val input = MemoryStream[(String, String)]
+    val query = agg(input.toDS().toDF("g", "v"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_topk").toString)
+      .start()
+    try {
+      rows.grouped(200).foreach { chunk => input.addData(chunk); query.processAllAvailable() }
+      val streamed = spark.table("topk_stream_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = agg(rows.toDF("g", "v")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("native session_window rollup: batch parity with sessionStats (incl. exact-gap boundary), " +
       "streaming append emits completed sessions") {
     import graft.streaming.Sessions
