@@ -91,6 +91,19 @@ object CurationStress {
         .agg(count(col("h"))).collect()
       nDocs
     }
+    // blocklist gate (O(1) probe per token) and mojibake repair (charset
+    // probe per row) — both scan-local single-pass expressions
+    time("blocklist", nDocs) {
+      val words = (1 to 10000).map(i => s"blocked$i") ++ Seq("scan", "merge")
+      docs.select(textExpressions.blocklistStats(col("text"), words).as("st"))
+        .agg(sum(col("st.n_blocked"))).collect()
+      nDocs
+    }
+    time("mojibake", nDocs) {
+      docs.select(md5(textExpressions.fixMojibake(col("text"))).as("h"))
+        .agg(count(col("h"))).collect()
+      nDocs
+    }
     // NOTE: actions must consume computed columns — a bare count() lets
     // Catalyst eliminate unique-keyed outer joins and prune projections,
     // timing nothing but the scan
