@@ -84,7 +84,13 @@ object Curation {
       sourceCap: Option[CapConfig] = None,         // <= n docs per source
       tokenBudget: Option[Long] = None,            // carve to ~B tokens
       packBudget: Option[Long] = None,             // emit seq_id when set
-      shards: Option[ShardConfig] = None)          // emit shard/pos when set
+      shards: Option[ShardConfig] = None,          // emit shard/pos when set
+      fixMojibake: Boolean = false,                // charset-repair rewrite (pre-C4)
+      blocklist: Option[BlocklistConfig] = None)   // badwords gate (with `gates`)
+
+  /** C4-style badwords gate: drop docs whose blocked-token rate exceeds
+    * `maxPermille` (integer math — no float thresholds). */
+  final case class BlocklistConfig(words: Seq[String], maxPermille: Int = 150)
 
   final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)],
                           drops: Option[DataFrame] = None)
@@ -146,6 +152,14 @@ object Curation {
     // raw crawl payloads become text before any content operator sees them
     if (cfg.extractHtml)
       df = stage("html_extract", df.withColumn(textCol, Html.toText(col(textCol))))
+
+    // charset repair FIRST among text rewrites: mojibake would defeat
+    // every downstream fingerprint/gate (a misdecoded duplicate hashes
+    // differently, langId mis-scores the broken tokens); the repair is
+    // provably-safe-only, so clean text passes through bit-identical
+    if (cfg.fixMojibake)
+      df = stage("fix_mojibake",
+        df.withColumn(textCol, textExpressions.fixMojibake(col(textCol), maxPasses = 2)))
 
     // URL stage before any content work: a page fetched twice should cost
     // one content pass, not two. NULL-url rows are exempt from both
@@ -236,6 +250,11 @@ object Curation {
     if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
     if (cfg.langs.nonEmpty)
       gates += TextAnalysis.langId(col(textCol)).isin(cfg.langs.toSeq.map(x => x: Any): _*)
+    cfg.blocklist.foreach { bc =>
+      val st = textExpressions.blocklistStats(col(textCol), bc.words)
+      gates += (st.getField("n_blocked") * 1000 <=
+        st.getField("n_tokens") * bc.maxPermille)
+    }
     cfg.qualityModel.foreach { m =>
       gates += (QualityClassifier.probability(col(textCol), m) >= cfg.minProbability)
     }

@@ -433,6 +433,29 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- full runner
 
+  test("Curation.run: mojibake repair rewrites before the gates, blocklist gate drops and attributes") {
+    import graft.pipeline.Curation
+    def breakOnce(s: String): String =
+      new String(s.getBytes("UTF-8").map(b => (b & 0xFF).toChar))
+    val d = docs(
+      (1L, breakOnce("the café fox jumps over the lazy dog")), // repairable mojibake
+      (2L, "the bad bad bad bad words everywhere bad bad bad"), // 7/9 blocked
+      (3L, "the clean document with plenty of ordinary words"))
+    val res = Curation.run(d, "id", "text",
+      Curation.Config(exactDedup = false, requireQuality = false,
+        requireRepetitionOk = false, fixMojibake = true,
+        blocklist = Some(Curation.BlocklistConfig(Seq("bad"), maxPermille = 300))),
+      trackDrops = true)
+    val kept = res.docs.select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet === Set(1L, 3L))
+    assert(kept(1L) === "the café fox jumps over the lazy dog",
+      "mojibake must repair before any gate fingerprints the text")
+    assert(res.stageCounts.map(_._1).contains("fix_mojibake"))
+    val drops = res.drops.get.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drops === Set((2L, "gates")))
+  }
+
   test("Curation.run composes the stages and reports the funnel") {
     import graft.pipeline.Curation
     val good = "a perfectly ordinary sentence with plenty of everyday english words in it"
