@@ -8,18 +8,34 @@ import org.apache.spark.sql.SparkSession
   * serving path) so a `flatMapGroupsWithState` or fanout-expression
   * regression lands in the artifact like any batch operator, and writes
   * the full per-query map to BENCH_full_latest.json so per-query history
-  * survives the bounded-width stdout tail line. */
+  * survives the bounded-width stdout tail line.
+  *
+  * Streaming rows carry THROUGHPUT FLOORS (60% of the committed round-6
+  * numbers, env-overridable): a regression below floor is reported in the
+  * artifact as `streaming_floor_violations` and on stderr. Floors apply
+  * only at sf0.1 (where the committed numbers were measured) — at smaller
+  * SFs fixed per-batch commit overhead dominates and rows/s is not
+  * comparable. The JSON always prints (a violated floor must not destroy
+  * the artifact the next round diffs against). */
 object Bench {
 
-  /** Streaming rows for the bench artifact: (name, seconds, rows/sec). */
-  private def streamingRows(spark: SparkSession, sfDir: String): Seq[(String, Double, Double)] = {
+  /** Streaming measurements.
+    * @return (rows for the queries map: name -> seconds,
+    *          throughput entries: name -> value for the streaming map) */
+  private def streamingRows(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
     import spark.implicits._
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val rates = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
     // materializer: drive the full change log through the streaming fold in
     // 5 micro-batches (tools/StreamStress methodology — MemoryStream +
     // processAllAvailable, so the measured time is the state-store fold, not
-    // source latency)
+    // source latency). A 1-row PROBE batch is timed first: its cost is the
+    // fixed per-batch overhead (RocksDB commit across 32 stores + planning),
+    // so the artifact can separate commit overhead (a trigger-interval
+    // deployment knob) from fold throughput (the operator cost) — the
+    // 5-batch total conflates them.
     try {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
@@ -34,16 +50,31 @@ object Bench {
           java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
         .start()
       try {
+        // probe batch: 1 row — pure fixed overhead (global order preserved:
+        // the probe row is the log head, the rest follow in sequence)
+        val tp = System.nanoTime()
+        input.addData(all.take(1).toIndexedSeq); q.processAllAvailable()
+        val commitSecs = (System.nanoTime() - tp) / 1e9
+        val rest = all.drop(1)
         val t0 = System.nanoTime()
-        all.grouped(all.length / 5 + 1).foreach { b =>
+        val batches = rest.grouped(rest.length / 5 + 1).toSeq
+        batches.foreach { b =>
           input.addData(b.toIndexedSeq); q.processAllAvailable()
         }
         val secs = (System.nanoTime() - t0) / 1e9
-        out += (("streaming_materializer", secs, all.length / secs))
+        times += (("streaming_materializer", secs))
+        rates += (("streaming_materializer_rows_per_sec", rest.length / secs))
+        rates += (("streaming_materializer_commit_ms", commitSecs * 1000))
+        // steady-state fold rate: total minus the fixed per-batch overhead
+        // the probe measured (floored at 5% of total so a commit-dominated
+        // run reports a conservative rate instead of a wild extrapolation)
+        val foldSecs = math.max(secs - batches.length * commitSecs, secs * 0.05)
+        rates += (("streaming_materializer_fold_rows_per_sec", rest.length / foldSecs))
       } finally q.stop() // a leaked query would contaminate the fanout timing
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming_materializer failed: ${e.getMessage}")
-      out += (("streaming_materializer", -1.0, -1.0))
+      times += (("streaming_materializer", -1.0))
+      rates += (("streaming_materializer_rows_per_sec", -1.0))
     }
 
     // fanout at 500 standing subscriptions over the change log — the
@@ -58,12 +89,73 @@ object Bench {
       val t0 = System.nanoTime()
       graft.streaming.Databus.fanout(events, subs).queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      out += (("streaming_fanout500", secs, nEvents / secs))
+      times += (("streaming_fanout500", secs))
+      rates += (("streaming_fanout500_rows_per_sec", nEvents / secs))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming_fanout500 failed: ${e.getMessage}")
-      out += (("streaming_fanout500", -1.0, -1.0))
+      times += (("streaming_fanout500", -1.0))
+      rates += (("streaming_fanout500_rows_per_sec", -1.0))
     }
-    out.toSeq
+
+    // fanout DELIVERY realism: same 500-subscription match, but the matched
+    // rows leave through the sink a real subscription delivery pays —
+    // foreachBatch writing parquet — instead of a no-op materialize. The
+    // delta over streaming_fanout500 is the I/O cost of the ~100×-events
+    // output volume.
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val evRows = graft.engine.EventLog.changes(spark, sfDir)
+        .select("table", "key", "ms", "seq", "node", "delta", "tags")
+        .as[graft.resolve.ChangeRow].collect()
+      val subs = graft.tools.FanoutFixtures.subscriptionMix(500)
+      val outDir = java.nio.file.Files.createTempDirectory("fanout_sink").toString
+      val input = MemoryStream[graft.resolve.ChangeRow]
+      val q = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.resolve.ChangeRow], _: Long) =>
+          graft.streaming.Databus.fanout(
+              batch.toDF().select("table", "key", "ms", "seq", "node", "tags"), subs)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_fanout_sink").toString)
+        .start()
+      try {
+        val t0 = System.nanoTime()
+        evRows.grouped(evRows.length / 2 + 1).foreach { b =>
+          input.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        times += (("streaming_fanout500_sink", secs))
+        rates += (("streaming_fanout500_sink_rows_per_sec", evRows.length / secs))
+      } finally q.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming_fanout500_sink failed: ${e.getMessage}")
+      times += (("streaming_fanout500_sink", -1.0))
+      rates += (("streaming_fanout500_sink_rows_per_sec", -1.0))
+    }
+    (times.toSeq, rates.toSeq)
+  }
+
+  /** Throughput floors (rows/sec) for the streaming rows, enforced only at
+    * the SF the committed numbers were measured at. Defaults are 60% of the
+    * round-6 artifact (materializer 14,036; fanout500 11,907): generous
+    * against VM noise, tight against a real (≥2×) regression. */
+  private def floorViolations(rates: Seq[(String, Double)], sfDir: String): Seq[String] = {
+    if (!sfDir.contains("sf0.1")) return Seq.empty
+    val floors = Map(
+      "streaming_materializer_rows_per_sec" ->
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER", "8400").toDouble,
+      "streaming_fanout500_rows_per_sec" ->
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble)
+    val m = rates.toMap
+    floors.toSeq.sortBy(_._1).flatMap { case (name, floor) =>
+      m.get(name) match {
+        case Some(v) if v < floor =>
+          Some(f"$name=$v%.0f below floor $floor%.0f")
+        case _ => None
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,19 +209,22 @@ object Bench {
     // streaming rows: one pass (a streaming query replays from its own
     // checkpoint, so rep-min semantics don't apply); throughput lands in
     // the full-artifact file
-    val streaming = streamingRows(spark, sfDir)
+    val (streamTimes, streamRates) = streamingRows(spark, sfDir)
     val results = named.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).min
-    } ++ streaming.map { case (n, s, _) => n -> s }
+    } ++ streamTimes
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed rows keep their -1 sentinel in the per-query map (visible) but
     // must not SUBTRACT from the headline total a round-over-round diff reads
     val total = results.map(_._2).filter(_ >= 0).sum
-    val throughput = streaming.map { case (n, _, rps) =>
-      "\"" + n + "_rows_per_sec\":" + f"$rps%.0f" }.mkString("{", ",", "}")
+    val throughput = streamRates.map { case (n, v) =>
+      "\"" + n + "\":" + f"$v%.0f" }.mkString("{", ",", "}")
+    val violations = floorViolations(streamRates, sfDir)
+    violations.foreach(v => System.err.println(s"[bench] STREAMING FLOOR VIOLATION: $v"))
+    val floorJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"materialize","streaming":$throughput}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"action":"materialize","streaming":$throughput,"streaming_floor_violations":$floorJson}"""
     println(fullLine)
     // full per-query artifact ON DISK: the stdout tail line below is
     // bounded-width by design (it drops most per-query entries), so the
@@ -148,10 +243,11 @@ object Bench {
     // bounded regardless of how many operators SparkEntry declares.
     val headline = Seq("resolve_fold", "scan_multi_table", "join_fanout",
       "dedup_minhash", "sim_topk", "stash_roundtrip", "pipeline_curation",
-      "cond_bool_algebra", "streaming_materializer", "streaming_fanout500")
+      "cond_bool_algebra", "streaming_materializer", "streaming_fanout500",
+      "streaming_fanout500_sink")
     val hq = results.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir","streaming":$throughput}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,"n_queries":${results.size},"reps":$reps,"sf":"$sfDir","streaming":$throughput,"streaming_floor_violations":$floorJson}""")
     spark.stop()
   }
 }

@@ -1122,7 +1122,10 @@ object SparkEntry {
         .select(col("doc_id"),
           col("st.n_blocked").as("n_blocked"),
           col("st.n_tokens").as("n_tokens"),
-          (col("st.n_blocked") * 1000 <= col("st.n_tokens") * 150).as("allowed"))
+          // Long math: an Int multiply would overflow-throw under ANSI (or
+          // silently wrap with ANSI off) past ~14.3M blocked tokens
+          (col("st.n_blocked").cast("long") * 1000 <=
+            col("st.n_tokens").cast("long") * 150).as("allowed"))
         .orderBy("doc_id")
     },
 

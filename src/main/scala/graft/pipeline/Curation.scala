@@ -250,10 +250,11 @@ object Curation {
     if (cfg.dropPii) gates += TextClean.piiFree(col(textCol))
     if (cfg.langs.nonEmpty)
       gates += TextAnalysis.langId(col(textCol)).isin(cfg.langs.toSeq.map(x => x: Any): _*)
+    // single-node gate: one tokenization per doc (two getFields over the
+    // CodegenFallback stats struct are not reliably subexpression-
+    // eliminated) and Long threshold math (no ANSI overflow on huge docs)
     cfg.blocklist.foreach { bc =>
-      val st = textExpressions.blocklistStats(col(textCol), bc.words)
-      gates += (st.getField("n_blocked") * 1000 <=
-        st.getField("n_tokens") * bc.maxPermille)
+      gates += textExpressions.blocklistOk(col(textCol), bc.words, bc.maxPermille)
     }
     cfg.qualityModel.foreach { m =>
       gates += (QualityClassifier.probability(col(textCol), m) >= cfg.minProbability)
@@ -350,9 +351,19 @@ object Curation {
         df.select(key).distinct(), key, sc.nShards, sc.seed)
       df = df.join(assign, Seq(key))
     }
-    Result(df, counts.toSeq,
-      drops =
-        if (trackDrops && dropParts.nonEmpty) Some(dropParts.reduce(_.unionByName(_)))
-        else None)
+    // The per-stage `lost` frames were persisted only so each anti-diff
+    // could materialize against its cached predecessor; returning their
+    // lazy union would pin every one of them for the Result's lifetime
+    // (repeated runs in a long session would accumulate cached partitions
+    // indefinitely). localCheckpoint (eager) copies the tiny ids+stage
+    // union into its own storage — lineage severed — so the parts can be
+    // unpersisted NOW and the returned frame stays valid.
+    val drops =
+      if (trackDrops && dropParts.nonEmpty) {
+        val u = dropParts.reduce(_.unionByName(_)).localCheckpoint()
+        dropParts.foreach(_.unpersist())
+        Some(u)
+      } else None
+    Result(df, counts.toSeq, drops = drops)
   }
 }

@@ -26,10 +26,26 @@ object LmScore {
       .limit(topV)
 
   /** Per-document in-vocabulary / out-of-vocabulary token counts against a
-    * collected vocabulary (scan-local array membership — no join, no
-    * shuffle; the vocab rides the plan as a broadcast-sized literal). */
+    * collected vocabulary — scan-local, no join, no shuffle. One
+    * tokenization pass with an O(1) hash probe per token
+    * ([[UnigramCoverageExpr]]): per-token cost is independent of |vocab|,
+    * so the V=100k regime costs the same as V=100. The vocab rides the
+    * serialized plan once per executor, exactly like the literal array the
+    * builtin cross-check ([[vocabCountsBuiltin]]) uses. */
   def vocabCounts(df: DataFrame, idCol: String, textCol: String,
                   vocab: Seq[String]): DataFrame = {
+    val cov = textExpressions.unigramCoverage(col(textCol), vocab)
+    df.withColumn("__cov", cov).select(col(idCol),
+      col("__cov.n_invocab").as("n_invocab"),
+      col("__cov.n_oov").as("n_oov"))
+  }
+
+  /** The pure-builtin formulation of [[vocabCounts]] (literal-array
+    * membership, O(|vocab|) compares per token) — kept as the parity
+    * cross-check for the single-pass expression; do not use on large
+    * vocabularies. */
+  def vocabCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[String]): DataFrame = {
     val vocabArr = array(vocab.map(lit): _*)
     val toks = TextAnalysis.tokens(col(textCol))
     val inVocab = size(filter(toks, t => array_contains(vocabArr, t)))

@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
 object Outliers {
 
   /** Per-dimension mean of an array column. Returns a dims-length array —
-    * parameter-sized driver state by construction. */
+    * parameter-sized driver state by construction. Decimal accumulation
+    * (same shape as Lloyd refinement in [[Similarity]]): exact and
+    * associative, so the centroid — and every distance derived from it —
+    * is identical under ANY partitioning; a double `avg` wobbles with
+    * float summation order across hosts. */
   def centroid(df: DataFrame, vecCol: String): Array[Double] = {
     val rows = df.select(posexplode(col(vecCol)))
-      .groupBy("pos").agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("pos")
+      .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+        .cast("double").as("m"))
       .collect()
     require(rows.nonEmpty, "centroid of an empty corpus")
     val dims = rows.map(_.getInt(0)).max + 1

@@ -41,11 +41,27 @@ object Stats {
     * ns, raw doubles, ids) that reducer sees the corpus and this operator
     * becomes the single-node sort everything else here avoids. For open
     * domains use [[QuantileSketch.kllQuantiles]] — mergeable, bounded
-    * state, exact below sketch capacity. */
-  def exactQuantiles(df: DataFrame, valueCol: Column, permilles: Seq[Int]): DataFrame = {
+    * state, exact below sketch capacity.
+    *
+    * The bounded-domain contract is now ENFORCED, not just documented:
+    * the histogram (itself a distributed aggregate, safe on any domain)
+    * is materialized first via localCheckpoint — eager, lineage-severed,
+    * auto-cleaned when the frame is GC'd, so no unpersist bookkeeping —
+    * and its row count checked against `maxDistinct` BEFORE the
+    * single-partition cumulative window ever runs. Pointed at an open
+    * domain this now fails loudly with the KLL pointer instead of
+    * silently becoming a corpus-wide single-node sort. */
+  def exactQuantiles(df: DataFrame, valueCol: Column, permilles: Seq[Int],
+                     maxDistinct: Long = 1L << 20): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
       s"permilles must be in (0, 1000]: $permilles")
-    val h = histogram(df, valueCol)
+    val h = histogram(df, valueCol).localCheckpoint()
+    val nd = h.count()
+    require(nd <= maxDistinct,
+      s"exactQuantiles saw $nd distinct values (> maxDistinct=$maxDistinct): " +
+        "this operator is for bounded domains only — the cumulative window " +
+        "funnels every distinct value through one reducer. For open domains " +
+        "use QuantileSketch.kllQuantiles (mergeable, bounded state).")
     val cumW = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h
       .withColumn("cum", sum("cnt").over(cumW))

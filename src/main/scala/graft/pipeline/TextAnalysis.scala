@@ -30,11 +30,11 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  /** Count of tokens belonging to a marker set. */
-  def markerCount(textCol: Column, markers: Seq[String]): Column = {
-    val set = array(markers.map(lit): _*)
-    size(filter(tokens(textCol), t => array_contains(set, t)))
-  }
+  /** Count of tokens belonging to a marker set — O(1) hash probe per token
+    * ([[StringSetContainsExpr]] inside the filter lambda), so cost is
+    * independent of |markers|. */
+  def markerCount(textCol: Column, markers: Seq[String]): Column =
+    size(filter(tokens(textCol), t => textExpressions.inStringSet(t, markers)))
 
   /** Heuristic language id: argmax of marker counts; ties and zero scores
     * fall back to "und" (undetermined). Deterministic: languages are scored
@@ -43,10 +43,16 @@ object TextAnalysis {
     * equivalent builtin formulation used to cross-check it. */
   def langId(textCol: Column): Column = textExpressions.langId(textCol, stopwords)
 
-  /** Builtin-only language id (one marker-count pass per language). */
+  /** Builtin-only language id (one marker-count pass per language).
+    * Membership stays literal-array `array_contains` HERE (not the hash
+    * probe [[markerCount]] now uses) so this cross-check shares no custom
+    * code with the expression it checks. */
   def langIdBuiltin(textCol: Column): Column = {
     val ordered = stopwords.toSeq.sortBy(_._1)
-    val scored = ordered.map { case (lang, ms) => (lang, markerCount(textCol, ms)) }
+    val scored = ordered.map { case (lang, ms) =>
+      val set = array(ms.map(lit): _*)
+      (lang, size(filter(tokens(textCol), t => array_contains(set, t))))
+    }
     val best = scored.foldLeft((lit("und"), lit(0))) {
       case ((bestLang, bestScore), (lang, score)) =>
         (when(score > bestScore, lit(lang)).otherwise(bestLang),

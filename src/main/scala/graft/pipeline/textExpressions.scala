@@ -312,6 +312,76 @@ case class BlocklistStatsExpr(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The boolean blocklist gate in ONE expression — semantically
+  * `blocklistStats.n_blocked * 1000 <= blocklistStats.n_tokens * permille`
+  * but emitted as a single node so a filter plan tokenizes each document
+  * once (two `getField`s over a CodegenFallback struct are not reliably
+  * subexpression-eliminated, doubling the tokenize+probe work in the gate
+  * path). The threshold compare runs in Long, so a multi-billion-token
+  * document can neither overflow-wrap (ANSI off) nor throw (ANSI on). */
+case class BlocklistOkExpr(child: Expression, words: Seq[String], maxPermille: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxPermille >= 0 && maxPermille <= 1000,
+    s"maxPermille must be in [0, 1000]: $maxPermille")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(w => s.add(w.toLowerCase))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    var blocked = 0L
+    var i = 0
+    while (i < tokens.length) {
+      if (set.contains(tokens(i))) blocked += 1
+      i += 1
+    }
+    blocked * 1000L <= tokens.length.toLong * maxPermille
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unigram vocabulary coverage in one tokenization pass — struct<n_invocab,
+  * n_oov> against a fixed (top-V, driver-sized) vocabulary. O(1) hash probe
+  * per token; the builtin formulation ([[LmScore.vocabCountsBuiltin]],
+  * literal-array `array_contains`) costs O(|vocab|) compares per token and
+  * is kept only as the parity cross-check. Same probe-set shape as
+  * [[BigramCoverageExpr]], one order of n-gram down. */
+case class UnigramCoverageExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_invocab", IntegerType, nullable = false),
+    StructField("n_oov", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = SketchHash.tokenize(input.asInstanceOf[UTF8String])
+    var inV = 0
+    var i = 0
+    while (i < tokens.length) {
+      if (set.contains(tokens(i))) inV += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inV, tokens.length - inV))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Mojibake repair (the ftfy core heuristic): text that is the Latin-1 /
   * windows-1252 misdecoding of UTF-8 bytes ("café" → "cafÃ©") is restored
   * by re-encoding its chars as Latin-1 bytes and strictly decoding them as
@@ -499,6 +569,12 @@ object textExpressions {
 
   def blocklistStats(text: Column, words: Seq[String]): Column =
     GraftBridge.column(BlocklistStatsExpr(GraftBridge.expression(text), words))
+
+  def blocklistOk(text: Column, words: Seq[String], maxPermille: Int): Column =
+    GraftBridge.column(BlocklistOkExpr(GraftBridge.expression(text), words, maxPermille))
+
+  def unigramCoverage(text: Column, vocab: Seq[String]): Column =
+    GraftBridge.column(UnigramCoverageExpr(GraftBridge.expression(text), vocab))
 
   def fixMojibake(text: Column, maxPasses: Int = 1): Column =
     GraftBridge.column(MojibakeRepairExpr(GraftBridge.expression(text), maxPasses))

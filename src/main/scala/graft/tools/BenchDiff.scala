@@ -1,42 +1,91 @@
 package graft.tools
 
-/** Dev tool: compare two `graft.Bench` stdout captures (the per-query JSON
-  * line) and print per-query deltas beyond a noise threshold, so a round's
-  * perf movement separates into real changes vs host noise.
+/** Per-query bench regression harness over two `BENCH_full_r{N}.json`
+  * artifacts (the complete per-query maps Bench writes each round).
   *
-  *   runMain graft.tools.BenchDiff old.log new.log [ratioThreshold]
-  */
+  * Usage: `runMain graft.tools.BenchDiff PREV.json CUR.json [OUT.json]`
+  *
+  * Replaces the judge's manual headline-overlap diff with a full-surface
+  * contract: any query slower than `ratioFlag`× its prior-round time is a
+  * REGRESSION, noise-filtered two ways — an absolute floor (`minSecs`,
+  * default 0.3 s: sub-300ms queries swing multiples on VM noise alone) and
+  * the fact that each input is already the min of the bench's reps.
+  * Failed rows (-1 sentinels) and added/removed queries are reported
+  * separately, never as regressions. Exit code 1 when regressions exist,
+  * so a driver/CI step can gate on it; the report is always written. */
 object BenchDiff {
-  private val Entry = """"([a-zA-Z0-9_]+)":([0-9.E-]+)""".r
 
-  private def queries(path: String): Map[String, Double] = {
-    val line = scala.io.Source.fromFile(path).getLines()
-      .filter(l => l.startsWith("{\"metric\"") && l.contains("\"queries\""))
-      .toSeq.lastOption
-      .getOrElse(sys.error(s"no bench JSON line in $path"))
-    val body = line.substring(line.indexOf("\"queries\":{") + 11)
-    Entry.findAllMatchIn(body.takeWhile(_ != '}'))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  final case class Row(query: String, prev: Double, cur: Double, ratio: Double)
+  final case class Report(regressions: Seq[Row], improvements: Seq[Row],
+                          added: Seq[String], removed: Seq[String],
+                          failedPrev: Seq[String], failedCur: Seq[String],
+                          prevTotal: Double, curTotal: Double)
+
+  /** The pure rule (unit-tested in BenchDiffSpec). */
+  def diff(prev: Map[String, Double], cur: Map[String, Double],
+           ratioFlag: Double = 2.0, minSecs: Double = 0.3): Report = {
+    val shared = (prev.keySet & cur.keySet).toSeq.sorted
+      .filter(q => prev(q) >= 0 && cur(q) >= 0) // -1 = failed-row sentinel
+    val rows = shared.map { q =>
+      val p = prev(q); val c = cur(q)
+      Row(q, p, c, if (p > 0) c / p else Double.PositiveInfinity)
+    }
+    Report(
+      regressions = rows.filter(r => r.cur >= minSecs && r.ratio > ratioFlag)
+        .sortBy(-_.ratio),
+      improvements = rows.filter(r => r.prev >= minSecs && r.ratio < 1.0 / ratioFlag)
+        .sortBy(_.ratio),
+      added = (cur.keySet -- prev.keySet).toSeq.sorted,
+      removed = (prev.keySet -- cur.keySet).toSeq.sorted,
+      failedPrev = prev.filter(_._2 < 0).keys.toSeq.sorted,
+      failedCur = cur.filter(_._2 < 0).keys.toSeq.sorted,
+      prevTotal = prev.values.filter(_ >= 0).sum,
+      curTotal = cur.values.filter(_ >= 0).sum)
+  }
+
+  /** Reads the "queries" map out of a Bench JSON line file. */
+  def readQueries(path: String): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+    val qs = root.get("queries")
+    require(qs != null && qs.isObject, s"$path has no queries object")
+    val b = Map.newBuilder[String, Double]
+    qs.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    b.result()
+  }
+
+  private def esc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def render(r: Report, prevPath: String, curPath: String,
+             ratioFlag: Double, minSecs: Double): String = {
+    def rowJson(x: Row) =
+      f"""{"query":${esc(x.query)},"prev_sec":${x.prev}%.3f,"cur_sec":${x.cur}%.3f,"ratio":${x.ratio}%.2f}"""
+    def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
+    s"""{"prev":${esc(prevPath)},"cur":${esc(curPath)},
+       |"rule":{"ratio_flag":$ratioFlag,"min_secs":$minSecs},
+       |"ok":${r.regressions.isEmpty && r.failedCur.isEmpty},
+       |"prev_total_sec":${f"${r.prevTotal}%.1f"},"cur_total_sec":${f"${r.curTotal}%.1f"},
+       |"regressions":${r.regressions.map(rowJson).mkString("[", ",", "]")},
+       |"improvements":${r.improvements.map(rowJson).mkString("[", ",", "]")},
+       |"added":${arr(r.added)},"removed":${arr(r.removed)},
+       |"failed_prev":${arr(r.failedPrev)},"failed_cur":${arr(r.failedCur)}}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <old.log> <new.log> [ratio]")
-    val threshold = if (args.length > 2) args(2).toDouble else 1.3
-    val old = queries(args(0))
-    val cur = queries(args(1))
-    val shared = old.keySet.intersect(cur.keySet).toSeq.sorted
-    println(f"shared=${shared.size} only_old=${(old.keySet -- cur.keySet).size} " +
-      f"only_new=${(cur.keySet -- old.keySet).size} " +
-      f"total_old=${shared.map(old).sum}%.1f total_new=${shared.map(cur).sum}%.1f")
-    val moved = shared.map(q => (q, old(q), cur(q), cur(q) / old(q)))
-      .filter { case (_, o, n, r) =>
-        (r > threshold || r < 1 / threshold) && math.abs(n - o) > 0.15 }
-      .sortBy(-_._4)
-    moved.foreach { case (q, o, n, r) =>
-      println(f"$q%-28s ${o}%6.2f -> ${n}%6.2f  (${r}%4.2fx)")
+    require(args.length >= 2, "usage: BenchDiff PREV.json CUR.json [OUT.json]")
+    val (prevPath, curPath) = (args(0), args(1))
+    val outPath = if (args.length > 2) args(2) else "BENCH_diff_latest.json"
+    val ratioFlag = sys.env.getOrElse("SPARK_GRAFT_DIFF_RATIO", "2.0").toDouble
+    val minSecs = sys.env.getOrElse("SPARK_GRAFT_DIFF_MIN_SECS", "0.3").toDouble
+    val r = diff(readQueries(prevPath), readQueries(curPath), ratioFlag, minSecs)
+    val json = render(r, prevPath, curPath, ratioFlag, minSecs)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
+    println(json)
+    if (r.regressions.nonEmpty || r.failedCur.nonEmpty) {
+      System.err.println(s"[benchdiff] ${r.regressions.size} regression(s), " +
+        s"${r.failedCur.size} failed row(s) — see $outPath")
+      sys.exit(1)
     }
-    if (moved.isEmpty) println(s"no per-query movement beyond ${threshold}x")
-    (cur.keySet -- old.keySet).toSeq.sorted.foreach(q =>
-      println(f"NEW $q%-24s        -> ${cur(q)}%6.2f"))
   }
 }

@@ -117,6 +117,15 @@ object CurationStress {
       LmScore.vocabCounts(docs, "doc_id", "text", vocab)
         .agg(sum(col("n_oov"))).collect()(0).getLong(0)
     }
+    // vocab-coverage cost must be FLAT in |vocab| (O(1) hash probe per
+    // token): the 100k-entry set and the 100-entry set above should run at
+    // the same docs/s — the old literal-array array_contains was
+    // O(|vocab|) compares per token, three orders of magnitude apart here
+    time("lm_vocab_100k", nDocs) {
+      val vocab100k = (1 to 100000).map(i => s"vocabword$i")
+      LmScore.vocabCounts(docs, "doc_id", "text", vocab100k)
+        .agg(sum(col("n_oov"))).collect()(0).getLong(0)
+    }
     time("bloom_decon", nDocs) {
       Decontaminate.contaminatedIdsBloom(docs, "doc_id", "text", evalSet, "text",
         n = 5, fpp = 0.01).count()

@@ -1,0 +1,54 @@
+package graft.core
+
+import graft.tools.BenchDiff
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-query bench regression rule: >ratio× prior time flags, noise-
+  * filtered by the absolute floor; sentinels and added/removed queries
+  * report separately, never as regressions. */
+class BenchDiffSpec extends AnyFunSuite {
+
+  test("flags only above-floor slowdowns past the ratio") {
+    val prev = Map("a" -> 1.0, "b" -> 0.05, "c" -> 2.0, "d" -> 0.5)
+    val cur = Map("a" -> 2.5,   // 2.5× and above floor -> regression
+                  "b" -> 0.2,   // 4× but under the 0.3s floor -> noise
+                  "c" -> 0.4,   // 5× faster -> improvement
+                  "d" -> 0.9)   // 1.8× -> under the ratio, quiet
+    val r = BenchDiff.diff(prev, cur, ratioFlag = 2.0, minSecs = 0.3)
+    assert(r.regressions.map(_.query) === Seq("a"))
+    assert(r.regressions.head.ratio === 2.5)
+    assert(r.improvements.map(_.query) === Seq("c"))
+    assert(r.added.isEmpty && r.removed.isEmpty)
+  }
+
+  test("sentinels and membership changes are reported separately") {
+    val prev = Map("a" -> 1.0, "gone" -> 0.7, "failed_then" -> -1.0)
+    val cur = Map("a" -> 1.1, "new" -> 0.5, "failed_then" -> 5.0,
+                  "failed_now" -> -1.0)
+    val r = BenchDiff.diff(prev, cur)
+    // a prior -1 sentinel must not manufacture an infinite-ratio regression
+    assert(r.regressions.isEmpty)
+    assert(r.added.toSet === Set("new", "failed_now"))
+    assert(r.removed === Seq("gone"))
+    assert(r.failedPrev === Seq("failed_then"))
+    assert(r.failedCur === Seq("failed_now"))
+    // totals skip sentinels
+    assert(math.abs(r.prevTotal - 1.7) < 1e-9)
+    assert(math.abs(r.curTotal - 6.6) < 1e-9)
+  }
+
+  test("zero prior time with measurable current time flags as regression") {
+    val r = BenchDiff.diff(Map("a" -> 0.0), Map("a" -> 0.5))
+    assert(r.regressions.map(_.query) === Seq("a"))
+    assert(r.regressions.head.ratio.isPosInfinity)
+  }
+
+  test("render emits parseable JSON with the ok verdict") {
+    val r = BenchDiff.diff(Map("a" -> 1.0), Map("a" -> 1.1))
+    val json = BenchDiff.render(r, "p.json", "c.json", 2.0, 0.3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    assert(root.get("ok").asBoolean())
+    assert(root.get("regressions").size() === 0)
+  }
+}

@@ -294,6 +294,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0, 1)))
   }
 
+  test("blocklistOk: single expression == stats + long threshold math, all permilles") {
+    import graft.pipeline.textExpressions
+    val words = Seq("Fox", "dog")
+    val d = docs(
+      (1L, "The quick brown FOX jumps over the lazy dog"), // 2/9 blocked
+      (2L, "no blocked words here"),
+      (3L, ""),                                            // empty: (0, 1)
+      (4L, "dog dog dog"))                                 // 3/3 blocked
+    for (permille <- Seq(0, 150, 222, 300, 1000)) {
+      val got = d.select(col("id"),
+          textExpressions.blocklistOk(col("text"), words, permille).as("ok"),
+          textExpressions.blocklistStats(col("text"), words).as("st"))
+        .select(col("id"), col("ok"),
+          (col("st.n_blocked").cast("long") * 1000 <=
+            col("st.n_tokens").cast("long") * permille).as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2),
+        s"permille=$permille id=${r.getLong(0)}"))
+    }
+  }
+
+  test("markerCount: hash-probe membership matches a brute-force count") {
+    val d = docs(
+      (1L, "the cat and the dog in the house"),
+      (2L, "ZXQV wkjh"),
+      (3L, ""))
+    val markers = Seq("the", "and", "in")
+    val got = d.select(col("id"),
+        TextAnalysis.markerCount(col("text"), markers).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 5, 2L -> 0, 3L -> 0))
+  }
+
   test("knnGraph: planted copies are each other's top-1; k rows max per id") {
     import graft.pipeline.Similarity
     val s = spark
@@ -956,6 +989,10 @@ class CurationOpsSpec extends AnyFunSuite {
         val toks = text.split("\\s+")
         assert(counts(id) === (toks.count(vs), toks.count(t => !vs(t))), s"doc $id")
     }
+    // single-pass hash-probe expression == builtin literal-array formulation
+    val builtin = LmScore.vocabCountsBuiltin(corpus, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(builtin === counts)
     // likelihood: build the full unigram model and compare doc 1 vs doc 4
     val all = corpus.select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
       .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -29,6 +29,18 @@ class OutliersSpec extends AnyFunSuite {
     assert(Outliers.centroid(df, "v").toSeq === Seq(2.0, 4.0))
   }
 
+  test("centroid is bit-identical under any partitioning (decimal accumulation)") {
+    val s = spark
+    import s.implicits._
+    // gaussians: full-precision doubles, where float summation ORDER wobbles
+    val df = randVecs(500, 16, seed = 7).toDF("id", "v")
+    val c1 = Outliers.centroid(df.repartition(1), "v")
+    val c7 = Outliers.centroid(df.repartition(7, col("id")), "v")
+    val c13 = Outliers.centroid(df.repartition(13, pmod(col("id"), lit(5))), "v")
+    assert(c1.toSeq === c7.toSeq)
+    assert(c1.toSeq === c13.toSeq)
+  }
+
   test("planted far points rank by magnitude, invariant to partitioning") {
     val s = spark
     import s.implicits._

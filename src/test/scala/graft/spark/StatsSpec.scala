@@ -39,6 +39,20 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles fails loudly on an open domain (bounded-domain guard)") {
+    val s = spark
+    import s.implicits._
+    val open = (1L to 500L).toDF("v") // 500 distinct values
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(open, col("v"), Seq(500), maxDistinct = 100)
+    }
+    assert(e.getMessage.contains("kllQuantiles"),
+      "the guard must point at the open-domain route")
+    // the same data under a sufficient cap still answers exactly
+    assert(Stats.exactQuantiles(open, col("v"), Seq(1000), maxDistinct = 1000)
+      .head().getLong(1) === 500L)
+  }
+
   test("median of skewed and constant data") {
     val s = spark
     import s.implicits._
@@ -109,12 +123,20 @@ class StatsSpec extends AnyFunSuite {
     val df = (1 to 1000).map(_.toLong % 20).toDF("v")
     val plan = Stats.exactQuantiles(df, col("v"), Seq(500))
       .queryExecution.executedPlan.toString
-    // the HashAggregate (histogram) must appear below the Window in the
-    // plan tree: a Window directly over the scan would sort corpus rows
+    // the window's input must be the HISTOGRAM, never corpus rows: since
+    // the bounded-domain guard materializes the histogram (localCheckpoint,
+    // so its distinct-value count is checked BEFORE the single-partition
+    // window runs), the plan below the Window is the checkpointed RDD scan
+    // — the aggregate already ran eagerly. Either shape (inline aggregate
+    // or materialized scan) satisfies the contract; a corpus file scan
+    // below the window would violate it.
     val windowIdx = plan.indexOf("Window")
-    val aggIdx = plan.lastIndexOf("HashAggregate")
-    assert(windowIdx >= 0 && aggIdx > windowIdx,
-      s"expected histogram aggregate beneath the window:\n$plan")
+    val histIdx = math.max(plan.lastIndexOf("HashAggregate"),
+      plan.lastIndexOf("ExistingRDD"))
+    assert(windowIdx >= 0 && histIdx > windowIdx,
+      s"expected the histogram (aggregate or checkpointed scan) beneath the window:\n$plan")
+    assert(!plan.substring(windowIdx).contains("FileScan"),
+      s"corpus file scan must never feed the window directly:\n$plan")
   }
 
   test("gramDrift ranks by cross-multiplied integer drift, matches naive reference") {
