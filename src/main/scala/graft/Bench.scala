@@ -31,9 +31,12 @@ object Bench {
     // materializer: drive the full change log through the streaming fold in
     // 5 micro-batches (tools/StreamStress methodology — MemoryStream +
     // processAllAvailable, so the measured time is the state-store fold, not
-    // source latency). A 1-row PROBE batch is timed first: its cost is the
-    // fixed per-batch overhead (RocksDB commit across 32 stores + planning),
-    // so the artifact can separate commit overhead (a trigger-interval
+    // source latency). A 1-row WARMUP batch runs untimed first (the very
+    // first micro-batch also pays one-time plan/codegen/state-store-open
+    // cost — StreamingThroughputSpec treats it as warmup for the same
+    // reason), then a 1-row PROBE batch is timed: its cost is the steady
+    // per-batch overhead (RocksDB commit across 32 stores + planning), so
+    // the artifact can separate commit overhead (a trigger-interval
     // deployment knob) from fold throughput (the operator cost) — the
     // 5-batch total conflates them.
     try {
@@ -50,12 +53,15 @@ object Bench {
           java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
         .start()
       try {
-        // probe batch: 1 row — pure fixed overhead (global order preserved:
-        // the probe row is the log head, the rest follow in sequence)
-        val tp = System.nanoTime()
+        // warmup batch: 1 row, untimed — absorbs plan/codegen/store-open
         input.addData(all.take(1).toIndexedSeq); q.processAllAvailable()
+        // probe batch: 1 row — steady per-batch fixed overhead (global
+        // order preserved: warmup + probe rows are the log head, the rest
+        // follow in sequence)
+        val tp = System.nanoTime()
+        input.addData(all.slice(1, 2).toIndexedSeq); q.processAllAvailable()
         val commitSecs = (System.nanoTime() - tp) / 1e9
-        val rest = all.drop(1)
+        val rest = all.drop(2)
         val t0 = System.nanoTime()
         val batches = rest.grouped(rest.length / 5 + 1).toSeq
         batches.foreach { b =>
@@ -137,17 +143,28 @@ object Bench {
     (times.toSeq, rates.toSeq)
   }
 
+  /** True iff the path's sf token is EXACTLY sf0.1 — `sf0.15`/`sf0.125`
+    * dirs must not inherit floors that were never measured there. */
+  private[graft] def isSf01(sfDir: String): Boolean =
+    sfDir.split('/').lastOption.contains("sf0.1")
+
   /** Throughput floors (rows/sec) for the streaming rows, enforced only at
-    * the SF the committed numbers were measured at. Defaults are 60% of the
-    * round-6 artifact (materializer 14,036; fanout500 11,907): generous
-    * against VM noise, tight against a real (≥2×) regression. */
+    * the SF the committed numbers were measured at. Defaults are 60% of
+    * committed round artifacts (materializer 14,036 r6; fanout500 11,907
+    * r6; fanout sink 4,471 r7; fold rate re-baselined r8 after the warmup
+    * fix removed the first-batch inflation): generous against VM noise,
+    * tight against a real (≥2×) regression. */
   private def floorViolations(rates: Seq[(String, Double)], sfDir: String): Seq[String] = {
-    if (!sfDir.contains("sf0.1")) return Seq.empty
+    if (!isSf01(sfDir)) return Seq.empty
     val floors = Map(
       "streaming_materializer_rows_per_sec" ->
         sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER", "8400").toDouble,
       "streaming_fanout500_rows_per_sec" ->
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble,
+      "streaming_fanout500_sink_rows_per_sec" ->
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "2680").toDouble,
+      "streaming_materializer_fold_rows_per_sec" ->
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER_FOLD", "24000").toDouble)
     val m = rates.toMap
     floors.toSeq.sortBy(_._1).flatMap { case (name, floor) =>
       m.get(name) match {

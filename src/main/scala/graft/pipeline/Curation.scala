@@ -108,10 +108,16 @@ object Curation {
     * audit frame (idCol, stage): each dropped document tagged with the
     * FIRST stage that removed it — the "why did my page disappear"
     * explainability question every production curation pipeline gets
-    * asked. Cost: one ids-only anti-diff per stage, materialized against
-    * the cached stage frames while they are still resident (trackDrops
-    * implies funnel-style per-stage persists), sized by that stage's
-    * drop count — rewrite-only stages diff to empty. */
+    * asked. Cost contract: one ids-only anti-diff per stage, materialized
+    * EAGERLY at build time (localCheckpoint — the lazy union would pin
+    * every per-stage cached frame for the Result's lifetime, an unbounded
+    * cache leak across repeated runs), against the cached stage frames
+    * while they are still resident (trackDrops implies funnel-style
+    * per-stage persists). The eager audit is sized by the TOTAL DROP
+    * COUNT, never the corpus — rewrite-only stages diff to empty — and is
+    * paid whether or not the caller reads `drops`; skip the flag when the
+    * audit isn't wanted (CurationStress pins drops-proportional cost at
+    * 100×). */
   def run(input: DataFrame, idCol: String, textCol: String, cfg: Config,
           evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
           dsirTarget: Option[DataFrame] = None,

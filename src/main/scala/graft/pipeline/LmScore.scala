@@ -46,7 +46,9 @@ object LmScore {
     * vocabularies. */
   def vocabCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
                          vocab: Seq[String]): DataFrame = {
-    val vocabArr = array(vocab.map(lit): _*)
+    // same lowercase fold as the expression's probe set: the token side
+    // is lowercased by tokenization, so a mixed-case entry never matches
+    val vocabArr = array(vocab.map(w => lit(w.toLowerCase)): _*)
     val toks = TextAnalysis.tokens(col(textCol))
     val inVocab = size(filter(toks, t => array_contains(vocabArr, t)))
     df.select(col(idCol),
@@ -84,7 +86,9 @@ object LmScore {
     * use on large corpora. */
   def bigramCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
                           bigrams: Seq[String]): DataFrame = {
-    val arr = array(bigrams.map(lit): _*)
+    // same lowercase fold as the expression's probe set (grams come from
+    // lowercased tokens)
+    val arr = array(bigrams.map(g => lit(g.toLowerCase)): _*)
     val grams = TextAnalysis.wordNgrams(col(textCol), 2)
     val inV = size(filter(grams, g => array_contains(arr, g)))
     df.select(col(idCol),

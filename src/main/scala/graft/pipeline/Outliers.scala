@@ -33,11 +33,14 @@ object Outliers {
     * (same shape as Lloyd refinement in [[Similarity]]): exact and
     * associative, so the centroid — and every distance derived from it —
     * is identical under ANY partitioning; a double `avg` wobbles with
-    * float summation order across hosts. */
+    * float summation order across hosts. decimal(38,15) gives ~1e23 of
+    * integer headroom per component, so any physically plausible embedding
+    * magnitude fits — a narrower precision would overflow the cast (ANSI
+    * error) on components >= 1e10. */
   def centroid(df: DataFrame, vecCol: String): Array[Double] = {
     val rows = df.select(posexplode(col(vecCol)))
       .groupBy("pos")
-      .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+      .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
         .cast("double").as("m"))
       .collect()
     require(rows.nonEmpty, "centroid of an empty corpus")

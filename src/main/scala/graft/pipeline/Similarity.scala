@@ -320,7 +320,7 @@ object Similarity {
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
         .groupBy("cell", "pos")
-        .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+        .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
           .cast("double").as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cell"), transform(col("dims"), d => d.getField("m")).as("centroid"))
@@ -422,7 +422,7 @@ object Similarity {
         .withColumn("d", col("pos") % subDim)
         .withColumn("code", element_at(col("codes"), col("sub") + 1))
         .groupBy("sub", "code", "d")
-        .agg((sum(col("col").cast("decimal(25,15)")) / count(lit(1)))
+        .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
           .cast("double").as("mean"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))

@@ -231,7 +231,10 @@ case class BigramCoverageExpr(child: Expression, vocab: Seq[String])
 
   @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.size * 2)
-    vocab.foreach(s.add)
+    // tokenize() lowercases the text side, so a mixed-case vocab entry
+    // could never match; fold the vocab the same way (as BlocklistOkExpr
+    // does its words)
+    vocab.foreach(g => s.add(g.toLowerCase))
     s
   }
 
@@ -363,7 +366,10 @@ case class UnigramCoverageExpr(child: Expression, vocab: Seq[String])
 
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.size * 2)
-    vocab.foreach(s.add)
+    // tokenize() lowercases the text side, so a mixed-case vocab entry
+    // could never match; fold the vocab the same way (as BlocklistOkExpr
+    // does its words)
+    vocab.foreach(w => s.add(w.toLowerCase))
     s
   }
 

@@ -8,8 +8,11 @@ package graft.tools
   * Replaces the judge's manual headline-overlap diff with a full-surface
   * contract: any query slower than `ratioFlag`× its prior-round time is a
   * REGRESSION, noise-filtered two ways — an absolute floor (`minSecs`,
-  * default 0.3 s: sub-300ms queries swing multiples on VM noise alone) and
-  * the fact that each input is already the min of the bench's reps.
+  * default 0.3 s: sub-300ms queries swing multiples on VM noise alone,
+  * applied to BOTH sides by flooring the ratio's denominator at `minSecs`,
+  * so a sub-floor prior like 0.05s→0.35s — or a 0s prior — cannot
+  * manufacture a multiple out of what is itself noise) and the fact that
+  * each input is already the min of the bench's reps.
   * Failed rows (-1 sentinels) and added/removed queries are reported
   * separately, never as regressions. Exit code 1 when regressions exist,
   * so a driver/CI step can gate on it; the report is always written. */
@@ -28,7 +31,9 @@ object BenchDiff {
       .filter(q => prev(q) >= 0 && cur(q) >= 0) // -1 = failed-row sentinel
     val rows = shared.map { q =>
       val p = prev(q); val c = cur(q)
-      Row(q, p, c, if (p > 0) c / p else Double.PositiveInfinity)
+      // denominator floored at minSecs: a sub-floor (or zero) prior is
+      // itself noise, so the honest multiple is "vs the noise floor"
+      Row(q, p, c, c / math.max(p, minSecs))
     }
     Report(
       regressions = rows.filter(r => r.cur >= minSecs && r.ratio > ratioFlag)

@@ -126,6 +126,27 @@ object CurationStress {
       LmScore.vocabCounts(docs, "doc_id", "text", vocab100k)
         .agg(sum(col("n_oov"))).collect()(0).getLong(0)
     }
+    // trackDrops audit: the eager (id, stage) localCheckpoint must be
+    // sized by TOTAL DROP COUNT, never the corpus — pinned by running the
+    // SAME corpus and the SAME stage structure (one language gate) with a
+    // pass-everything language set vs a drop-everything one: both runs
+    // pay the fixed per-stage anti-diff over cached ids, but the
+    // checkpointed audit of the first is empty while the second's is
+    // corpus-sized BECAUSE its drop count is — the delta between the two
+    // rows is the drops-proportional part of the bill
+    val auditBase = Curation.Config(exactDedup = false, minTokens = 1,
+      requireQuality = false, requireRepetitionOk = false)
+    time("drops_audit_0", nDocs) {
+      Curation.run(docs, "doc_id", "text",
+          auditBase.copy(langs = Set("en", "de", "fr", "es", "zh", "und")),
+          trackFunnel = false, trackDrops = true)
+        .drops.map(_.count()).getOrElse(0L)
+    }
+    time("drops_audit_all", nDocs) {
+      Curation.run(docs, "doc_id", "text", auditBase.copy(langs = Set("zh")),
+          trackFunnel = false, trackDrops = true)
+        .drops.map(_.count()).getOrElse(0L)
+    }
     time("bloom_decon", nDocs) {
       Decontaminate.contaminatedIdsBloom(docs, "doc_id", "text", evalSet, "text",
         n = 5, fpp = 0.01).count()

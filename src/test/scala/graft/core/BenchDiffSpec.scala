@@ -37,10 +37,28 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(math.abs(r.curTotal - 6.6) < 1e-9)
   }
 
-  test("zero prior time with measurable current time flags as regression") {
-    val r = BenchDiff.diff(Map("a" -> 0.0), Map("a" -> 0.5))
-    assert(r.regressions.map(_.query) === Seq("a"))
-    assert(r.regressions.head.ratio.isPosInfinity)
+  test("sub-floor prior cannot manufacture a regression out of noise") {
+    // the ratio's denominator is floored at minSecs: 0.05s -> 0.35s is a
+    // 7x raw multiple but both sides are VM noise — quiet; and a 0s prior
+    // must not produce an Infinity ratio
+    val r = BenchDiff.diff(Map("a" -> 0.05, "z" -> 0.0),
+                           Map("a" -> 0.35, "z" -> 0.5),
+                           ratioFlag = 2.0, minSecs = 0.3)
+    assert(r.regressions.isEmpty)
+    // a genuinely large jump off a noise-floor prior still flags: the
+    // floored denominator gives the honest "vs the noise floor" multiple
+    val r2 = BenchDiff.diff(Map("a" -> 0.05), Map("a" -> 0.9),
+                            ratioFlag = 2.0, minSecs = 0.3)
+    assert(r2.regressions.map(_.query) === Seq("a"))
+    assert(math.abs(r2.regressions.head.ratio - 3.0) < 1e-9)
+  }
+
+  test("streaming floors apply only to an exact sf0.1 path segment") {
+    assert(graft.Bench.isSf01("/root/testdata/sf0.1"))
+    assert(graft.Bench.isSf01("/root/testdata/sf0.1/"))
+    assert(!graft.Bench.isSf01("/data/sf0.15"))  // substring trap
+    assert(!graft.Bench.isSf01("/data/sf0.125"))
+    assert(!graft.Bench.isSf01("/data/sf0.01"))
   }
 
   test("render emits parseable JSON with the ok verdict") {

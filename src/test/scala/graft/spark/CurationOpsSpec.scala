@@ -1003,6 +1003,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ll(1L) > ll(4L), s"ordinary text should outscore gibberish: $ll")
   }
 
+  test("LmScore: mixed-case vocab entries match (probe set and builtin " +
+       "both lowercase-fold to meet the lowercased token stream)") {
+    import graft.pipeline.LmScore
+    val corpus = docs((1L, "The Cat sat"), (2L, "dog RAN far"))
+    // user-supplied vocab with arbitrary casing: tokenization lowercases
+    // the text side, so the probe set must fold the vocab the same way —
+    // before the fix these entries silently never matched
+    val vocab = Seq("THE", "Cat", "ran")
+    val expr = LmScore.vocabCounts(corpus, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(expr(1L) === ((2, 1)))  // the, cat in-vocab; sat OOV
+    assert(expr(2L) === ((1, 2)))  // ran in-vocab; dog, far OOV
+    val builtin = LmScore.vocabCountsBuiltin(corpus, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(builtin === expr)
+    // bigram path: same fold
+    val bg = LmScore.bigramCounts(corpus, "id", "text", Seq("The Cat", "DOG ran"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(bg(1L) === ((1, 1)))  // "the cat" in-vocab; "cat sat" OOV
+    assert(bg(2L) === ((1, 1)))
+    val bgBuiltin = LmScore.bigramCountsBuiltin(corpus, "id", "text",
+        Seq("The Cat", "DOG ran"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(bgBuiltin === bg)
+  }
+
   // --------------------------------------------------------------- textclean
 
   test("TextClean scrubs emails/URLs/phones with typed placeholders, in order") {
