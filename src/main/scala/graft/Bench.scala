@@ -149,22 +149,28 @@ object Bench {
     sfDir.split('/').lastOption.contains("sf0.1")
 
   /** Throughput floors (rows/sec) for the streaming rows, enforced only at
-    * the SF the committed numbers were measured at. Defaults are 60% of
-    * committed round artifacts (materializer 14,036 r6; fanout500 11,907
-    * r6; fanout sink 4,471 r7; fold rate re-baselined r8 after the warmup
-    * fix removed the first-batch inflation): generous against VM noise,
-    * tight against a real (≥2×) regression. */
+    * the SF the committed numbers were measured at. End-to-end floors are
+    * 60% of committed round artifacts (materializer 19,093 r7; fanout500
+    * 11,776 r7; fanout sink 4,471 r7): generous against VM noise, tight
+    * against a real (≥2×) regression. The FOLD-rate floor is 40% of the
+    * r8 re-baseline (105,867 rows/s, measured after the warmup fix
+    * removed the first-batch inflation that had overstated r7's 381k):
+    * looser than the others because the fold rate is DERIVED
+    * (total − batches × probed commit) — a probe reading low inflates
+    * foldSecs quadratically, so a 60% floor could false-trip on probe
+    * noise alone while 40% still catches the fold-only ≥3× regression an
+    * end-to-end floor would miss behind a commit-time improvement. */
   private def floorViolations(rates: Seq[(String, Double)], sfDir: String): Seq[String] = {
     if (!isSf01(sfDir)) return Seq.empty
     val floors = Map(
       "streaming_materializer_rows_per_sec" ->
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER", "8400").toDouble,
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER", "11450").toDouble,
       "streaming_fanout500_rows_per_sec" ->
         sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble,
       "streaming_fanout500_sink_rows_per_sec" ->
         sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "2680").toDouble,
       "streaming_materializer_fold_rows_per_sec" ->
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER_FOLD", "24000").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER_FOLD", "42000").toDouble)
     val m = rates.toMap
     floors.toSeq.sortBy(_._1).flatMap { case (name, floor) =>
       m.get(name) match {

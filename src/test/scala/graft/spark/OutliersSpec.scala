@@ -29,6 +29,17 @@ class OutliersSpec extends AnyFunSuite {
     assert(Outliers.centroid(df, "v").toSeq === Seq(2.0, 4.0))
   }
 
+  test("centroid survives huge component magnitudes (decimal(38,15) " +
+       "headroom — a narrower cast overflowed at 1e10 under ANSI)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(4.0e12, -2.0e12)), (2L, Seq(2.0e12, -6.0e12)))
+      .toDF("id", "v")
+    val c = Outliers.centroid(df, "v")
+    assert(c.toSeq === Seq(3.0e12, -4.0e12))
+    assert(c.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
   test("centroid is bit-identical under any partitioning (decimal accumulation)") {
     val s = spark
     import s.implicits._
