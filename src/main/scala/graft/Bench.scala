@@ -143,10 +143,12 @@ object Bench {
     (times.toSeq, rates.toSeq)
   }
 
-  /** True iff the path's sf token is EXACTLY sf0.1 — `sf0.15`/`sf0.125`
-    * dirs must not inherit floors that were never measured there. */
+  /** True iff ANY path segment is EXACTLY sf0.1 — `sf0.15`/`sf0.125` dirs
+    * must not inherit floors that were never measured there, while a
+    * layout like `/mnt/bench/sf0.1/parquet` (sf token not last) must not
+    * silently disable the gate. */
   private[graft] def isSf01(sfDir: String): Boolean =
-    sfDir.split('/').lastOption.contains("sf0.1")
+    sfDir.split('/').contains("sf0.1")
 
   /** Throughput floors (rows/sec) for the streaming rows, enforced only at
     * the SF the committed numbers were measured at. End-to-end floors are

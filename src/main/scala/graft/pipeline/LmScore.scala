@@ -46,9 +46,9 @@ object LmScore {
     * vocabularies. */
   def vocabCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
                          vocab: Seq[String]): DataFrame = {
-    // same lowercase fold as the expression's probe set: the token side
-    // is lowercased by tokenization, so a mixed-case entry never matches
-    val vocabArr = array(vocab.map(w => lit(w.toLowerCase)): _*)
+    // same fold as the expression's probe set — through the UTF8String
+    // case fold the token side uses, not default-locale String.toLowerCase
+    val vocabArr = array(vocab.map(w => lit(SketchHash.foldCase(w))): _*)
     val toks = TextAnalysis.tokens(col(textCol))
     val inVocab = size(filter(toks, t => array_contains(vocabArr, t)))
     df.select(col(idCol),
@@ -86,9 +86,10 @@ object LmScore {
     * use on large corpora. */
   def bigramCountsBuiltin(df: DataFrame, idCol: String, textCol: String,
                           bigrams: Seq[String]): DataFrame = {
-    // same lowercase fold as the expression's probe set (grams come from
-    // lowercased tokens)
-    val arr = array(bigrams.map(g => lit(g.toLowerCase)): _*)
+    // same normalization as the expression's probe set: single-space gram
+    // shape + the UTF8String case fold the token side uses
+    val arr = array(bigrams.map(g =>
+      lit(SketchHash.foldCase(g.trim.split("\\s+").mkString(" ")))): _*)
     val grams = TextAnalysis.wordNgrams(col(textCol), 2)
     val inV = size(filter(grams, g => array_contains(arr, g)))
     df.select(col(idCol),

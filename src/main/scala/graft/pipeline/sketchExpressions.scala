@@ -35,6 +35,14 @@ private object SketchHash {
     if (lowered.isEmpty) Array("") else lowered.split("\\s+")
   }
 
+  /** The SAME case fold [[tokenize]] (and SQL `lower`) applies to the
+    * text side. Probe sets MUST fold through this, not String.toLowerCase:
+    * the latter is default-locale (Turkish dotless-i turns "III" into
+    * "ııı"), so a probe entry folded with it can silently never match the
+    * UTF8String-folded token stream. */
+  def foldCase(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
   def hash(s: String): Long = hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 

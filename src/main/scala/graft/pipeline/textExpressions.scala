@@ -231,10 +231,12 @@ case class BigramCoverageExpr(child: Expression, vocab: Seq[String])
 
   @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.size * 2)
-    // tokenize() lowercases the text side, so a mixed-case vocab entry
-    // could never match; fold the vocab the same way (as BlocklistOkExpr
-    // does its words)
-    vocab.foreach(g => s.add(g.toLowerCase))
+    // probe keys are tokens joined by ONE space, and the text side is
+    // UTF8String-lowercased: normalize each entry the same way (split on
+    // any whitespace, rejoin, same case fold) or a tab/doubled-space or
+    // mixed-case entry silently never matches
+    vocab.foreach(g =>
+      s.add(SketchHash.foldCase(g.trim.split("\\s+").mkString(" "))))
     s
   }
 
@@ -296,7 +298,7 @@ case class BlocklistStatsExpr(child: Expression, words: Seq[String])
 
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](words.size * 2)
-    words.foreach(w => s.add(w.toLowerCase))
+    words.foreach(w => s.add(SketchHash.foldCase(w)))
     s
   }
 
@@ -332,7 +334,7 @@ case class BlocklistOkExpr(child: Expression, words: Seq[String], maxPermille: I
 
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](words.size * 2)
-    words.foreach(w => s.add(w.toLowerCase))
+    words.foreach(w => s.add(SketchHash.foldCase(w)))
     s
   }
 
@@ -367,9 +369,10 @@ case class UnigramCoverageExpr(child: Expression, vocab: Seq[String])
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](vocab.size * 2)
     // tokenize() lowercases the text side, so a mixed-case vocab entry
-    // could never match; fold the vocab the same way (as BlocklistOkExpr
-    // does its words)
-    vocab.foreach(w => s.add(w.toLowerCase))
+    // could never match; fold the vocab through the SAME UTF8String case
+    // fold (String.toLowerCase is default-locale — Turkish dotless-i
+    // would silently diverge)
+    vocab.foreach(w => s.add(SketchHash.foldCase(w)))
     s
   }
 

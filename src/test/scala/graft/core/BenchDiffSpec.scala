@@ -56,6 +56,7 @@ class BenchDiffSpec extends AnyFunSuite {
   test("streaming floors apply only to an exact sf0.1 path segment") {
     assert(graft.Bench.isSf01("/root/testdata/sf0.1"))
     assert(graft.Bench.isSf01("/root/testdata/sf0.1/"))
+    assert(graft.Bench.isSf01("/mnt/bench/sf0.1/parquet"))  // token not last
     assert(!graft.Bench.isSf01("/data/sf0.15"))  // substring trap
     assert(!graft.Bench.isSf01("/data/sf0.125"))
     assert(!graft.Bench.isSf01("/data/sf0.01"))

@@ -1027,6 +1027,28 @@ class CurationOpsSpec extends AnyFunSuite {
         Seq("The Cat", "DOG ran"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(bgBuiltin === bg)
+    // gram entries with irregular internal whitespace normalize to the
+    // single-space probe-key shape (tokens joined by ONE space)
+    val ws = LmScore.bigramCounts(corpus, "id", "text", Seq("the\tcat", "dog  ran"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ws(1L) === 1 && ws(2L) === 1)
+  }
+
+  test("LmScore: vocab fold is locale-independent (Turkish dotless-i " +
+       "must not corrupt ASCII entries under a tr default locale)") {
+    import graft.pipeline.LmScore
+    val prior = java.util.Locale.getDefault
+    try {
+      // under tr, String.toLowerCase("III") is "ııı" (dotless) — a probe
+      // set folded that way would silently never match the UTF8String-
+      // lowercased token stream; the fold must go through the same
+      // UTF8String path the tokenizer uses
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val corpus = docs((1L, "Title III provisions"))
+      val counts = LmScore.vocabCounts(corpus, "id", "text", Seq("III"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(counts(1L) === 1, "ASCII vocab entry must match under tr locale")
+    } finally java.util.Locale.setDefault(prior)
   }
 
   // --------------------------------------------------------------- textclean
