@@ -129,7 +129,14 @@ object Bench {
       try {
         val t0 = System.nanoTime()
         evRows.grouped(evRows.length / 2 + 1).foreach { b =>
-          input.addData(b.toIndexedSeq); q.processAllAvailable()
+          // one addData call = ONE MemoryStream block = ONE input
+          // partition, and the fanout path has no shuffle (scan-local
+          // match + explode), so a single block would serialize the whole
+          // match + parquet write on one core — measuring MemoryStream's
+          // artifact, not the operator. A real bus topic arrives
+          // partitioned; 32 blocks per trigger model that.
+          b.grouped(b.length / 32 + 1).foreach(c => input.addData(c.toIndexedSeq))
+          q.processAllAvailable()
         }
         val secs = (System.nanoTime() - t0) / 1e9
         times += (("streaming_fanout500_sink", secs))
@@ -154,14 +161,17 @@ object Bench {
     * the SF the committed numbers were measured at. End-to-end floors are
     * 60% of committed round artifacts (materializer 19,093 r7; fanout500
     * 11,776 r7; fanout sink 4,471 r7): generous against VM noise, tight
-    * against a real (≥2×) regression. The FOLD-rate floor is 40% of the
-    * r8 re-baseline (105,867 rows/s, measured after the warmup fix
-    * removed the first-batch inflation that had overstated r7's 381k):
-    * looser than the others because the fold rate is DERIVED
-    * (total − batches × probed commit) — a probe reading low inflates
-    * foldSecs quadratically, so a 60% floor could false-trip on probe
-    * noise alone while 40% still catches the fold-only ≥3× regression an
-    * end-to-end floor would miss behind a commit-time improvement. */
+    * against a real (≥2×) regression; the sink floor is 60% of the r8
+    * re-baseline (27,051 events/s after the multi-block partitioning fix
+    * — the r7 number measured MemoryStream's single-block serialization,
+    * not the operator). The FOLD-rate floor is 40% of the LOWER of two
+    * consecutive r8 measurements (69,395 and 105,867 rows/s — a 1.5×
+    * swing from probe sensitivity alone, after the warmup fix removed the
+    * first-batch inflation that had overstated r7's 381k): the fold rate
+    * is DERIVED (total − batches × probed commit), so probe noise moves
+    * it far more than the end-to-end rows; 40%-of-lower still catches the
+    * fold-only ≥3× regression an end-to-end floor would miss behind a
+    * commit-time improvement. */
   private def floorViolations(rates: Seq[(String, Double)], sfDir: String): Seq[String] = {
     if (!isSf01(sfDir)) return Seq.empty
     val floors = Map(
@@ -170,9 +180,9 @@ object Bench {
       "streaming_fanout500_rows_per_sec" ->
         sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble,
       "streaming_fanout500_sink_rows_per_sec" ->
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "2680").toDouble,
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "16000").toDouble,
       "streaming_materializer_fold_rows_per_sec" ->
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER_FOLD", "42000").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_MATERIALIZER_FOLD", "28000").toDouble)
     val m = rates.toMap
     floors.toSeq.sortBy(_._1).flatMap { case (name, floor) =>
       m.get(name) match {
