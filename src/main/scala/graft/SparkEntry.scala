@@ -3274,6 +3274,7 @@ object SparkEntry {
         |           FROM documents),
         |a AS (SELECT count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct_ids,
         |        count(DISTINCT text) AS n_distinct_texts,
+        |        count(text) AS n_nonnull_texts,
         |        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |        CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |        min(n_tok) AS min_doc_tokens, max(n_tok) AS max_doc_tokens,
@@ -3288,7 +3289,7 @@ object SparkEntry {
         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
         |  UNION ALL SELECT 'n_distinct_ids', n_distinct_ids FROM a
         |  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a
-        |  UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_texts FROM a
+        |  UNION ALL SELECT 'n_exact_dup_docs', n_nonnull_texts - n_distinct_texts FROM a
         |  UNION ALL SELECT 'total_tokens', total_tokens FROM a
         |  UNION ALL SELECT 'total_chars', total_chars FROM a
         |  UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM a
@@ -3458,26 +3459,26 @@ object SparkEntry {
     "stats_quantiles" ->
       """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
         |           FROM documents),
-        |h AS (SELECT v AS value, count(*) AS cnt FROM t GROUP BY v),
+        |h AS (SELECT v AS value, count(*) AS cnt FROM t WHERE v IS NOT NULL GROUP BY v),
         |c AS (SELECT value, cnt,
         |        sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |        sum(cnt) OVER () AS n FROM h),
         |q(q_permille) AS (VALUES (100), (500), (900), (990))
         |SELECT q_permille, min(value) AS value FROM c, q
-        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |WHERE cum * 1000 >= q_permille * n
         |GROUP BY q_permille ORDER BY q_permille""".stripMargin,
 
     "stats_quantiles_by" ->
       """WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
         |           FROM documents),
-        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t GROUP BY lang, v),
+        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t WHERE v IS NOT NULL GROUP BY lang, v),
         |c AS (SELECT lang, value, cnt,
         |        sum(cnt) OVER (PARTITION BY lang ORDER BY value
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
         |q(q_permille) AS (VALUES (500), (900))
         |SELECT lang, q_permille, min(value) AS value FROM c, q
-        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |WHERE cum * 1000 >= q_permille * n
         |GROUP BY lang, q_permille ORDER BY lang, q_permille""".stripMargin,
 
     "search_df" ->
@@ -4261,14 +4262,14 @@ object SparkEntry {
     "stats_quantile_sketch" ->
       """WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS v
         |           FROM documents),
-        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t GROUP BY lang, v),
+        |h AS (SELECT lang, v AS value, count(*) AS cnt FROM t WHERE v IS NOT NULL GROUP BY lang, v),
         |c AS (SELECT lang, value, cnt,
         |        sum(cnt) OVER (PARTITION BY lang ORDER BY value
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |        sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
         |q(q_permille) AS (VALUES (250), (500), (750), (990))
         |SELECT lang, q_permille, min(value) AS value FROM c, q
-        |WHERE cum >= ceil(q_permille / 1000.0 * n)
+        |WHERE cum * 1000 >= q_permille * n
         |GROUP BY lang, q_permille ORDER BY lang, q_permille""".stripMargin,
 
     "stats_topk_sketch" ->

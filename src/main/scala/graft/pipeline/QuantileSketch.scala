@@ -164,7 +164,11 @@ case class KllQuantiles(child: Expression, permilles: Seq[Int], k: Int,
     val order = (0 until total).sortBy(vs(_))
     val out = new Array[Any](permilles.length)
     permilles.zipWithIndex.foreach { case (q, qIdx) =>
-      val target = math.ceil(q / 1000.0 * n).toLong
+      // ceil(q/1000 * n) in EXACT integer form — the float product rounds
+      // up past the true ceiling for many (q, n) pairs (q=35, n=200 →
+      // 7.000000000000001 → 8), which would skip the exact-rank value in
+      // the exact regime and break batch/oracle parity
+      val target = (q.toLong * n + 999L) / 1000L
       var cum = 0L
       var oi = 0
       var ans = vs(order(total - 1))

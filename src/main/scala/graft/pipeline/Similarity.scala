@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<float/double> columns, computed in
-    * double, summing in index order (deterministic). */
+    * double, summing in index order (deterministic). A zero-norm vector
+    * (a failed/empty embedder output — they happen in large corpora)
+    * scores 0.0 against anything: the unguarded division is a
+    * DIVIDE_BY_ZERO error under ANSI (Spark 4 default) and would abort
+    * the whole job on one bad row. */
   def cosine(a: Column, b: Column): Column = {
     val prods = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
     val dot = aggregate(prods, lit(0.0), (acc, v) => acc + v)
     val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
     val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
   }
 
   /** Scale-safe per-query top-k rank. A plain
@@ -57,10 +62,15 @@ object Similarity {
     val ti = schema.fieldIndex(tieCol)
     // worst-first so the heap head is the eviction candidate: lowest score
     // first, and among equal scores the LARGEST tie value (so the kept set
-    // prefers small tie values, matching the (score desc, tie asc) rank)
+    // prefers small tie values, matching the (score desc, tie asc) rank).
+    // Null-safe: a null tie sorts SMALLEST (matching Spark's asc
+    // nulls-first in the phase-2 window) instead of NPE-ing the comparator
     val worstFirst = new java.util.Comparator[Row] with Serializable {
       private def cmpTie(a: Any, b: Any): Int =
-        a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else a.asInstanceOf[Comparable[Any]].compareTo(b)
       def compare(a: Row, b: Row): Int = {
         val c = java.lang.Double.compare(a.getDouble(si), b.getDouble(si))
         if (c != 0) c else cmpTie(b.get(ti), a.get(ti))
@@ -69,10 +79,16 @@ object Similarity {
     val survivors = df.mapPartitions { it =>
       val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Row]]()
       it.foreach { r =>
-        val h = heaps.computeIfAbsent(r.get(qi),
-          _ => new java.util.PriorityQueue[Row](k + 1, worstFirst))
-        h.add(r)
-        if (h.size > k) h.poll()
+        // a null score is non-rankable (a null embedding or ragged dims
+        // upstream makes cosine null): skip the row rather than NPE in
+        // getDouble — parity with the phase-2 rank, which would push
+        // nulls past every real score anyway
+        if (!r.isNullAt(si)) {
+          val h = heaps.computeIfAbsent(r.get(qi),
+            _ => new java.util.PriorityQueue[Row](k + 1, worstFirst))
+          h.add(r)
+          if (h.size > k) h.poll()
+        }
       }
       import scala.jdk.CollectionConverters._
       heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
@@ -151,22 +167,42 @@ object Similarity {
   /** ANN top-k via LSH buckets with `bands` independent sketches: compare
     * only within matching buckets, union candidates, exact-rank them.
     * Bucket keys come from the single-pass [[sketches.hyperplaneSketch]]
-    * expression (same keys as the builtin [[lshBucketBand]] formulation). */
+    * expression (same keys as the builtin [[lshBucketBand]] formulation).
+    *
+    * Scale shape (same as [[knnGraph]]/[[embeddingNearDuplicates]]): ids
+    * ONLY travel through the band join and the candidate distinct —
+    * vectors are the wide payload (~kBs each at 384+ dims), so they
+    * re-join by id after dedup instead of riding every candidate pair
+    * through the exchange. Corpus buckets above `maxBucketSize` are
+    * skipped (a degenerate bucket of B rows contributes B candidates per
+    * query per band — oversized buckets are duplicate CLUSTERS, handled
+    * by cluster assignment, not pairwise scoring). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 12, bands: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+              vecCol: String, k: Int, planes: Int = 12, bands: Int = 4,
+              maxBucketSize: Int = 1000): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String): DataFrame = {
+      df.select(col(idCol).as(idAs),
           posexplode(sketches.hyperplaneSketch(col(vecCol), planes, bands)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
     }
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
-    val candidates = c.join(q, Seq("band", "bucket"))
+    val c = bucketed(corpus, "neighbor_id")
+      .localCheckpoint() // feeds the size aggregate AND the band join once
+    val sized = c.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
+    val capped = c.join(
+      sized.where(col("bucket_n") <= maxBucketSize).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+    val q = bucketed(queries, "query_id")
+    val idPairs = capped.join(q, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
-    val scored = candidates.withColumn("score", cosine(col("qv"), col("cv")))
+    val scored = idPairs
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "score")
     rankTopKPerQuery(scored, "query_id", "score", "neighbor_id", k)
       .select("query_id", "rank", "neighbor_id", "score")
@@ -189,7 +225,7 @@ object Similarity {
     val bucketed = base.select(col("id"),
         posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
     val sized = bucketed.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     val capped = bucketed.join(
       sized.where(col("n") <= maxBucketSize).select("band", "bucket"),
@@ -253,7 +289,7 @@ object Similarity {
         val bucketed = base.select(col("id"),
             posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
         // cap degenerate buckets (same guard as the minhash/simhash paths):
         // a bucket of B near-identical vectors contributes B^2/2 pairs;
         // oversized buckets are duplicate CLUSTERS — handle them by cluster

@@ -27,8 +27,12 @@ import org.apache.spark.sql.types.DecimalType
 object Stats {
 
   /** Value histogram: one row per distinct value with its count. */
+  /** Value histogram; NULL values are excluded (a null has no place on
+    * the value axis — SQL percentile/median ignore nulls too; count them
+    * separately with `where(valueCol.isNull)` if they need reporting). */
   def histogram(df: DataFrame, valueCol: Column): DataFrame =
-    df.groupBy(valueCol.cast("long").as("value")).agg(count(lit(1)).as("cnt"))
+    df.where(valueCol.isNotNull)
+      .groupBy(valueCol.cast("long").as("value")).agg(count(lit(1)).as("cnt"))
 
   /** Exact discrete quantiles at the given permille points (500 = median).
     * Returns (q_permille, value). The histogram window is over #distinct
@@ -68,7 +72,11 @@ object Stats {
       .withColumn("n", sum("cnt").over(Window.partitionBy()))
     cum
       .withColumn("q_permille", explode(array(permilles.map(lit): _*)))
-      .where(col("cum") >= ceil(col("q_permille") / lit(1000.0) * col("n")))
+      // cum >= ceil(q/1000 * n) in EXACT integer form: the float product
+      // rounds up past the true ceiling for hundreds of (q, n) pairs
+      // (q=35, n=200: 35/1000.0*200 = 7.000000000000001 → ceil 8, so the
+      // value at exact rank 7 was skipped)
+      .where(col("cum") * lit(1000L) >= col("q_permille") * col("n"))
       .groupBy("q_permille")
       .agg(min("value").as("value"))
   }
@@ -77,14 +85,29 @@ object Stats {
     * profiles). Same histogram-first shape with the histogram keyed by
     * (group, value) and the cumulative window partitioned by group — each
     * group's window sees only its own distinct values, so skewed group
-    * sizes don't concentrate corpus rows anywhere.
+    * sizes don't concentrate corpus rows anywhere. NULL values are
+    * excluded ([[histogram]] semantics); the same bounded-domain contract
+    * as [[exactQuantiles]] is ENFORCED per group: the largest per-group
+    * distinct-value count is checked before any group's cumulative window
+    * runs (one group with an open domain funnels that whole group through
+    * one reducer, exactly what the sibling fails loudly on).
     * Returns (group, q_permille, value). */
   def exactQuantilesBy(df: DataFrame, groupCol: Column, valueCol: Column,
-                       permilles: Seq[Int]): DataFrame = {
+                       permilles: Seq[Int], maxDistinct: Long = 1L << 20): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
       s"permilles must be in (0, 1000]: $permilles")
-    val h = df.groupBy(groupCol.as("group"), valueCol.cast("long").as("value"))
+    val h = df.where(valueCol.isNotNull)
+      .groupBy(groupCol.as("group"), valueCol.cast("long").as("value"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val worst = h.groupBy("group").count().agg(max("count")).head()
+    val nd = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(nd <= maxDistinct,
+      s"exactQuantilesBy saw a group with $nd distinct values (> " +
+        s"maxDistinct=$maxDistinct): this operator is for bounded domains " +
+        "only — each group's cumulative window funnels its distinct values " +
+        "through one reducer. For open domains use " +
+        "QuantileSketch.kllQuantiles (mergeable, bounded state).")
     val cumW = Window.partitionBy("group").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h
@@ -92,7 +115,8 @@ object Stats {
       .withColumn("n", sum("cnt").over(Window.partitionBy("group")))
     cum
       .withColumn("q_permille", explode(array(permilles.map(lit): _*)))
-      .where(col("cum") >= ceil(col("q_permille") / lit(1000.0) * col("n")))
+      // exact integer ceiling — see exactQuantiles
+      .where(col("cum") * lit(1000L) >= col("q_permille") * col("n"))
       .groupBy("group", "q_permille")
       .agg(min("value").as("value"))
   }
@@ -107,7 +131,11 @@ object Stats {
     * Returns (group, rank, value, cnt). */
   def topValuesByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
                        k: Int): DataFrame = {
-    val counts = df.groupBy(groupCol.as("group"), valueCol.as("value"))
+    // null values are excluded (a null is the ABSENCE of a value, not a
+    // rankable one — count them with where(valueCol.isNull) if needed);
+    // null GROUPS are kept (an unattributed bucket is a real bucket)
+    val counts = df.where(valueCol.isNotNull)
+      .groupBy(groupCol.as("group"), valueCol.as("value"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__score", col("cnt").cast("double"))
     Similarity.rankTopKPerQuery(counts, "group", "__score", "value", k)
@@ -138,26 +166,34 @@ object Stats {
       count(lit(1)).as("n_docs"),
       countDistinct(col(idCol)).as("n_distinct_ids"),
       countDistinct(col(textCol)).as("n_distinct_texts"),
+      // duplicates compare against NON-NULL texts: countDistinct ignores
+      // nulls, so n_docs - n_distinct_texts would report every null-text
+      // doc as a "duplicate" of nothing
+      count(col(textCol)).as("n_nonnull_texts"),
       sum(tokens).as("total_tokens"),
       sum(length(col(textCol)).cast("long")).as("total_chars"),
       min(tokens).as("min_doc_tokens"),
       max(tokens).as("max_doc_tokens")) ++
       attrCols.map(c => countDistinct(col(c)).as(s"n_distinct_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val median = exactQuantiles(df, tokens, Seq(500))
-      .head().getLong(1)
+    // sum/min/max over an all-null column are null, and the null-excluding
+    // histogram can be empty — a degenerate corpus must produce a card,
+    // not an NPE; 0 is the honest integer for "no measurable text"
+    def longAt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    val medianRows = exactQuantiles(df, tokens, Seq(500)).collect()
+    val median = if (medianRows.isEmpty) 0L else medianRows.head.getLong(1)
     val base = Seq(
       "n_docs" -> row.getLong(0),
       "n_distinct_ids" -> row.getLong(1),
       "n_distinct_texts" -> row.getLong(2),
-      "n_exact_dup_docs" -> (row.getLong(0) - row.getLong(2)),
-      "total_tokens" -> row.getLong(3),
-      "total_chars" -> row.getLong(4),
-      "min_doc_tokens" -> row.getLong(5),
-      "max_doc_tokens" -> row.getLong(6),
+      "n_exact_dup_docs" -> (row.getLong(3) - row.getLong(2)),
+      "total_tokens" -> longAt(4),
+      "total_chars" -> longAt(5),
+      "min_doc_tokens" -> longAt(6),
+      "max_doc_tokens" -> longAt(7),
       "median_doc_tokens" -> median) ++
       attrCols.zipWithIndex.map { case (c, i) =>
-        s"n_distinct_$c" -> row.getLong(7 + i)
+        s"n_distinct_$c" -> row.getLong(8 + i)
       }
     base.toDF("metric", "value")
   }
@@ -187,7 +223,7 @@ object Stats {
     def counts(df: DataFrame) =
       df.select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
     val a = counts(dfA)
     val b = counts(dfB)
     // sum over an empty side is null — an empty first snapshot (a drift

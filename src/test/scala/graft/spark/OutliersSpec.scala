@@ -29,6 +29,47 @@ class OutliersSpec extends AnyFunSuite {
     assert(Outliers.centroid(df, "v").toSeq === Seq(2.0, 4.0))
   }
 
+  test("cosine: a zero-norm vector scores 0 instead of aborting the job " +
+       "(ANSI DIVIDE_BY_ZERO)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.0, 0.0))) // failed/empty embedder output
+      .toDF("id", "vec")
+    val queries = corpus.where(col("id") === 1L)
+    // brute force over a corpus containing the zero vector must not throw,
+    // and the zero vector must rank LAST (score 0 < any real similarity)
+    val got = Similarity.bruteForceTopK(corpus, queries, "id", "vec", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.last._1 === 3L && got.last._2 === 0.0)
+    // direct expression check, both sides
+    val sc = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(sc === 0.0)
+  }
+
+  test("lshTopK recalls a planted copy and tolerates zero-norm rows " +
+       "(ids-only shuffle path)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    // plant an exact copy of row 0 at id 100, and a zero vector at id 101
+    val corpus = (base ++ Seq((100L, base.head._2), (101L, Seq.fill(16)(0.0))))
+      .toDF("id", "vec")
+    val queries = corpus.where(col("id") === 0L)
+    val top = Similarity.lshTopK(corpus, queries, "id", "vec", k = 3)
+      .orderBy("rank").collect()
+    assert(top.nonEmpty)
+    // the exact copy shares every band bucket, so recall at rank 1 is
+    // guaranteed; score is cosine 1 up to float rounding
+    assert(top.head.getLong(2) === 100L)
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("centroid survives huge component magnitudes (decimal(38,15) " +
        "headroom — a narrower cast overflowed at 1e10 under ANSI)") {
     val s = spark

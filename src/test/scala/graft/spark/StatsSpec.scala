@@ -20,7 +20,10 @@ class StatsSpec extends AnyFunSuite {
     val sorted = values.sorted
     val n = sorted.size
     permilles.map { p =>
-      val target = math.ceil(p / 1000.0 * n).toInt
+      // exact integer ceil(p/1000 * n) — the float product rounds up past
+      // the true ceiling for many (p, n) pairs (p=35, n=200 → 7.0000…01 →
+      // ceil 8), which is the defect the operator itself had
+      val target = ((p.toLong * n + 999L) / 1000L).toInt
       p -> sorted(math.max(target, 1) - 1) // smallest value with rank >= target
     }.toMap
   }
@@ -51,6 +54,46 @@ class StatsSpec extends AnyFunSuite {
     // the same data under a sufficient cap still answers exactly
     assert(Stats.exactQuantiles(open, col("v"), Seq(1000), maxDistinct = 1000)
       .head().getLong(1) === 500L)
+  }
+
+  test("quantile rank threshold is exact integer math (q=35, n=200 was " +
+       "off by one under the float formulation)") {
+    val s = spark
+    import s.implicits._
+    // 35/1000.0*200 = 7.000000000000001 → float ceil 8 skips the value at
+    // exact rank 7; the true p3.5 of 1..200 is 7
+    val df = (1L to 200L).toDF("v")
+    assert(Stats.exactQuantiles(df, col("v"), Seq(35)).head().getLong(1) === 7L)
+    assert(Stats.exactQuantilesBy(df.withColumn("g", lit("a")), col("g"),
+      col("v"), Seq(35)).head().getLong(2) === 7L)
+    // KLL exact regime shares the rank rule
+    val kll = df.select(graft.pipeline.QuantileSketch.quantiles(col("v"), Seq(35)))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(kll.head.getLong(1) === 7L)
+  }
+
+  test("null values are excluded from quantiles (SQL percentile semantics)") {
+    val s = spark
+    import s.implicits._
+    // 1..100 plus 80 nulls: a null bucket would sort FIRST in the window
+    // and inflate n, dragging the median from 50 to 10
+    val df = ((1L to 100L).map(v => Some(v)) ++ Seq.fill(80)(Option.empty[Long]))
+      .toDF("v")
+    assert(Stats.exactQuantiles(df, col("v"), Seq(500)).head().getLong(1) === 50L)
+    val byGroup = Stats.exactQuantilesBy(df.withColumn("g", lit("x")), col("g"),
+      col("v"), Seq(500))
+    assert(byGroup.head().getLong(2) === 50L)
+  }
+
+  test("exactQuantilesBy fails loudly on an open domain (per-group " +
+       "bounded-domain guard, parity with the ungrouped sibling)") {
+    val s = spark
+    import s.implicits._
+    val open = (1L to 5000L).map(v => ("g", v)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactQuantilesBy(open, col("g"), col("v"), Seq(500), maxDistinct = 1000)
+    }
+    assert(e.getMessage.contains("kllQuantiles"))
   }
 
   test("median of skewed and constant data") {
@@ -204,5 +247,42 @@ class StatsSpec extends AnyFunSuite {
     val empty = Stats.dataCard(Seq.empty[(Long, String)].toDF("id", "text"), "id", "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(empty === Map("n_docs" -> 0L))
+  }
+
+  test("dataCard: null texts are not duplicates, and an all-null corpus " +
+       "yields a card instead of an NPE") {
+    val s = spark
+    import s.implicits._
+    // 3 unique texts + 2 null texts: countDistinct ignores nulls, so the
+    // old n_docs - n_distinct formula reported the nulls as 2 duplicates
+    val df = Seq((1L, Some("aa bb")), (2L, Some("cc dd")), (3L, Some("ee ff")),
+      (4L, Option.empty[String]), (5L, Option.empty[String])).toDF("id", "text")
+    val card = Stats.dataCard(df, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") === 5L)
+    assert(card("n_exact_dup_docs") === 0L)
+    assert(card("median_doc_tokens") === 2L) // over the 3 measurable docs
+    // degenerate: every text null — sum/min/max aggregates are null and
+    // the null-excluding histogram is empty; the card must still build
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val c2 = Stats.dataCard(allNull, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2("n_docs") === 2L)
+    assert(c2("n_exact_dup_docs") === 0L)
+    assert(c2("total_tokens") === 0L && c2("median_doc_tokens") === 0L)
+  }
+
+  test("topValuesByGroup: null values are excluded, null groups kept") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some("g1"), Some("a")), (Some("g1"), Some("a")),
+      (Some("g1"), Option.empty[String]),      // null value: not rankable
+      (Option.empty[String], Some("z")))       // null group: real bucket
+      .toDF("g", "v")
+    val got = Stats.topValuesByGroup(df, col("g"), col("v"), k = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((Some("g1"), "a", 2L), (None, "z", 1L)))
   }
 }
