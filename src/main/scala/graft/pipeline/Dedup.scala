@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups keyed by md5 of a column. Returns one row per
-    * distinct value: canonical (min) id, duplicate count. */
+    * distinct value: canonical (min) id, duplicate count. NULL-content
+    * rows are excluded — md5(null) is null and groupBy treats nulls as
+    * equal, so they would all collapse into one phantom "duplicate" group
+    * even though null content is not comparable (the same not-comparable
+    * convention [[semanticDedup]] applies to null vectors). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+    df.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
@@ -42,17 +47,25 @@ object Dedup {
     * (n_variants = 1 means the group was already an exact-dup group).
     * Scale shape: identical to exact dedup — one hash-keyed aggregate. */
   def templateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(templateKey(col(textCol)).as("template_hash"),
-        col(idCol), col(textCol))
+    df.where(col(textCol).isNotNull)
+      // variants counted over the 16-byte md5, not the raw text: shipping
+      // full documents through the shuffle just to count them distinct
+      // breaks the module's hash-first discipline (same key exactGroups
+      // aggregates on)
+      .select(templateKey(col(textCol)).as("template_hash"),
+        col(idCol), md5(col(textCol)).as("__text_hash"))
       .groupBy("template_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"),
-        countDistinct(col(textCol)).as("n_variants"))
+        countDistinct(col("__text_hash")).as("n_variants"))
 
-  /** Rows minus exact duplicates (keeps the min-id representative). */
+  /** Rows minus exact duplicates (keeps the min-id representative).
+    * NULL-content rows pass through untouched (not comparable — see
+    * [[exactGroups]]). */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val canon = exactGroups(df, textCol, idCol)
       .select(col("canonical_id").as(idCol))
     df.join(canon, Seq(idCol), "left_semi")
+      .unionByName(df.where(col(textCol).isNull))
   }
 
   /** Word n-gram shingles of a text column (lowercased, whitespace tokens). */
@@ -74,7 +87,10 @@ object Dedup {
     val slots = (0 until k).map { i =>
       val a = 2L * i + 1      // odd, < 2^31
       val b = 104729L * (i + 1)
-      array_min(transform(hashes, h => pmod(h * a + b, lit(p))))
+      // zero-fill empty shingle sets (array_min of an empty array is
+      // null): output identity with the single-pass MinHashExpr, which
+      // zero-fills — a null slot would hash differently in every band
+      coalesce(array_min(transform(hashes, h => pmod(h * a + b, lit(p)))), lit(0L))
     }
     array(slots: _*)
   }
@@ -101,14 +117,26 @@ object Dedup {
                             shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                             threshold: Double = 0.5,
                             maxBucketSize: Int = 1000): DataFrame = {
+    // bands MUST tile the signature exactly: bands > k makes rowsPerBand 0
+    // (every band key becomes the hash of an empty slice — every doc
+    // bucket-collides, then the cap silently drops EVERYTHING); a
+    // non-dividing bands silently ignores k % bands signature slots
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k exactly: k=$k, bands=$bands")
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"),
-      sketches.minhash(col(textCol), shingleN, k).as("sig"))
+        sketches.minhash(col(textCol), shingleN, k).as("sig"))
+      // docs with no shingles (< shingleN tokens) zero-fill their whole
+      // signature, so they ALL share every band bucket: pure wasted
+      // join+verify work below the cap (their Jaccard is null and never
+      // passes threshold), silent bucket-cap churn above it
+      .where(exists(col("sig"), x => x =!= 0L))
     // the band table feeds three consumers (bucket sizing + both join
-    // sides); persist it instead of recomputing signatures per consumer —
-    // at corpus scale this is the table you'd checkpoint to storage
+    // sides); materialize it instead of recomputing signatures per
+    // consumer — at corpus scale this is the table you'd checkpoint to
+    // storage
     val allBands = minhashBands(withSig, "id", "sig", bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
     // cap degenerate buckets: a bucket with B members contributes B^2/2
     // pairs — at corpus scale one template-spam bucket would dominate the
     // join. Oversized buckets are near-identical content; route them to
@@ -220,15 +248,23 @@ object Dedup {
     * template spam best handled by exact/fingerprint-equality dedup. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    // bands must tile the 64-bit fingerprint exactly; a non-divisor would
+    // silently ignore the top 64 % bands bits of every fingerprint
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
+    // -1L >>> (64-width) is correct at width=64 too; (1L << 64) - 1
+    // overflows to 0 (Scala shifts mod 64) and would collapse every
+    // fingerprint into band_key 0 — one giant bucket the cap then DROPS,
+    // silently emptying the result
+    val mask = -1L >>> (64 - width)
     val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("fp"), b * width).bitwiseAND((1L << width) - 1).as("band_key"))
+        shiftright(col("fp"), b * width).bitwiseAND(mask).as("band_key"))
     }
     val allBands = withFp.select(col("id"), col("fp"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("fp"), col("bh.band"), col("bh.band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
     val bucketSizes = allBands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
     val exploded = allBands.join(

@@ -224,10 +224,23 @@ object Multimodal {
   /** Resize planning: a metadata-level operation (target dims from the
     * same ceil-division [[resizeBmp]] performs on the payload). */
   def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
     val f = features.toDF()
-    val scale = least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
-    f.withColumn("out_width", ceil(col("width") * scale).cast("int"))
-      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+    // EXACT integer ceil-division, the same rule resizeBmp applies to the
+    // payload: the float formulation ceil(width * (maxDim/longest)) rounds
+    // up past the true ceiling (25×25 at maxDim=7: 25*(7/25.0) =
+    // 7.000000000000001 → planned 8 vs the payload's 7), so planned dims
+    // could disagree with decoded dims. floor of the double quotient is
+    // safe here: an exact multiple divides exactly in IEEE, and a
+    // non-multiple is > 1e-9 away from the next integer (dims < 2^31)
+    // while double error is ~1e-16 relative.
+    val longest = greatest(col("width"), col("height")).cast("long")
+    def planned(dim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(longest <= maxDim, dim.cast("int"))
+        .otherwise(floor((dim.cast("long") * maxDim + longest - lit(1L)) / longest)
+          .cast("int"))
+    f.withColumn("out_width", planned(col("width")))
+      .withColumn("out_height", planned(col("height")))
   }
 
   /** REAL downsample of a 24-bpp BMP payload: nearest-neighbor resample so
@@ -383,18 +396,29 @@ object Multimodal {
     * `useDHash` swaps in the gradient hash ([[imageDHash]]) — the variant
     * that survives exposure shifts between duplicate fetches. */
   def imageNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 3,
-                          bands: Int = 4, useDHash: Boolean = false): DataFrame = {
+                          bands: Int = 4, useDHash: Boolean = false,
+                          maxBucketSize: Int = 1000): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
     val bits = 64 / bands
     // -1L >>> (64-bits) is correct at bits=64 too; (1L << 64) - 1 would
     // overflow to 0 and collapse every hash into one cross-product bucket
     val mask = -1L >>> (64 - bits)
     val hashes = imageHashes(media, useDHash)
-    val banded = hashes.select(col("media_id"), col("ahash"),
+    val allBands = hashes.select(col("media_id"), col("ahash"),
       posexplode(array((0 until bands).map(bd =>
         shiftrightunsigned(col("ahash"), bd * bits)
           .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .localCheckpoint() // feeds bucket sizing + both self-join sides
+    // cap degenerate buckets (same guard as every text LSH path): a
+    // scraped corpus is full of solid-color/uniform images whose hash is
+    // all-ones or all-zeros — one hot chunk squares the self-join. An
+    // oversized bucket is an exact-hash duplicate CLUSTER; collapse it by
+    // hash equality instead of pairwise Hamming
+    val sized = allBands.groupBy("band", "chunk").agg(count(lit(1)).as("bucket_n"))
+    val banded = allBands.join(
+      sized.where(col("bucket_n") <= maxBucketSize).select("band", "chunk"),
+      Seq("band", "chunk"), "left_semi")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
         col("l.media_id") < col("r.media_id"))
@@ -526,6 +550,11 @@ object Multimodal {
 
   /** Frame sampling for video-like payloads: every nth chunk index. */
   def frameSample(media: Dataset[MediaRow], chunkBytes: Int, everyN: Int): DataFrame = {
+    // fail fast at call time (sibling operators all validate): chunkBytes=0
+    // is an ANSI divide-by-zero mid-job, everyN=0 a pmod-null that
+    // silently empties the output
+    require(chunkBytes > 0, s"chunkBytes must be positive: $chunkBytes")
+    require(everyN > 0, s"everyN must be positive: $everyN")
     val df = media.toDF()
     val nChunks = ceil(length(col("media")).cast("double") / chunkBytes).cast("int")
     df.select(col("media_id"), col("mime"),
@@ -561,7 +590,10 @@ object Multimodal {
         def tb(i: Int): Int = if (len == 0) 0 else textBytes(i % len) & 0xff
         if (id % 2 == 0) {
           val width = 1 + len % 32
-          val height = 1 + (id % 16).toInt
+          // floorMod: Scala % keeps the dividend's sign, so a negative
+          // even id (signed surrogate keys) would plan height <= 0 and
+          // trip encodeBmp's require mid-job
+          val height = 1 + math.floorMod(id, 16L).toInt
           val bmp = encodeBmp(width, height,
             (x, y) => (tb(x + y), tb(x + 2 * y + 1), tb(2 * x + y + 2)))
           MediaRow(id, "image/bmp", bmp)

@@ -124,6 +124,49 @@ class EngineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup guardrails: band invariants enforced, bands=1 works, " +
+       "null/short docs handled") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+                 (3L, "totally different content about other things entirely"))
+      .toDF("doc_id", "text")
+    // bands > k previously made rowsPerBand 0: every band key hashed an
+    // empty slice, everything bucket-collided, and the cap silently
+    // dropped ALL pairs — now it fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDuplicates(df, "doc_id", "text", k = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(df, "doc_id", "text", bands = 3) // !| 64
+    }
+    // bands=1 (width=64): the old (1L << 64) - 1 mask overflowed to 0 and
+    // collapsed every fingerprint into one dropped bucket — the identical
+    // pair must be found via its full-fingerprint band key
+    val b1 = Dedup.simhashCandidates(df, "doc_id", "text", bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1 === Set((1L, 2L)))
+    // docs below shingleN tokens zero-fill their signatures: they must
+    // neither pair with each other nor consume the bucket cap
+    val shorts = Seq((1L, "one"), (2L, "two"), (3L, "x")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDuplicates(shorts, "doc_id", "text",
+      shingleN = 3).count() === 0L)
+    // null texts are not comparable: they form no duplicate group and
+    // survive dropExactDuplicates untouched
+    val withNulls = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(withNulls, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // builtin minhashSignature zero-fills empty shingle sets (identity
+    // with the single-pass expression, which zero-fills)
+    val sig = Seq(Tuple1("x")).toDF("text")
+      .select(Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 4))
+      .head().getSeq[Long](0)
+    assert(sig === Seq(0L, 0L, 0L, 0L))
+  }
+
   test("simhash: identical docs have hamming 0, unrelated docs don't collide") {
     val s = spark
     import s.implicits._

@@ -306,4 +306,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.media.toSeq === origWav(r.media_id))
     }
   }
+
+  test("resize planner dims equal the payload codec's dims (exact integer " +
+       "ceil-division; the float formulation planned 8 for 25x25 at maxDim 7)") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 25x25 at maxDim=7 is the verified float counterexample:
+    // ceil(25 * (7/25.0)) = ceil(7.000000000000001) = 8, while the codec's
+    // (25*7+24)/25 = 7
+    val bmp = Multimodal.encodeBmp(25, 25, (_, _) => (10, 20, 30))
+    val media = Seq(MediaRow(1L, "image/bmp", bmp)).toDS()
+    val planned = Multimodal.resize(Multimodal.extractFeatures(media), maxDim = 7)
+      .select("out_width", "out_height").head()
+    assert((planned.getInt(0), planned.getInt(1)) === ((7, 7)))
+    val decoded = Multimodal.extractFeatures(
+      Multimodal.resizeMedia(media, maxDim = 7)).head()
+    assert((decoded.width, decoded.height) === ((7, 7)))
+    // pass-through regime: planned dims are the original dims
+    val pass = Multimodal.resize(Multimodal.extractFeatures(media), maxDim = 25)
+      .select("out_width", "out_height").head()
+    assert((pass.getInt(0), pass.getInt(1)) === ((25, 25)))
+  }
+
+  test("syntheticMedia handles negative ids (signed surrogate keys) and " +
+       "frameSample validates its parameters") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // -2 % 16 == -2 in Scala: the old height 1 + (id % 16) was -1 and
+    // tripped encodeBmp's require inside the executor
+    val docs = Seq((-2L, "some text"), (-15L, "other text")).toDF("doc_id", "text")
+    val rows = Multimodal.syntheticMedia(docs, "doc_id", "text").collect()
+    assert(rows.length === 2)
+    val media = Seq(MediaRow(1L, "application/octet-stream",
+      Array.fill[Byte](10)(1))).toDS()
+    intercept[IllegalArgumentException] { Multimodal.frameSample(media, 0, 2) }
+    intercept[IllegalArgumentException] { Multimodal.frameSample(media, 4, 0) }
+  }
 }
