@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Sequence packing for LLM pretraining: concatenate documents in a stable
@@ -39,15 +38,20 @@ object Packing {
             else spark.sessionState.conf.numShufflePartitions
     val sortKeys = orderCol.map(c => Seq(col(c), col(idCol)))
       .getOrElse(Seq(col(idCol)))
-    // persist AFTER the range exchange + sort: both scan phases must see
+    // pin AFTER the range exchange + sort: both scan phases must see
     // byte-identical partitions (range boundaries come from sampling, so
-    // re-execution is not guaranteed to reproduce them)
+    // re-execution is not guaranteed to reproduce them). localCheckpoint,
+    // not persist: blocks materialize in phase 1's collect, phase 2 reads
+    // them, and they GC-clean once the caller drops the result — a bare
+    // persist would pin one corpus-sized frame in the cache manager per
+    // call, forever (the Curation drop-audit leak class). Block loss
+    // (executor death) fails loudly instead of silently recomputing.
     val parted = df.select(
         Seq(col(idCol), coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol)) ++
           orderCol.map(col) ++ carry.map(col) : _*)
       .repartitionByRange(p, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy: phase 1 below materializes every partition
     // phase 1: per-partition totals — numPartitions rows to the driver
     val totals = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L

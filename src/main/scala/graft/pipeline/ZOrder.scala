@@ -40,7 +40,10 @@ object ZOrder {
 
   /** Morton code for raw numeric columns: scales each into [0, 2^bits)
     * by the column's (min, max) — gathered in ONE aggregate pass — then
-    * interleaves. Returns the input plus `zCol`. */
+    * interleaves. Returns the input plus `zCol`. NULL values rank at the
+    * top of their dimension (the null-skipping `least` pins them to
+    * maxRank), so all-null rows cluster together at the curve's end —
+    * layout-only, results never change. */
   def withZValue(df: DataFrame, cols: Seq[String], zCol: String = "__z",
                  bits: Int = 16): DataFrame = {
     require(cols.nonEmpty && cols.size <= 4, "z-order takes 1..4 columns")
@@ -54,8 +57,10 @@ object ZOrder {
     if (r.isNullAt(0)) return df.withColumn(zCol, lit(0L))
     val maxRank = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val lo = r.getDouble(2 * i)
-      val hi = r.getDouble(2 * i + 1)
+      // a later ALL-null column has no (min,max): degenerate range, every
+      // row takes the null→maxRank rank — constant in that dim, no NPE
+      val lo = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+      val hi = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(lit(maxRank),
         floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxRank + 1)))

@@ -143,6 +143,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 5L)) // null counts as 0
   }
 
+  test("prefix-sum scans pin nothing in the SQL cache manager (no leak across calls)") {
+    val s = spark
+    import s.implicits._
+    // the scans use GC-cleaned localCheckpoint, never DataFrame.persist — a
+    // bare persist would pin one corpus-sized frame per call for the whole
+    // session (the Curation drop-audit leak class, VERDICT r7). Other
+    // suites' documented session caches may pre-exist on the shared
+    // session; only assert no-new-registration when starting clean.
+    val before = org.apache.spark.sql.GraftBridge.sqlCacheEmpty(s)
+    val df = (0L until 200L).map(i => (i, i % 5 + 1)).toDF("id", "nt")
+    Packing.packSequences(df, "id", "nt", budget = 7L).collect()
+    Packing.tokenBudgetSample(df, "id", "nt", budget = 50L).collect()
+    graft.pipeline.Curriculum.difficultyBuckets(df, "id", "nt", 4).collect()
+    if (before) {
+      assert(org.apache.spark.sql.GraftBridge.sqlCacheEmpty(s),
+        "a prefix-sum path registered a cached frame it never unpersists")
+    }
+  }
+
   test("tokenBudgetSample carves exactly to the budget in stable hash order") {
     val s = spark
     import s.implicits._

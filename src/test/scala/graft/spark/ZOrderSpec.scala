@@ -70,6 +70,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("withZValue: row nulls rank at maxRank; an all-null column degrades gracefully") {
+    val s = spark
+    import s.implicits._
+    // per-row null in a clustered column: the null-skipping least() pins
+    // the rank to maxRank — z is non-null and nulls cluster at the top
+    val mixed = Seq((1L, Some(10.0), 5.0), (2L, None, 5.0), (3L, Some(20.0), 5.0))
+      .toDF("id", "a", "b")
+    val z = ZOrder.withZValue(mixed, Seq("a", "b"), bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("__z"))).toMap
+    assert(z.size === 3 && z.values.forall(_ >= 0L))
+    // null-a row pins to maxRank: above the min-value row, tied with the
+    // max-value row (which also scales to maxRank)
+    assert(z(2L) > z(1L) && z(2L) === z(3L))
+    // an entirely-null later column must not NPE on the driver-side min/max
+    val allNull = Seq((1L, 1.0, Option.empty[Double]), (2L, 2.0, Option.empty[Double]))
+      .toDF("id", "a", "b")
+    val z2 = ZOrder.withZValue(allNull, Seq("a", "b"), bits = 4)
+      .select("id", "__z").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(z2.size === 2)
+    assert(z2(1L) < z2(2L)) // ordering still driven by the populated dim
+  }
+
   test("clustered layout: narrow per-file windows on BOTH dims where a single-column sort leaves one dim wide") {
     val s = spark
     import s.implicits._
