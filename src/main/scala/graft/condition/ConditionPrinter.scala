@@ -25,9 +25,11 @@ object ConditionPrinter {
     case IsCondition(State.UNDEFINED) => sb.append('~') // canonical short forms
     case IsCondition(State.DEFINED)   => sb.append('+')
     case IsCondition(state) =>
-      sb.append("is(").append(state.toString.toLowerCase).append(')')
+      // Locale.ROOT: default-locale toLowerCase turns STRING into "strıng"
+      // under tr_TR (dotless i) — a wire-format token, never locale text
+      sb.append("is(").append(state.toString.toLowerCase(java.util.Locale.ROOT)).append(')')
     case ComparisonCondition(op, v) =>
-      sb.append(op.toString.toLowerCase).append('(')
+      sb.append(op.toString.toLowerCase(java.util.Locale.ROOT)).append('(')
       JsonCodec.append(sb, v)
       sb.append(')')
     case ContainsCondition(vs, containment) =>

@@ -50,7 +50,7 @@ object ScanRange {
 
   private def normalize(hex: String): String = {
     require(hex.length % 2 == 0, s"odd-length hex key: $hex")
-    hex.toLowerCase
+    hex.toLowerCase(java.util.Locale.ROOT) // hex is I-free, but pin the locale anyway
   }
 
   /**

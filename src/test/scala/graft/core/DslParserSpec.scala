@@ -146,6 +146,18 @@ class DslParserSpec extends AnyFunSuite {
     condRoundTrip("{}", "{}") // equality against empty map
   }
 
+  test("printer wire tokens are locale-independent (tr dotless-i)") {
+    val prior = java.util.Locale.getDefault
+    try {
+      // under tr, "STRING".toLowerCase is "strıng" — the printed condition
+      // would no longer re-parse; the printer must fold via Locale.ROOT
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(IsCondition(State.STRING).toString === "is(string)")
+      assert(DslParser.parseCondition("is(string)") === IsCondition(State.STRING))
+      condRoundTrip("is(string)", "is(string)")
+    } finally java.util.Locale.setDefault(prior)
+  }
+
   test("condition equality literals") {
     assert(Conditions.fromString("3") === EqualCondition(JLong(3)))
     assert(Conditions.fromString("3.0") === EqualCondition(JDouble(3.0)))

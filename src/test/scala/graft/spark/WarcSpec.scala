@@ -27,6 +27,23 @@ class WarcSpec extends AnyFunSuite {
     Warc.parseStream("mem", new DataInputStream(
       new java.io.ByteArrayInputStream(bytes))).toSeq
 
+  test("header names fold locale-independently (WARC-Record-ID under tr locale)") {
+    val prior = java.util.Locale.getDefault
+    try {
+      // "WARC-Record-ID"/"WARC-Target-URI" contain 'I': a default-locale
+      // fold under tr produces dotless-ı keys and the lowercase lookups
+      // silently return null for both fields
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val rec = Warc.serializeRecord("conversion", "https://ex.org/tr",
+        "2026-01-01T00:00:00Z", "text/plain", "hi".getBytes("UTF-8"))
+      val rows = parseBytes(rec)
+      assert(rows.size === 1)
+      assert(rows.head.getString(3) === "https://ex.org/tr") // target_uri
+      assert(rows.head.getString(2) != null)                 // record_id
+      assert(rows.head.isNullAt(8))                          // not corrupt
+    } finally java.util.Locale.setDefault(prior)
+  }
+
   test("WET round-trip: write shards, read back identical text incl. unicode") {
     val s = spark
     import s.implicits._
