@@ -127,6 +127,14 @@ object DocStore {
   case class OptimizeStats(dirs: Long, filesBefore: Long, filesAfter: Long,
                            bytes: Long)
 
+  /** Root-relative directory key of an on-disk partition directory, with
+    * Spark's partition-value escaping UNDONE ('%3A' -> ':') so it matches
+    * the key [[optimize]] builds from the raw column values. Table names
+    * cannot contain '%', so whole-string unescape cannot misfire. */
+  private[graft] def storeDirKey(qualifiedDir: String, qualifiedRoot: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(qualifiedDir.stripPrefix(qualifiedRoot))
+
   /**
    * OPTIMIZE: small-file compaction of the partitioned store — the
    * maintenance pass every streaming-materialized lakehouse table needs.
@@ -166,7 +174,7 @@ object DocStore {
       if (!name.startsWith("_") && !name.startsWith(".")) {
         filesBefore += 1
         totalBytes += f.getLen
-        val dir = f.getPath.getParent.toString.stripPrefix(
+        val dir = storeDirKey(f.getPath.getParent.toString,
           fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString)
         dirBytes(dir) = dirBytes.getOrElse(dir, 0L) + f.getLen
       }
@@ -276,7 +284,12 @@ object DocStore {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirs.foreach { case (t, p) =>
-      val rel = s"table=$t/$PartCol=$p"
+      // Spark escapes partition values in directory names (':' -> '%3A' —
+      // legal in table names, e.g. the system table); the swap must
+      // address the ESCAPED on-disk name or it would miss the real
+      // directory (and a raw ':' in a relative Path is a URI parse error)
+      val rel = s"table=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(t)}/$PartCol=$p"
       val dst = new org.apache.hadoop.fs.Path(path, rel)
       val src = new org.apache.hadoop.fs.Path(tmp, rel)
       fs.delete(dst, true)

@@ -16,9 +16,26 @@ object EmoDocs {
     lastMutateAt = if (d.last_mutate_ms == 0) null else Iso8601.format(d.last_mutate_ms),
     placement = d.placement)
 
-  private def isoCol(msCol: Column): Column =
+  /** ISO-8601 UTC render of an epoch-ms column. Zone-free integer epoch
+    * arithmetic, NOT date_format(timestamp_millis(...)): date_format
+    * applies the SESSION timezone to TimestampType, so a non-UTC session
+    * would emit local wall-clock digits with a literal 'Z' and silently
+    * diverge from the Iso8601(UTC) strings the parity evaluator and
+    * Resolver produce (timestamp intrinsic conditions would then disagree
+    * between the native and parity paths). All codegen'd builtins. */
+  private def isoCol(msCol: Column): Column = {
+    val days = floor(msCol / 86400000L) // exact: |ms| << 2^53
+    val rem = (msCol - days * 86400000L).cast("long")
+    def pad2(c: Column) = lpad(c.cast("string"), 2, "0")
+    val date = date_add(to_date(lit("1970-01-01")), days.cast("int"))
     when(msCol === 0L, lit(null).cast("string"))
-      .otherwise(date_format(timestamp_millis(msCol), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+      .otherwise(concat(
+        date.cast("string"), lit("T"),
+        pad2(floor(rem / 3600000L)), lit(":"),
+        pad2(floor(rem / 60000L) % 60), lit(":"),
+        pad2(floor(rem / 1000L) % 60), lit("."),
+        lpad((rem % 1000L).cast("string"), 3, "0"), lit("Z")))
+  }
 
   /** Intrinsic pseudo-columns of a docs frame (ISO-8601 date strings). */
   def intrinsicColumns(df: DataFrame): Map[String, Column] = Map(

@@ -62,8 +62,13 @@ object ScanRange {
   def intersection(left: ScanRange, right: ScanRange): List[ScanRange] = {
     val ul = left.unwrapped
     val ur = right.unwrapped
+    // the UNWRAPPED pieces, not the originals: a wrapped range with one
+    // empty piece (e.g. [aa, MIN) ≡ [aa, MAX), or [x, x) ≡ the full ring)
+    // unwraps to a single piece that is NOT equal to itself, and feeding
+    // the wrapped form to the linear intersector returns empty for real
+    // intersections
     if (ul.size == 1 && ur.size == 1)
-      return intersectLinear(left, right).toList
+      return intersectLinear(ul.head, ur.head).toList
 
     var parts = (for { l <- ul; r <- ur; i <- intersectLinear(l, r) } yield i).sorted
 

@@ -1,10 +1,10 @@
 package graft.engine
 
 import graft.resolve.DocRow
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /**
  * Stash: the batch-export interface (SURVEY §2.1, §3.3) — a full placement
@@ -23,6 +23,41 @@ object Stash {
   val ScanIdFormat: java.time.format.DateTimeFormatter =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss")
       .withZone(java.time.ZoneOffset.UTC)
+
+  // ------------------------------------------------------------- fs plumbing
+  // All marker/listing I/O goes through the Hadoop FileSystem API (same as
+  // DocStore), never java.nio/java.io: the data itself is written via
+  // Hadoop-FS paths, so a stash root on hdfs://, s3a://, or any object
+  // store must resolve its markers through the SAME abstraction or the
+  // _SUCCESS/_LATEST files land on (or fail against) the local disk.
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(hadoopConf()), p)
+  }
+
+  private def writeUtf8(path: String, content: String): Unit = {
+    val (fs, p) = fsFor(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readUtf8(path: String): String = {
+    val (fs, p) = fsFor(path)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** `:` is legal in table names but problematic in URLs/object keys;
     * since table names are lowercase, `~` substitutes without collision
@@ -50,11 +85,9 @@ object Stash {
       .mode("overwrite")
       .text(outDir)
     val success = s"$startedAt\n${java.time.Instant.now()}\n$scanId"
-    Files.write(Paths.get(outDir, "_SUCCESS"), success.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeUtf8(s"$outDir/_SUCCESS", success)
     // _LATEST pointer (StashUtil.java:21-23 analog)
-    Files.write(Paths.get(stashRoot, "_LATEST"), scanId.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeUtf8(s"$stashRoot/_LATEST", scanId)
     outDir
   }
 
@@ -76,11 +109,8 @@ object Stash {
     export(docs.filter(d => d.last_update_ms > sinceMs), stashRoot, scanId)
 
   /** Resolve the latest export directory via the _LATEST pointer. */
-  def latest(spark: SparkSession, stashRoot: String): String = {
-    val id = new String(Files.readAllBytes(Paths.get(stashRoot, "_LATEST")),
-      StandardCharsets.UTF_8).trim
-    s"$stashRoot/$id"
-  }
+  def latest(spark: SparkSession, stashRoot: String): String =
+    s"$stashRoot/${readUtf8(s"$stashRoot/_LATEST").trim}"
 
   /** Read back one table (or all tables) of an export as a JSON DataFrame.
     * Splits are files — Spark parallelizes per file natively. `table` is
@@ -93,19 +123,22 @@ object Stash {
   /** List exported tables (the split listing of StandardStashReader),
     * decoded back to real table names (`table~three/` -> `table:three`). */
   def listTables(spark: SparkSession, exportDir: String): Seq[String] = {
-    val dir = new java.io.File(exportDir)
-    Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("table="))
-      .map(f => decodeStashTable(f.getName.stripPrefix("table="))).sorted
+    val (fs, p) = fsFor(exportDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("table="))
+      .map(s => decodeStashTable(s.getPath.getName.stripPrefix("table="))).sorted
   }
 
   /** A table's splits: its data files (StashReader.getSplits:310 — a split
     * = one gzip file, consumed independently by parallel readers). */
   def getSplits(spark: SparkSession, exportDir: String, table: String): Seq[String] = {
-    val dir = new java.io.File(s"$exportDir/table=${encodeStashTable(table)}")
-    Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getPath).sorted
+    val (fs, p) = fsFor(s"$exportDir/table=${encodeStashTable(table)}")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
   }
 
   /** One split's rows (StashReader.getSplit analog). */
@@ -116,16 +149,17 @@ object Stash {
     * (StashTableMetadata analog). */
   def tableMetadata(spark: SparkSession, exportDir: String, table: String): (String, Int, Long) = {
     val splits = getSplits(spark, exportDir, table)
-    (table, splits.size, splits.map(p => new java.io.File(p).length()).sum)
+    val sizes = splits.map { s =>
+      val (fs, p) = fsFor(s)
+      fs.getFileStatus(p).getLen
+    }
+    (table, splits.size, sizes.sum)
   }
 
   /** The export's creation time, from the first line of its `_SUCCESS`
     * payload (StashUtil.getStashCreationTimeStamp). */
-  def stashCreationTime(exportDir: String): java.time.Instant = {
-    val lines = new String(Files.readAllBytes(Paths.get(exportDir, "_SUCCESS")),
-      StandardCharsets.UTF_8).split('\n')
-    java.time.Instant.parse(lines(0).trim)
-  }
+  def stashCreationTime(exportDir: String): java.time.Instant =
+    java.time.Instant.parse(readUtf8(s"$exportDir/_SUCCESS").split('\n')(0).trim)
 
   /** Creation time encoded in a timestamp-format scan id
     * (StashUtil.getStashCreationTime: `2015-01-01-00-00-00` -> instant). */
@@ -162,6 +196,5 @@ final class StashReader(val spark: SparkSession, val stashRoot: String) {
   def getSplits(table: String): Seq[String] = Stash.getSplits(spark, latestDir, table)
 
   private def readLatestPointer(): String =
-    new String(Files.readAllBytes(Paths.get(stashRoot, "_LATEST")),
-      StandardCharsets.UTF_8).trim
+    Stash.latest(spark, stashRoot).stripPrefix(s"$stashRoot/")
 }

@@ -201,6 +201,11 @@ final class Tokener(src: String) {
     token
   }
 
+  /** DELIBERATE reference parity (JsonTokener.java:276-298): the guard +
+    * Double.parseDouble fallback accepts everything the reference accepts,
+    * including non-JSON spellings parseDouble allows ('-Infinity', hex
+    * floats like '0x1p3', type suffixes like '1d'). Tightening this would
+    * diverge from the wire grammar. */
   def tokenToValue(s: String): JValue = {
     if (s == "true") return JValue.JTrue
     if (s == "false") return JValue.JFalse

@@ -50,8 +50,16 @@ case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
     val tableV = children(2).eval(input)
     val keyV = children(3).eval(input)
     val msV = children(4).eval(input)
+    // unparseable attrs degrade to the empty attribute map rather than
+    // failing the task: attribute-referencing conditions then see only
+    // undefined fields (no match), while intrinsic/tag/alwaysTrue
+    // subscriptions still deliver — the log-and-continue discipline of
+    // DefaultFanout, extended to the one failure class the reference's
+    // pre-parsed table metadata cannot exhibit
     val attrs: JValue =
-      if (attrsV == null) JObj(Map.empty) else JsonCodec.parse(attrsV.toString)
+      if (attrsV == null) JObj(Map.empty)
+      else try JsonCodec.parse(attrsV.toString)
+      catch { case _: Exception => JObj(Map.empty) }
     val tags: Seq[String] =
       if (tagsV == null) Seq.empty
       else {
@@ -138,7 +146,9 @@ object Databus {
              attrsCol: Option[String] = None,
              unionPathMaxSubs: Int = 16,
              placementCol: Option[String] = None): DataFrame = {
-    if (subs.size <= unionPathMaxSubs) {
+    if (subs.isEmpty) // e.g. every subscription expired — nothing to deliver
+      events.withColumn("subscription", lit(null).cast("string")).limit(0)
+    else if (subs.size <= unionPathMaxSubs) {
       val branches = subs.map { sub =>
         events.where(matchColumn(sub, events, attrsCol, placementCol))
           .withColumn("subscription", lit(sub.name))
@@ -222,7 +232,11 @@ object Databus {
     val cond = Conditions.fromString(condText)
     udf((attrsJson: String, tags: Seq[String], table: String, key: String,
          placement: String) => {
-      val attrs = if (attrsJson == null) JObj(Map.empty) else JsonCodec.parse(attrsJson)
+      // same corrupt-attrs degradation as MultiSubscriptionMatch.eval
+      val attrs =
+        if (attrsJson == null) JObj(Map.empty)
+        else try JsonCodec.parse(attrsJson)
+        catch { case _: Exception => JObj(Map.empty) }
       val json = eventMatchJson(attrs, if (tags == null) Seq.empty else tags)
       val intr = IntrinsicsView(key, table, null, deleted = false, null, null, null,
         placement)

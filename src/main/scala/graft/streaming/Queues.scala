@@ -24,11 +24,13 @@ object Queues {
       .limit(limit)
 
   /** Deduplicating queue: one message per dedup key, keeping the FIRST
-    * (lowest msg_id) — PersistentSortedQueue keeps global key order. */
+    * (lowest msg_id) — PersistentSortedQueue keeps global key order. The
+    * semi join runs QUEUE-side so the survivors keep their payload
+    * columns (the aggregate side has only the key and min id). */
   def dedup(queue: DataFrame, keyCol: String): DataFrame =
-    queue.groupBy(col(keyCol))
-      .agg(min(col("msg_id")).as("msg_id"))
-      .join(queue, Seq("msg_id", keyCol), "left_semi")
+    queue.join(
+      queue.groupBy(col(keyCol)).agg(min(col("msg_id")).as("msg_id")),
+      Seq(keyCol, "msg_id"), "left_semi")
 
   /** Sorted-queue view: messages in dedup-key order (segment-split scan
     * order of the persistent sorted queue). */

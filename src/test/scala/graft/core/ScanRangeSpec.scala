@@ -47,6 +47,18 @@ class ScanRangeSpec extends AnyFunSuite {
     assert(r(b, c).intersection(r(c, b)) === Nil, "shared endpoints, no overlap")
   }
 
+  test("wrapped ranges with one empty piece intersect via the linear piece") {
+    // [d, MIN) is formally wrapped (from >= to) but unwraps to the single
+    // piece [d, MAX); the fast path must intersect the unwrapped form
+    val highOnly = ScanRange(d, ScanRange.MinHex)
+    assert(highOnly.unwrapped === List(ScanRange(d, ScanRange.MaxHex)))
+    assert(highOnly.intersection(r(d, e)) === List(r(d, e)))
+    assert(r(d, e).intersection(highOnly) === List(r(d, e)))
+    assert(r(a, b).intersection(highOnly) === Nil)
+    assert(highOnly.intersection(ScanRange(e, ScanRange.MinHex)) ===
+      List(ScanRange(e, ScanRange.MaxHex)))
+  }
+
   test("contains respects wrapping") {
     assert(r(a, c).contains(b))
     assert(!r(a, c).contains(d))

@@ -57,6 +57,28 @@ class DocStoreMergeSpec extends AnyFunSuite {
     assert(dataFiles(path).filter(_._1.contains("table=b")) === filesB)
   }
 
+  test("merge addresses escaped partition directories (':' in table names)") {
+    // Spark writes 'table=sys%3Atbl' on disk (partition-value escaping);
+    // the per-directory swap must target the ESCAPED name — the raw name
+    // misses the real directory (and ':' in a relative Path is a URI error)
+    val base = docsDf((0 until 40).map(i => ("sys:tbl", s"k$i", 1L, false, s"v$i")))
+    val path = java.nio.file.Files.createTempDirectory("dsm_esc_").toString + "/store"
+    DocStore.write(base, path)
+    val changes = docsDf(Seq(
+      ("sys:tbl", "k0", 2L, false, "updated"),
+      ("sys:tbl", "k1", 1L, true, "")))
+    val stats = DocStore.merge(spark, path, changes)
+    assert(stats.upserts === 1L && stats.deletes === 1L)
+    val got = DocStore.read(spark, path)
+      .select("table", "id", "version", "body")
+      .collect().map(r => (r.getString(1), (r.getLong(2), r.getString(3)))).toMap
+    assert(got("k0") === ((2L, "updated")))
+    assert(!got.contains("k1"))
+    assert(got.size === 39)
+    assert(DocStore.read(spark, path).select("table").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("sys:tbl"))
+  }
+
   test("a directory emptied by tombstones disappears; scans stay correct") {
     val base = docsDf(Seq(("t", "only", 1L, false, "x"),
       ("u", "other", 1L, false, "y")))

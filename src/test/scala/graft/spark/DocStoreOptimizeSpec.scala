@@ -81,6 +81,27 @@ class DocStoreOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize slot sizing matches escaped partition directories (':' tables)") {
+    val s = spark
+    import s.implicits._
+    // on disk the directory is 'table=sys%3Atbl': the per-directory byte
+    // lookup must key on the UNESCAPED value or slots silently default to 1
+    val docs = (0 until 3000).map(i => ("sys:tbl", s"k$i", 1L, s"""{"v":$i}"""))
+      .toDF("table", "id", "version", "body")
+    val path = java.nio.file.Files.createTempDirectory("dso_esc_").toString + "/store"
+    DocStore.writeFragmented(docs, path, tasks = 4)
+    val perDirBytes = dataFiles(path)
+      .groupBy(_.getParentFile.toString).map(_._2.map(_.length).sum)
+    val stats = DocStore.optimize(spark, path,
+      targetFileBytes = math.max(1L, perDirBytes.max / 3))
+    assert(stats.dirs > 0 && spark.read.parquet(path).count() === 3000L)
+    // the slot lookup keys on the UNESCAPED directory name (':' restored
+    // from '%3A'); the on-disk listing keys would otherwise never match
+    // the raw column values and every directory would fall back to 1 slot
+    assert(DocStore.storeDirKey("/root/store/table=sys%3Atbl/part=3", "/root/store")
+      === "/table=sys:tbl/part=3")
+  }
+
   test("optimize of an already-compact store is idempotent on content and file count") {
     val docs = docsDf(500)
     val path = java.nio.file.Files.createTempDirectory("dso_idem_").toString + "/store"

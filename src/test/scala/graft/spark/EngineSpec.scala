@@ -921,10 +921,37 @@ class EngineSpec extends AnyFunSuite {
     assert(batch1.toSeq === Seq(1L, 2L))
     val batch2 = Queues.poll(q, batch1.max, 2).collect().map(_.getLong(0))
     assert(batch2.toSeq === Seq(3L, 4L)) // claim watermark acks batch 1
-    val deduped = Queues.dedup(q, "dedup_key").collect().map(_.getLong(0)).sorted
-    assert(deduped.toSeq === Seq(1L, 2L, 4L)) // first message per key
+    val dedupRows = Queues.dedup(q, "dedup_key")
+      .select("msg_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // first message per key, WITH its payload (the survivors are full
+    // queue rows, not bare (key, msg_id) pairs)
+    assert(dedupRows.toSeq === Seq((1L, "m1"), (2L, "m2"), (4L, "m4")))
     assert(Queues.sizeEstimate(q, 3) === ((3L, false)))
     assert(Queues.sizeEstimate(q, 10) === ((5L, true)))
+  }
+
+  test("intrinsic timestamps render UTC under ANY session timezone") {
+    val s = spark
+    import s.implicits._
+    val prior = s.conf.get("spark.sql.session.timeZone")
+    try {
+      // date_format(timestamp) renders in SESSION time — a non-UTC session
+      // must not shift the intrinsic ISO strings away from the Iso8601(UTC)
+      // parity path (timestamp conditions would silently disagree)
+      s.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ms = 1755222330123L // 2025-08-15T01:45:30.123Z
+      val df = Seq(("t", "id1", "sig", false, ms, ms, ms, "p"))
+        .toDF("table", "id", "signature", "deleted", "first_update_ms",
+          "last_update_ms", "last_mutate_ms", "placement")
+      val iso = df.select(EmoDocs.intrinsicColumns(df)(
+        graft.condition.Intrinsic.FirstUpdateAt).as("x")).head().getString(0)
+      assert(iso === graft.resolve.Iso8601.format(ms))
+      // and the native predicate path agrees with the parity evaluator
+      val kept = df.where(EmoDocs.predicate(df,
+        s"""intrinsic("~firstUpdateAt":ge("${graft.resolve.Iso8601.format(ms)}"))"""))
+      assert(kept.count() === 1L)
+    } finally s.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("stash export/read round-trips resolved docs with intrinsics") {

@@ -223,6 +223,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(routed(unionMax = 1) === expected, "single-pass path")
   }
 
+  test("fanout robustness: empty subscription list and corrupt attrs JSON") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ("t1", "k_ok", 1000L, 1L, "n", Seq("ETL"), """{"type":"review"}"""),
+      ("t1", "k_bad", 2000L, 2L, "n", Seq("ETL"), """{"type": <corrupt"""))
+      .toDF("table", "key", "ms", "seq", "node", "tags", "attrs")
+    // every subscription expired -> empty list must yield an empty frame
+    // with the fanout schema, not an empty.reduce crash
+    val none = Databus.fanout(events, Seq.empty)
+    assert(none.columns.contains("subscription") && none.count() === 0L)
+    // corrupt attrs: attribute conditions see no fields (no match), but the
+    // event still reaches tag/alwaysTrue subscriptions and the task lives
+    val subs = Seq(
+      Subscription("all", "alwaysTrue()"),
+      Subscription("reviews", """{..,"type":"review"}"""))
+    def routed(unionMax: Int): Set[(String, String)] =
+      Databus.fanout(events, subs, attrsCol = Some("attrs"),
+          unionPathMaxSubs = unionMax)
+        .select("subscription", "key").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(
+      "all" -> "k_ok", "all" -> "k_bad", "reviews" -> "k_ok")
+    assert(routed(unionMax = 16) === expected, "union path")
+    assert(routed(unionMax = 1) === expected, "single-pass path")
+  }
+
   test("cross-DC replication routing: non-local DCs only, murmur3 partition parity, no event shuffle (DefaultFanout.java:246-258)") {
     val s = spark
     import s.implicits._
