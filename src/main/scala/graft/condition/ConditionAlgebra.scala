@@ -67,7 +67,12 @@ object ConditionAlgebra {
     case (lc @ ComparisonCondition(_, _), rc @ ComparisonCondition(_, _)) =>
       comparisonSubset(lc, rc)
 
-    // contains(...) only matches lists; map conditions only match maps
+    // contains(...) only matches lists; map conditions only match maps.
+    // (A hand-built ContainsCondition(Set.empty, ANY|ALL) evaluates true on
+    // EVERY value including undefined, which would make this rule unsound —
+    // but the builders/parser normalize empty contains-sets away, and the
+    // reference's SubsetEvaluator.java:216 states this same rule for its
+    // own ContainsCondition objects: deliberate parity.)
     case (ContainsCondition(_, _), IsCondition(State.ARRAY | State.DEFINED)) => true
     case (MapCondition(_), IsCondition(State.OBJECT | State.DEFINED)) => true
 

@@ -190,7 +190,7 @@ object Dedup {
                     maxBucketSize: Int = 1000): DataFrame = {
     val prints = df.select(col(idCol).as("id"),
         explode(sketches.winnow(col(textCol), k, w)).as("print"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // two consumers; GC-cleaned (a bare persist leaks across calls)
     val sizes = prints.groupBy("print").agg(count(lit(1)).as("n"))
     val kept = prints.join(
       sizes.where(col("n") <= maxBucketSize).select("print"),
@@ -479,9 +479,10 @@ object Dedup {
     * fingerprint (count + hash sum), one tiny aggregate per round. */
   private def starContraction(pairs: DataFrame, maxIters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // single consumer (the final label join) — no persist: a bare persist
+    // here leaked one node-set cache entry per call for the session
     val nodes = pairs.select(col("id1").as("id"))
       .unionByName(pairs.select(col("id2").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // canonical edge form (u, v) with u > v
     var edges = pairs.select(
         greatest(col("id1"), col("id2")).as("u"), least(col("id1"), col("id2")).as("v"))

@@ -65,15 +65,21 @@ object Incremental {
                              store: DataFrame, shingleN: Int = 3, k: Int = 32,
                              bands: Int = 8, threshold: Double = 0.5,
                              maxBucketSize: Int = 1000): DataFrame = {
+    // same invariant Dedup.minhashNearDuplicates enforces: bands > k would
+    // make rowsPerBand 0 (every doc in one degenerate bucket that the size
+    // cap then drops — ZERO hits, silently admitting every near-dup), and a
+    // non-dividing bands silently ignores k % bands signature slots
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
     val rowsPerBand = k / bands
     // both signature tables feed two consumers each (band join + the
-    // estimator join); persist them so the k-permutation MinHash and the
-    // store scan run once — the same safeguard Dedup.minhashNearDuplicates
-    // documents for its band table
+    // estimator join); pin them so the k-permutation MinHash and the
+    // store scan run once — lazy localCheckpoint, GC-cleaned once the
+    // caller drops the result (a bare persist leaks across calls)
     val newSigs = minhashStore(newDocs, idCol, textCol, shingleN, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val storeSigs = store
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val newBands = Dedup.minhashBands(newSigs, "id", "sig", bands, rowsPerBand)
       .withColumnRenamed("id", "new_id")
     val storeBands = Dedup.minhashBands(storeSigs, "id", "sig", bands, rowsPerBand)
@@ -144,7 +150,7 @@ object Incremental {
       }
     }
     val segs = Lines.segmentHashes(newDocs, idCol, textCol, segSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // two consumers; GC-cleaned (persist leaks across calls)
     val inBatch = segs.groupBy("seg_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

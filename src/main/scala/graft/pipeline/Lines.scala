@@ -58,6 +58,22 @@ import org.apache.spark.unsafe.types.UTF8String
  * are identical to [[Lines.segArray]]: starts at multiples of segSize,
  * the final window may be short, empty windows (empty doc) don't count.
  */
+/** JVM-side replica of the Spark-side tokenization `split(trim(text),
+  * "\\s+")` the hash operators use: Spark `trim` strips SPACES only (Java
+  * String.trim strips all chars <= 0x20, eating leading '\n'/'\t') and
+  * Spark `split` keeps trailing empty strings (Java's limit-0 split drops
+  * them). Either divergence shifts window indexes between the hash side
+  * and the rebuild side, dropping the WRONG segments. */
+private[pipeline] object SparkToks {
+  def apply(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+}
+
 private[pipeline] case class SegmentRebuildExpr(left: Expression, right: Expression,
                                                 segSize: Int)
     extends BinaryExpression with CodegenFallback {
@@ -79,7 +95,7 @@ private[pipeline] case class SegmentRebuildExpr(left: Expression, right: Express
       var i = 0
       while (i < arr.numElements()) { dropped.add(arr.getInt(i)); i += 1 }
     }
-    val toks = textAny.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val toks = SparkToks(textAny.asInstanceOf[UTF8String].toString)
     val sb = new java.lang.StringBuilder()
     var nSegs = 0
     var widx = 0
@@ -97,8 +113,10 @@ private[pipeline] case class SegmentRebuildExpr(left: Expression, right: Express
         if (!dropped.contains(widx)) {
           var u = start
           while (u < end) {
-            if (sb.length > 0) sb.append(' ')
-            sb.append(toks(u))
+            if (toks(u).nonEmpty) { // boundary empties: no stray separators
+              if (sb.length > 0) sb.append(' ')
+              sb.append(toks(u))
+            }
             u += 1
           }
         }
@@ -135,7 +153,7 @@ private[pipeline] case class SpanRemoveExpr(left: Expression, right: Expression,
   override def eval(input: InternalRow): Any = {
     val textAny = left.eval(input)
     if (textAny == null) return null
-    val toks = textAny.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val toks = SparkToks(textAny.asInstanceOf[UTF8String].toString)
     val covered = new Array[Boolean](toks.length)
     val startsAny = right.eval(input)
     if (startsAny != null) {
@@ -210,14 +228,13 @@ object Lines {
     require(segSize > 0, s"segSize must be positive: $segSize")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     // the seg-hash table feeds two consumers (the condemned aggregate and
-    // the drop-list join); persist it instead of re-scanning + re-exploding
-    // the corpus per consumer — at corpus scale this is the table you'd
-    // checkpoint, same shape as the MinHash band table. The cache lives
-    // for the session (same contract as the band table): a long-lived
-    // driver calling this per batch should spark.catalog.clearCache()
-    // between runs
+    // the drop-list join); pin it instead of re-scanning + re-exploding
+    // the corpus per consumer. localCheckpoint (lazy), not persist: blocks
+    // materialize on the caller's first action and GC-clean once the
+    // result is dropped — a bare persist leaked one corpus-scale cache
+    // entry per call for the whole session
     val segs = segmentHashes(df, idCol, textCol, segSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val condemned = segs.groupBy("seg_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -289,7 +306,7 @@ object Lines {
     require(spanLen > 0, s"spanLen must be positive: $spanLen")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val spans = slidingSpanHashes(df, idCol, textCol, spanLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // two consumers; GC-cleaned (persist leaks across calls)
     val condemned = spans.groupBy("span_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

@@ -29,7 +29,11 @@ object Mixing {
   def sourceTokenTotals(df: DataFrame, srcCol: String, textCol: String): DataFrame =
     df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        // coalesce: a source whose every text is null sums to NULL, and the
+        // driver-side getLong would NPE the whole mix job — zero tokens is
+        // the honest total for such a source
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+          .as("n_tokens"))
 
   /** Keep rates per source for `shares` against `budgetTokens`. Exposed so
     * callers can audit the planned mixture before filtering. Arithmetic is

@@ -95,10 +95,13 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
 
-  /** 64-bit polynomial rolling hash over the token sequence (order
-    * sensitive, unlike [[fingerprint]]): h = h*31 + xxhash64(token). */
+  /** 64-bit order-sensitive rolling hash over the token sequence (unlike
+    * the order-blind [[fingerprint]]): h' = xxhash64(h, token), a seeded
+    * hash chain. NOT h*31 + hash(token): checked long arithmetic under
+    * ANSI (the Spark 4 default) throws ARITHMETIC_OVERFLOW on the first
+    * full-range acc, which is every document of >= 2 tokens. */
   def rollingHash(textCol: Column): Column =
-    aggregate(tokens(textCol), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+    aggregate(tokens(textCol), lit(0L), (acc, t) => xxhash64(acc, t))
 
   // ------------------------------------------------------------------
   // Repetition signals (the Gopher repetition filters, Rae et al. 2021

@@ -29,10 +29,15 @@ private object SketchHash {
       bytes.length, 42L)
 
   /** Whitespace tokenization of lowercased trimmed text (parity with
-    * split(lower(trim(text)), "\\s+")). */
+    * split(lower(trim(text)), "\\s+")). limit = -1: Spark's split keeps
+    * trailing empty strings (a doc ending in '\n' — which the space-only
+    * trim preserves — tokenizes to [..., ""] on the builtin side), while
+    * Java's default split drops them; the expression and builtin paths
+    * must count the same tokens or threshold gates disagree at the
+    * boundary. */
   def tokenize(text: UTF8String): Array[String] = {
     val lowered = text.trim().toLowerCase.toString
-    if (lowered.isEmpty) Array("") else lowered.split("\\s+")
+    if (lowered.isEmpty) Array("") else lowered.split("\\s+", -1)
   }
 
   /** The SAME case fold [[tokenize]] (and SQL `lower`) applies to the

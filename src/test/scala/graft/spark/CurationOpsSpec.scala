@@ -216,6 +216,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 === 0.0 && got(2L)._3)
   }
 
+  test("rollingHash: order-sensitive, ANSI-safe on real documents") {
+    val s = spark
+    import s.implicits._
+    // the old h*31 + hash formulation threw ARITHMETIC_OVERFLOW under ANSI
+    // (Spark 4 default) on any document of >= 2 tokens
+    val df = Seq("alpha beta gamma delta", "beta alpha gamma delta",
+      "alpha beta gamma delta", "").toDF("text")
+    val hs = df.select(graft.pipeline.TextAnalysis.rollingHash(col("text")))
+      .collect().map(_.getLong(0))
+    assert(hs(0) === hs(2), "same token order, same hash")
+    assert(hs(0) !== hs(1), "different order, different hash")
+  }
+
   test("topNgram on short/empty text returns zero counts") {
     val df = docs((1L, "single"), (2L, ""))
     val got = df.select(col("id"), TextAnalysis.topNgram(col("text"), 2).as("t"))

@@ -217,6 +217,25 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("sketch expression/builtin parity holds on boundary whitespace") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.sketches
+    // trailing '\n' survives the space-only trim and the builtin split
+    // keeps its trailing empty token; the JVM tokenizer must too (limit -1)
+    // or every sketch/count disagrees between the two paths on such docs
+    val docs = Seq("hello world\n", "\tleading tab", "a  b ", "", " ", "one\n\n")
+      .toDF("text")
+    val sh = docs.select(
+      sketches.simhash64(col("text")).as("fast"),
+      Dedup.simhash64Builtin(col("text")).as("slow")).collect()
+    sh.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val mh = docs.select(
+      sketches.minhash(col("text"), 2, 8).as("fast"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 2), 8).as("slow")).collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("single-pass sketch expressions match their builtin formulations") {
     import graft.pipeline.sketches
     val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(50)

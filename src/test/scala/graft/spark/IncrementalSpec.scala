@@ -62,6 +62,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(kept === Set(12L))
   }
 
+  test("incrementalNearDup rejects band counts that don't divide k (silent zero-hit mode)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((1L, "some text here")).toDF("id", "text")
+    val store = Incremental.minhashStore(batch, "id", "text", 3, 32)
+    // bands > k would make rowsPerBand 0: every doc in one degenerate
+    // bucket the size cap drops — ZERO hits, every near-dup admitted
+    intercept[IllegalArgumentException] {
+      Incremental.incrementalNearDupHits(batch, "id", "text", store,
+        k = 32, bands = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.incrementalNearDupHits(batch, "id", "text", store,
+        k = 32, bands = 7)
+    }
+  }
+
   test("signature estimator tracks exact jaccard on random edits") {
     val s = spark
     import s.implicits._

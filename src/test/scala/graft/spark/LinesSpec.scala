@@ -110,6 +110,30 @@ class LinesSpec extends AnyFunSuite {
       (4L, 2, 0, "q r s")))
   }
 
+  test("rebuild tokenizes exactly like the hash side (leading newline must not shift windows)") {
+    // Spark-side tokens of doc 1 are ["", foo, bar, baz] (space-only trim
+    // keeps the '\n', split keeps the leading empty); the rebuild must see
+    // the SAME array or the condemned window index lands one window off
+    val df = docs(
+      (1L, "\nfoo bar baz"),
+      (2L, "x y bar baz"))
+    val out = Lines.dedupSegments(df, "id", "text", segSize = 2, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(out === Seq(
+      (1L, 2, 1, "foo"),   // [bar baz] condemned — NOT the shifted [baz]
+      (2L, 2, 1, "x y")))
+    // unaligned spans: same hazard through SpanRemoveExpr
+    val spans = Lines.removeDuplicateSpans(
+        docs((1L, "\na b c d"), (2L, "z a b")), "id", "text",
+        spanLen = 2, minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(spans === Seq(
+      (1L, 5, 2, "c d"),   // covered tokens are [a, b], not the shifted [b, c]
+      (2L, 3, 2, "z")))
+  }
+
   test("PLAN: dedupSegments shuffles carry hashes and index arrays, never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val rows = (0L until 100L).map(i => (i, s"w$i x$i common tail words here"))

@@ -222,6 +222,25 @@ class SearchSpec extends AnyFunSuite {
     assert(gotIds.nonEmpty)
   }
 
+  test("mixRates: an all-null-text source totals zero tokens, never NPEs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "good", Option("tok tok end")),
+      (2L, "good", Option("more text here")),
+      (3L, "broken", Option.empty[String]), // a feed that lost its text column
+      (4L, "broken", Option.empty[String]))
+      .toDF("id", "source", "text")
+    val totals = Mixing.sourceTokenTotals(d, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(totals("broken") === 0L)
+    // zero-token source: no keep rate derivable (min(1, share*B/0) has no
+    // meaning) — it simply contributes nothing, and the job must not crash
+    val rates = Mixing.mixRates(d, "source", "text",
+      Map("good" -> 0.5, "broken" -> 0.5), budgetTokens = 100L)
+    assert(rates.contains("good"))
+  }
+
   test("temperatureShares: T=1 natural, T->inf uniform, monotone flattening") {
     val s = spark
     import s.implicits._
