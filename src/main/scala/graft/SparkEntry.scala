@@ -36,17 +36,29 @@ object SparkEntry {
     * serving layer a deployment maintains continuously (via the streaming
     * materializer + compaction) rather than re-folding per query. */
   private val docsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
-  private def materialized(variant: String, dir: String)(build: => DataFrame): DataFrame =
-    docsCache.getOrElseUpdate((variant, dir), {
+  /** Process-unique tag for the shared on-disk fixtures (store/stash/blob
+    * roots): two processes verifying/benching the same sfDir concurrently
+    * must never overwrite each other's fixture directories mid-read — the
+    * same race the per-invocation tmpdirs elsewhere in this file avoid.
+    * Fresh per process (not pid: a recycled pid must not inherit stale
+    * fixture files from an earlier run's tmpdir). */
+  private val procTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  private def materialized(s: SparkSession, variant: String, dir: String)
+                          (build: => DataFrame): DataFrame =
+    // keyed by SESSION identity too: a cached DataFrame is bound to the
+    // SparkContext that built it — after a stop()/rebuild cycle the old
+    // entry would throw "SparkContext has been shut down" on every use
+    docsCache.getOrElseUpdate((System.identityHashCode(s), variant, dir), {
       val df = build
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
 
   private def docsOf(s: SparkSession, dir: String): DataFrame =
-    materialized("main", dir)(ResolveEngine.resolve(EventLog.changes(s, dir)).toDF())
+    materialized(s, "main", dir)(ResolveEngine.resolve(EventLog.changes(s, dir)).toDF())
 
   /** Materialize the shared serving views (the continuously-maintained
     * resolved store a deployment serves queries from). Benchmarks call this
@@ -54,9 +66,9 @@ object SparkEntry {
     * than re-folding per query; each query's own operator work stays timed. */
   def warmup(s: SparkSession, dir: String): Unit = {
     docsOf(s, dir).count()
-    materialized("setdelta", dir)(
+    materialized(s, "setdelta", dir)(
       ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF()).count()
-    materialized("placement", dir)(
+    materialized(s, "placement", dir)(
       ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF()).count()
     // the partitioned on-disk store is serving-layer storage, maintained
     // continuously in deployment — its write is part of the warmup, the
@@ -92,8 +104,8 @@ object SparkEntry {
 
   private def storeOf(s: SparkSession, dir: String): String =
     storeCache.getOrElseUpdate(dir, {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store/${new java.io.File(dir).getName}"
-      val docs = materialized("placement", dir)(
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_$procTag/${new java.io.File(dir).getName}"
+      val docs = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
       DocStore.write(docs, path)
       path
@@ -154,7 +166,7 @@ object SparkEntry {
     },
 
     "resolve_set_delta" -> { (s, dir) =>
-      val docs = materialized("setdelta", dir)(
+      val docs = materialized(s, "setdelta", dir)(
         ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF())
       docs.select(col("id").as("key"),
           explode(from_json(jget("body", "types"),
@@ -395,7 +407,7 @@ object SparkEntry {
     // (DataTools.multiTableScan analog); the fold partitions by (table,key)
     // so tables share the shuffle
     "placement_scan" -> { (s, dir) =>
-      val docs = materialized("placement", dir)(
+      val docs = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
       docs.groupBy(col("table").as("tbl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("version")).as("n_changes"))
@@ -417,7 +429,7 @@ object SparkEntry {
     },
 
     "catalog_table_size" -> { (s, dir) =>
-      val view = materialized("placement", dir)(
+      val view = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
       val session = new EmoSession(s, EventLog.placementChanges(s, dir),
         resolvedView = Some(view))
@@ -461,7 +473,7 @@ object SparkEntry {
     "stash_roundtrip" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
       val docs = docsOf(s, dir).as(Encoders.product[graft.resolve.DocRow])
-      val stashRoot = s"${System.getProperty("java.io.tmpdir")}/graft_stash"
+      val stashRoot = s"${System.getProperty("java.io.tmpdir")}/graft_stash_$procTag"
       val scanId = new java.io.File(dir).getName
       val out = Stash.export(docs, stashRoot, scanId)
       val back = Stash.read(s, out)
@@ -476,7 +488,7 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
         .where(col("doc_id") < 100).select(col("doc_id"), col("text"))
       val store = Blobs.putAll(docs, "doc_id", "text",
-        s"${System.getProperty("java.io.tmpdir")}/graft_blobs_${new java.io.File(dir).getName}")
+        s"${System.getProperty("java.io.tmpdir")}/graft_blobs_${procTag}_${new java.io.File(dir).getName}")
       Blobs.withDigests(Blobs.read(s, store, "*.txt"))
         .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("blob_id"),
           col("n_bytes"), col("md5"))
@@ -591,7 +603,7 @@ object SparkEntry {
     "store_optimize_scan" -> { (s, dir) =>
       // orders only: the oracle covers one table, writing the rest of the
       // placement would just pad the maintenance pass being measured
-      val docs = materialized("placement", dir)(
+      val docs = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
         .where(col("table") === "orders")
       val path = java.nio.file.Files
@@ -612,7 +624,7 @@ object SparkEntry {
     // DocStoreSnapshotsSpec's job
     "store_snapshot_scan" -> { (s, dir) =>
       // orders only — same rationale as store_optimize_scan
-      val docs = materialized("placement", dir)(
+      val docs = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
         .where(col("table") === "orders")
       val root = java.nio.file.Files
@@ -631,7 +643,7 @@ object SparkEntry {
     // directory guarantee is DocStoreMergeSpec's job
     "store_merge_scan" -> { (s, dir) =>
       // orders only — same rationale as store_optimize_scan
-      val docs = materialized("placement", dir)(
+      val docs = materialized(s, "placement", dir)(
         ResolveEngine.resolve(EventLog.placementChanges(s, dir)).toDF())
         .where(col("table") === "orders")
       val path = java.nio.file.Files
@@ -866,7 +878,7 @@ object SparkEntry {
 
     // ============================================================== §2.7 set ops
     "setop_contains_all" -> { (s, dir) =>
-      val docs = materialized("setdelta", dir)(
+      val docs = materialized(s, "setdelta", dir)(
         ResolveEngine.resolve(EventLog.setDeltaChanges(s, dir)).toDF())
       EmoDocs.whereDf(docs, """{..,"types":containsAll("click","view","error")}""")
         .select(col("id").as("key")).orderBy("key")

@@ -49,9 +49,9 @@ object Curriculum {
     val ranked = Packing.withStartOffsets(
       slim.withColumn("_one", lit(1L)),
       idCol, "_one", orderCol = Some(scoreCol))
-    // withStartOffsets has already materialized its checkpointed partitions
-    // (phase-1 collect), so `ranked` no longer reads slim — drop the cache
-    // now instead of leaking one slim frame per call for the session
+    // withStartOffsets has already materialized its session-cached sorted
+    // scan (phase-1 collect), so `ranked` reads that cache, not slim — drop
+    // slim now instead of leaking one frame per call for the session
     slim.unpersist(false)
     // DIV = exact long division (Column./ would round-trip through double)
     ranked.select(col(idCol), col(scoreCol),

@@ -73,13 +73,13 @@ object Incremental {
       s"bands must divide k (got k=$k, bands=$bands)")
     val rowsPerBand = k / bands
     // both signature tables feed two consumers each (band join + the
-    // estimator join); pin them so the k-permutation MinHash and the
-    // store scan run once — lazy localCheckpoint, GC-cleaned once the
-    // caller drops the result (a bare persist leaks across calls)
+    // estimator join); persist them so the k-permutation MinHash and the
+    // store scan run once — session-cached on purpose, see the Dedup band
+    // table for the policy
     val newSigs = minhashStore(newDocs, idCol, textCol, shingleN, k)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val storeSigs = store
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = Dedup.minhashBands(newSigs, "id", "sig", bands, rowsPerBand)
       .withColumnRenamed("id", "new_id")
     val storeBands = Dedup.minhashBands(storeSigs, "id", "sig", bands, rowsPerBand)
@@ -150,7 +150,7 @@ object Incremental {
       }
     }
     val segs = Lines.segmentHashes(newDocs, idCol, textCol, segSize)
-      .localCheckpoint(false) // two consumers; GC-cleaned (persist leaks across calls)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table
     val inBatch = segs.groupBy("seg_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

@@ -228,13 +228,11 @@ object Lines {
     require(segSize > 0, s"segSize must be positive: $segSize")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     // the seg-hash table feeds two consumers (the condemned aggregate and
-    // the drop-list join); pin it instead of re-scanning + re-exploding
-    // the corpus per consumer. localCheckpoint (lazy), not persist: blocks
-    // materialize on the caller's first action and GC-clean once the
-    // result is dropped — a bare persist leaked one corpus-scale cache
-    // entry per call for the whole session
+    // the drop-list join); persist it instead of re-scanning + re-exploding
+    // the corpus per consumer — session-cached on purpose, see the Dedup
+    // band table for the policy (localCheckpoint re-measured slower)
     val segs = segmentHashes(df, idCol, textCol, segSize)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val condemned = segs.groupBy("seg_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -306,7 +304,7 @@ object Lines {
     require(spanLen > 0, s"spanLen must be positive: $spanLen")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val spans = slidingSpanHashes(df, idCol, textCol, spanLen)
-      .localCheckpoint(false) // two consumers; GC-cleaned (persist leaks across calls)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table
     val condemned = spans.groupBy("span_hash")
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)

@@ -409,7 +409,7 @@ object Multimodal {
         shiftrightunsigned(col("ahash"), bd * bits)
           .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .localCheckpoint() // feeds bucket sizing + both self-join sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached (see Dedup band table): sizing + both join sides
     // cap degenerate buckets (same guard as every text LSH path): a
     // scraped corpus is full of solid-color/uniform images whose hash is
     // all-ones or all-zeros — one hot chunk squares the self-join. An

