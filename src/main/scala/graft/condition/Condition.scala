@@ -40,7 +40,11 @@ final case class AndCondition(conditions: Seq[Condition]) extends Condition
 final case class OrCondition(conditions: Seq[Condition]) extends Condition
 final case class MapCondition(entries: Map[String, Condition]) extends Condition
 final case class IntrinsicCondition(name: String, condition: Condition) extends Condition
-final case class PartitionCondition(numPartitions: Int, condition: Condition) extends Condition
+final case class PartitionCondition(numPartitions: Int, condition: Condition) extends Condition {
+  // PartitionConditionImpl.java:36 parity — and without it, partition(0:...)
+  // only fails at EVALUATION time with a modulo-by-zero on every executor
+  require(numPartitions > 0, "Number of partitions must be at least 1")
+}
 
 /**
  * Glob pattern with '*' as the only wildcard ('\*' escapes a literal star).

@@ -117,6 +117,19 @@ object ConditionEvaluator {
     }
   }
 
+  /** Intrinsic names referenced anywhere in a condition tree (partition()
+    * counts as ~table/~id — its hash consumes both). */
+  def referencedIntrinsics(c: Condition): Set[String] = c match {
+    case IntrinsicCondition(n, sub) => referencedIntrinsics(sub) + n
+    case PartitionCondition(_, sub) =>
+      referencedIntrinsics(sub) + Intrinsic.Table + Intrinsic.Id
+    case NotCondition(i)  => referencedIntrinsics(i)
+    case AndCondition(cs) => cs.flatMap(referencedIntrinsics).toSet
+    case OrCondition(cs)  => cs.flatMap(referencedIntrinsics).toSet
+    case MapCondition(es) => es.values.flatMap(referencedIntrinsics).toSet
+    case _                => Set.empty
+  }
+
   def intrinsicValue(name: String, in: IntrinsicsView): JValue = name match {
     case Intrinsic.Id            => JString(in.id)
     case Intrinsic.Table         => JString(in.table)

@@ -61,7 +61,10 @@ object ConditionCompiler {
       else equalTyped(col, dt, v)
 
     case InCondition(vs) =>
-      vs.toSeq.map(equalTyped(col, dt, _)).foldLeft(lit(false))(_ || _)
+      // via EqualCondition so the mayBeUndefined guard applies per value —
+      // in(null, ...) must NOT match an absent field (JUndefined != JNull)
+      vs.toSeq.map(v => compileField(EqualCondition(v), col, dt, intrinsics,
+        mayBeUndefined)).foldLeft(lit(false))(_ || _)
 
     case IsCondition(state) =>
       import State._
@@ -88,7 +91,19 @@ object ConditionCompiler {
       val cmp: Option[Column] = (dt, v) match {
         case (t, JLong(n)) if isNumeric(t)   => Some(applyCmp(op, col, lit(n)))
         case (t, JDouble(n)) if isNumeric(t) => Some(applyCmp(op, col, lit(n)))
-        case (StringType, JString(s))        => Some(applyCmp(op, col, lit(s)))
+        case (StringType, JString(s)) =>
+          // Catalyst compares strings in UTF-8 byte order; the reference
+          // (and the parity evaluator) use Java UTF-16 code-unit order.
+          // The two agree whenever the literal stays below U+D800 — above
+          // it (surrogates / private use / specials) they can disagree, so
+          // such comparisons are not natively compilable: fail loudly and
+          // let fallback-capable callers route to the parity path
+          if (s != null && s.exists(_ >= '\uD800'))
+            throw new UnsupportedOperationException(
+              "string comparison against a literal containing chars >= U+D800 " +
+                "is not natively compilable (UTF-8 vs UTF-16 order divergence); " +
+                "evaluate via the parity path")
+          Some(applyCmp(op, col, lit(s)))
         case _                               => None // mixed types never match
       }
       cmp.getOrElse(lit(false))
@@ -100,14 +115,20 @@ object ConditionCompiler {
     case NotCondition(c) =>
       // reference semantics: inner null (e.g. like() on a null field) is
       // FALSE, so its negation must be TRUE — coalesce exactly here, where
-      // Spark's three-valued NOT would otherwise drop the row
-      !coalesce(compileField(c, col, dt, intrinsics), lit(false))
+      // Spark's three-valued NOT would otherwise drop the row.
+      // mayBeUndefined THREADS THROUGH (as in and/or/in): dropping it
+      // compiled not({..,"~tags":is(undefined)}) to constant true, so
+      // composite conditions on absent-capable fields diverged from the
+      // parity evaluator (spurious or dropped fanout deliveries)
+      !coalesce(compileField(c, col, dt, intrinsics, mayBeUndefined), lit(false))
 
     case AndCondition(cs) =>
-      cs.map(compileField(_, col, dt, intrinsics)).foldLeft(lit(true))(_ && _)
+      cs.map(compileField(_, col, dt, intrinsics, mayBeUndefined))
+        .foldLeft(lit(true))(_ && _)
 
     case OrCondition(cs) =>
-      cs.map(compileField(_, col, dt, intrinsics)).foldLeft(lit(false))(_ || _)
+      cs.map(compileField(_, col, dt, intrinsics, mayBeUndefined))
+        .foldLeft(lit(false))(_ || _)
 
     case MapCondition(entries) =>
       dt match {
@@ -127,19 +148,37 @@ object ConditionCompiler {
       dt match {
         case _ if condValues.isEmpty && containment != ONLY => lit(true)
         case ArrayType(et, _) =>
-          val typed = condValues.toSeq.filter(v => literalMatchesType(v, et))
+          // JSON null literals are legal members (the evaluator matches a
+          // null array element); the set-function builtins mishandle null
+          // elements, so null membership tests explicitly via exists()
+          val (nullReq, nonNull) = condValues.toSeq.partition(_ == JNull)
+          val typed = nonNull.filter(v => literalMatchesType(v, et))
           val litsArr = array(typed.map(jlit): _*)
+          val nullMember = exists(col, _.isNull)
           containment match {
             case ANY =>
-              if (typed.isEmpty) lit(false)
-              else arrays_overlap(col, litsArr)
+              val base =
+                if (typed.isEmpty) lit(false)
+                else arrays_overlap(col, litsArr)
+              if (nullReq.nonEmpty) base || nullMember else base
             case ALL =>
-              if (typed.size < condValues.size) lit(false) // untyped value can't be contained
-              else size(array_except(litsArr, col)) === 0
+              if (typed.size < nonNull.size) lit(false) // untyped value can't be contained
+              else {
+                val base =
+                  if (typed.isEmpty) lit(true) // only null requirements
+                  else size(array_except(litsArr, col)) === 0
+                if (nullReq.nonEmpty) base && nullMember else base
+              }
             case ONLY =>
-              if (typed.size < condValues.size) lit(false)
-              else size(array_except(litsArr, col)) === 0 &&
-                size(array_distinct(col)) === typed.size
+              if (typed.size < nonNull.size) lit(false)
+              else {
+                // array_distinct keeps one null, so the size check counts it
+                val base =
+                  (if (typed.isEmpty) lit(true)
+                   else size(array_except(litsArr, col)) === 0) &&
+                    size(array_distinct(col)) === (typed.size + nullReq.size)
+                if (nullReq.nonEmpty) base && nullMember else base
+              }
           }
         case _ => lit(false) // value is not a list
       }
@@ -180,13 +219,26 @@ object ConditionCompiler {
     case JString(s) => if (dt == StringType) colEq(col, lit(s)) else lit(false)
     case JBool(b)   => if (dt == BooleanType) colEq(col, lit(b)) else lit(false)
     case JArr(items) => dt match {
-      case ArrayType(et, _) if items.forall(literalMatchesType(_, et)) =>
-        colEq(col, array(items.map(jlit): _*))
+      // null elements are legal JSON array members — type them explicitly
+      // (an untyped lit(null) breaks array() element-type resolution)
+      case ArrayType(et, _) if items.forall(v => v == JNull || literalMatchesType(v, et)) =>
+        colEq(col, array(items.map {
+          case JNull => lit(null).cast(et)
+          case v     => jlit(v)
+        }: _*))
       case _ => lit(false)
     }
-    case JObj(_)    => dt match {
-      case _: StructType => lit(false) // struct literals: not supported natively; row-mode handles objects
-      case _             => lit(false)
+    case JObj(_) => dt match {
+      // object equality against a struct/map column is order-insensitive
+      // deep equality — not expressible as a Catalyst literal compare.
+      // FAIL LOUDLY: compiling to constant false silently excluded every
+      // matching row; callers needing this route through the parity
+      // evaluator (emoCondEval) instead.
+      case _: StructType | _: MapType =>
+        throw new UnsupportedOperationException(
+          "object equality on a struct/map column is not natively " +
+            "compilable — evaluate via the parity path (emoCondEval)")
+      case _ => lit(false) // non-object column never equals an object
     }
     case JUndefined => lit(false)
   }

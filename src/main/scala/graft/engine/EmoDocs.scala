@@ -68,11 +68,18 @@ object EmoDocs {
       case AndCondition(cs) => cs
       case c                => Seq(c)
     }
-    val (native, parity) = conjuncts.partition(intrinsicOnly)
+    val (nativeCandidates, parity0) = conjuncts.partition(intrinsicOnly)
     val intr = intrinsicColumns(df)
-    val nativeCol = native
-      .map(c => ConditionCompiler.compileRow(c, df, intr))
+    // a conjunct the compiler rejects (e.g. a string comparison whose
+    // literal crosses the UTF-8/UTF-16 order divergence) demotes to the
+    // exact parity evaluator instead of failing the whole predicate
+    val compiled = nativeCandidates.map { c =>
+      try Right(ConditionCompiler.compileRow(c, df, intr))
+      catch { case _: UnsupportedOperationException => Left(c) }
+    }
+    val nativeCol = compiled.collect { case Right(col) => col }
       .foldLeft(lit(true))(_ && _)
+    val parity = parity0 ++ compiled.collect { case Left(c) => c }
     if (parity.isEmpty) nativeCol
     else {
       val parityText = Conditions.and(parity).toString

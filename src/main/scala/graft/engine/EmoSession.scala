@@ -225,7 +225,7 @@ final class EmoSession(val spark: SparkSession, val changes: DataFrame,
     require(tags.size <= 3, "Maximum of 3 tags are allowed")
     tags.foreach(t => require(t.length < 9,
       s"Tag $t is of more than the allowed length of 8 characters."))
-    val tagSeq = tags.toSeq.sorted
+    val tagSeq = tags.toSeq.sorted(graft.resolve.Resolver.Utf8Order) // fold-order parity
     var autoSeq = -1L
     val rows = updates.map { u =>
       require(Names.isLegalTableName(u.table), s"illegal table name: ${u.table}")

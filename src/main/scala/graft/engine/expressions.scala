@@ -65,7 +65,21 @@ case class EmoHash32(children: Seq[Expression])
 case class EmoCondEval(conditionText: String, children: Seq[Expression])
     extends Expression with CodegenFallback {
 
-  @transient private lazy val cond: Condition = Conditions.fromString(conditionText)
+  @transient private lazy val cond: Condition = {
+    val c = Conditions.fromString(conditionText)
+    // the partial (body, id, table) view fabricates deleted=false and null
+    // signature/timestamp/placement strings: a condition touching those
+    // would silently mismatch (or NPE inside like/compare on the null) —
+    // reject loudly instead, the reference's may-not-reference discipline
+    if (children.length >= 3 && children.length < 9) {
+      val refs = ConditionEvaluator.referencedIntrinsics(c)
+      val avail = Set(graft.condition.Intrinsic.Id, graft.condition.Intrinsic.Table)
+      require(refs.subsetOf(avail),
+        s"intrinsic(s) ${(refs -- avail).mkString(", ")} unavailable in this " +
+          "context — only ~id/~table ride with a bare body column")
+    }
+    c
+  }
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -205,19 +219,29 @@ object expressions {
   /** murmur3_32 over the concatenated UTF-8 bytes of the given string columns. */
   def emoHash32(cols: Column*): Column = toCol(EmoHash32(cols.map(toExpr)))
 
-  /** Document partition id: abs(murmur3_32(table ++ id)) % n + 1 (Java int abs). */
-  def emoPartition(table: Column, id: Column, n: Int): Column = {
+  /** Java Math.abs parity for a 32-bit hash: Spark's checked abs THROWS
+    * ARITHMETIC_OVERFLOW on Int.MinValue under ANSI (the Spark 4 default)
+    * while the reference's Java abs returns MIN_VALUE unchanged — a key
+    * hashing to MIN_VALUE (certain at placement scale) would otherwise
+    * kill every partition-hashing scan/write that touches the row. The
+    * when-guard keeps the checked abs off the MIN branch. */
+  private[graft] def absJava(h: Column): Column = {
     import org.apache.spark.sql.functions._
-    val h = emoHash32(table, id)
-    // Java semantics: abs(MIN_VALUE) stays negative; Spark's non-ANSI abs+pct match
-    (abs(h) % n) + 1
+    when(h === Int.MinValue, lit(Int.MinValue)).otherwise(abs(h))
   }
 
-  /** Row-key shard id (low bits of the key hash): scan-order parity. */
-  def emoShard(table: Column, key: Column, numShards: Int = 16): Column = {
-    import org.apache.spark.sql.functions._
-    abs(emoHash32(table, key)) % numShards
-  }
+  /** Document partition id: abs(murmur3_32(table ++ id)) % n + 1 (Java int
+    * abs — [[graft.json.Hashes.partitionOf]] parity, MIN_VALUE included). */
+  def emoPartition(table: Column, id: Column, n: Int): Column =
+    (absJava(emoHash32(table, id)) % n) + 1
+
+  /** Row-key shard id (low bits of the key hash): scan-order parity.
+    * Bitmask like [[graft.json.Hashes.shardId]], not `%` — identical for
+    * the power-of-two shard counts the row-key format uses, and the mask
+    * is MIN_VALUE-safe by construction. */
+  def emoShard(table: Column, key: Column, numShards: Int = 16): Column =
+    absJava(emoHash32(table, key))
+      .bitwiseAND(org.apache.spark.sql.functions.lit(numShards - 1))
 
   /** Sortable scan-order key: (shard-hex, table, key) — byte order parity
     * with the reference's shard-prefixed row keys (RowKeyUtils.java:41-70). */

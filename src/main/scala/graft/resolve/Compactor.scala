@@ -36,15 +36,20 @@ object Compactor {
    * One shuffle (the resolve fold of the prefix) + a cheap filter for the
    * tail; output is a standard changes DataFrame.
    */
-  def compact(changes: DataFrame, cutoffMs: Long): DataFrame = {
+  def compact(changes: DataFrame, cutoffMs: Long,
+              placement: String = "default"): DataFrame = {
     val spark = changes.sparkSession
     import spark.implicits._
 
     val prefix = changes.where(col("ms") <= cutoffMs)
     val tail = changes.where(col("ms") > cutoffMs)
 
-    // fold the prefix; keep per-doc stats needed to reconstruct intrinsics
-    val folded = ResolveEngine.resolve(prefix)
+    // fold the prefix UNDER THE DEPLOYMENT'S PLACEMENT: a placement-
+    // conditional delta (`if intrinsic("~placement":...)`) folded under the
+    // wrong placement would bake the wrong branch into the checkpoint
+    // literal, violating resolve(compact(log)) == resolve(log) for any
+    // session resolving with that placement
+    val folded = ResolveEngine.resolve(prefix, placement)
 
     val baseDeltas = folded.map { d =>
       // checkpoint rows are marked out-of-band with a reserved delta prefix
@@ -82,24 +87,30 @@ object Compactor {
    */
   def compactWithHistory(changes: DataFrame, cutoffMs: Long, historyTtlMs: Long,
                          nowMs: Long,
-                         maxArchiveBytes: Long = 2L * 1024 * 1024): (DataFrame, DataFrame) = {
+                         maxArchiveBytes: Long = 2L * 1024 * 1024,
+                         placement: String = "default"): (DataFrame, DataFrame) = {
     val prefix = changes.where(col("ms") <= cutoffMs)
+    // octet_length, not length: MAX_DELTA_ARCHIVE_SIZE is a BYTE limit
+    // (AbstractCompactor.java:31) — a character count under-measures
+    // multi-byte UTF-8 deltas up to 4x and archives histories the
+    // reference discards
     val sizes = prefix.groupBy("table", "key")
-      .agg(sum(length(col("delta"))).as("archive_bytes"))
+      .agg(sum(octet_length(col("delta"))).as("archive_bytes"))
     val history = prefix
       .join(sizes.where(col("archive_bytes") <= maxArchiveBytes)
         .select("table", "key"), Seq("table", "key"), "left_semi")
       .withColumn("expire_ms", lit(nowMs + historyTtlMs))
-    (compact(changes, cutoffMs), history)
+    (compact(changes, cutoffMs, placement), history)
   }
 
-  def compactHot(changes: DataFrame, cutoffMs: Long, threshold: Long): DataFrame = {
+  def compactHot(changes: DataFrame, cutoffMs: Long, threshold: Long,
+                 placement: String = "default"): DataFrame = {
     val hot = changes.groupBy(col("table"), col("key"))
       .agg(count(lit(1)).as("n")).where(col("n") >= threshold)
       .select("table", "key")
     val hotChanges = changes.join(hot, Seq("table", "key"), "left_semi")
     val coldChanges = changes.join(hot, Seq("table", "key"), "left_anti")
-    compact(hotChanges, cutoffMs).unionByName(coldChanges)
+    compact(hotChanges, cutoffMs, placement).unionByName(coldChanges)
   }
 
   /** Per-document delta-log sizes at or above `threshold` — the compaction

@@ -319,6 +319,6 @@ object ResolveEngine {
     last_mutate_ms = if (r.lastMutateAt == null) 0L else r.lastMutateAt.ms,
     placement = r.placement,
     body = r.bodyJson,
-    last_tags = r.lastTags.toSeq.sorted,
+    last_tags = r.lastTags.toSeq.sorted(Resolver.Utf8Order), // batch array_sort parity
     redundant_changes = r.redundantChanges)
 }

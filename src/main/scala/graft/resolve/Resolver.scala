@@ -157,8 +157,32 @@ object Resolver {
   /** Separator for the canonical joined tag form (not a legal tag char). */
   final val TagSep = '\u0001'
 
+  /** Code-point string ordering == the UTF-8 byte order Tungsten's
+    * sortWithinPartitions/array_sort use. JVM-side fold sorts MUST use
+    * this, not String's UTF-16 code-unit order: the two diverge when
+    * [U+E000, U+FFFF] meets supplementary-plane strings, and a divergent
+    * tie-break or tag order changes fold content AND the chained
+    * ~signature between the batch and streaming paths. */
+  val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val la = a.length
+      val lb = b.length
+      var i = 0
+      var j = 0
+      var r = 0
+      while (r == 0 && i < la && j < lb) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      if (r != 0) r else Integer.compare(la - i, lb - j)
+    }
+  }
+
   def joinTags(tags: Set[String]): String =
-    if (tags.isEmpty) "" else tags.toSeq.sorted.mkString(TagSep.toString)
+    if (tags.isEmpty) "" else tags.toSeq.sorted(Utf8Order).mkString(TagSep.toString)
 
   def splitTags(joined: String): Seq[String] =
     if (joined.isEmpty) Seq.empty else joined.split(TagSep).toSeq

@@ -180,7 +180,11 @@ object Databus {
     * table-template attributes falls back to the parity evaluator. */
   def matchColumn(sub: Subscription, events: DataFrame, attrsCol: Option[String],
                   placementCol: Option[String] = None): Column =
-    tryCompileNative(sub.parsed, placementCol).getOrElse {
+    // UnsupportedOperationException = "not natively compilable" (e.g. a
+    // comparison literal crossing the UTF-8/UTF-16 order divergence):
+    // fall back to the exact parity UDF rather than failing the fanout
+    (try tryCompileNative(sub.parsed, placementCol)
+     catch { case _: UnsupportedOperationException => None }).getOrElse {
       val attrs = attrsCol.map(col).getOrElse(lit(null).cast("string"))
       val placement = placementCol.map(col).getOrElse(lit(null).cast("string"))
       matchUdf(sub.condition)(attrs, col("tags"), col("table"), col("key"), placement)
@@ -396,9 +400,13 @@ object Databus {
   def partitionFor(key: String, numPartitions: Int): Int =
     if (key == null) 0 else Math.abs(graft.json.Hashes.murmur3_32(key)) % numPartitions
 
-  private def partitionColumn(key: Column, numPartitions: Int): Column =
-    when(key.isNull, lit(0)).otherwise(
-      abs(graft.engine.expressions.emoHash32(key)) % numPartitions)
+  private def partitionColumn(key: Column, numPartitions: Int): Column = {
+    // Java-abs guard: Spark's checked abs throws on Int.MinValue under
+    // ANSI; Math.abs (the partitionFor parity target) returns it unchanged
+    val h = graft.engine.expressions.emoHash32(key)
+    val absJ = when(h === Int.MinValue, lit(Int.MinValue)).otherwise(abs(h))
+    when(key.isNull, lit(0)).otherwise(absJ % numPartitions)
+  }
 
   /**
    * Outbound cross-DC replication routing (DefaultFanout.java:246-258): each

@@ -128,7 +128,7 @@ object Materializer {
     }
     val rendered = if (body eq graft.json.JUndefined) null else JsonCodec.render(body)
     (FoldState(rendered, version, sig, firstMs, lastMs, mutateMs,
-      lastTags.toSeq.sorted, redundant), anyMutation)
+      lastTags.toSeq.sorted(graft.resolve.Resolver.Utf8Order), redundant), anyMutation)
   }
 
   private def hexToBytes(hex: String): Array[Byte] = {
@@ -161,7 +161,10 @@ object Materializer {
       .flatMapGroupsWithState[FoldState, DocRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((table, key), rows, state: GroupState[FoldState]) =>
-          val sorted = rows.toSeq.sortBy(c => (c.ms, c.seq, c.node))
+          // node tie-break in UTF-8 order — MUST match the batch fold's
+          // Tungsten sortWithinPartitions (see Resolver.Utf8Order)
+          val sorted = rows.toSeq.sortBy(c => (c.ms, c.seq, c.node))(
+            Ordering.Tuple3(Ordering.Long, Ordering.Long, graft.resolve.Resolver.Utf8Order))
           val prev = state.getOption.getOrElse(initialState)
           val (next, mutated) = applyBatch(table, key, prev, sorted, placement)
           state.update(next)
@@ -218,7 +221,8 @@ object Materializer {
           // ripe = at or before the watermark (no further reordering
           // possible) plus anything already later than allowed
           val (ripe, hold) = all.partition(_.ms <= wm)
-          val sorted = ripe.sortBy(c => (c.ms, c.seq, c.node))
+          val sorted = ripe.sortBy(c => (c.ms, c.seq, c.node))(
+            Ordering.Tuple3(Ordering.Long, Ordering.Long, graft.resolve.Resolver.Utf8Order))
           val (next, mutated) = applyBatch(table, key, prev.fold, sorted, placement)
           state.update(OrderedState(next, hold))
           if (hold.nonEmpty) {

@@ -11,6 +11,34 @@ class ResolverSpec extends AnyFunSuite {
 
   private def cid(n: Int) = TimeUuid(1000L * n, 0, "n1")
 
+  test("Utf8Order matches UTF-8 byte order where String order diverges") {
+    import graft.resolve.Resolver
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r else x.length - y.length
+    }
+    val pairs = Seq(
+      ("", "😀"), // the divergence pair: PUA vs emoji
+      ("abc", "abd"), ("a", "ab"), ("", "a"), ("z", "za"),
+      ("￿", "𐀀"), ("tag-a", "tag-b"))
+    for ((a, b) <- pairs; (x, y) <- Seq((a, b), (b, a), (a, a))) {
+      assert(Integer.signum(Resolver.Utf8Order.compare(x, y)) ===
+        Integer.signum(utf8Cmp(x, y)), s"pair ($x, $y)")
+    }
+    // and the DEFAULT String order really does diverge on the boundary —
+    // which is why the JVM fold sides must use Utf8Order, matching the
+    // batch fold's Tungsten sort
+    assert(Resolver.Utf8Order.compare("", "😀") < 0)
+    assert(Ordering.String.compare("", "😀") > 0)
+    // joinTags canonical form follows it
+    assert(Resolver.joinTags(Set("😀", ""))
+      .startsWith(""))
+  }
+
   test("canonical sequence: create, update, redundant, delete, resurrect") {
     val r = new Resolver("review:testcustomer", "demo1", "ugc_global:ugc")
 

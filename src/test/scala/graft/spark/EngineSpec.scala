@@ -55,6 +55,90 @@ class EngineSpec extends AnyFunSuite {
     assert(ResolveEngine.resolve(changes, includeDeleted = false).collect().map(_.id).toSeq === Seq("k2"))
   }
 
+  test("compiled array conditions: null elements and null literals (parity)") {
+    val s = spark
+    import s.implicits._
+    import graft.json._
+    val df = Seq(
+      (1L, Seq("a", null)),
+      (2L, Seq("a")),
+      (3L, Seq[String](null)),
+      (4L, Seq.empty[String])).toDF("id", "tags")
+    val conds = Seq(
+      """{..,"tags":containsAll("a",null)}""", // null is a legal member
+      """{..,"tags":containsAny(null)}""",
+      """{..,"tags":containsOnly("a",null)}""",
+      """{..,"tags":containsOnly(null)}""",
+      """{..,"tags":[null]}""",                // array equality with null
+      """{..,"tags":["a",null]}""")
+    for (condText <- conds) {
+      val cond = Conditions.fromString(condText)
+      val compiled = df.where(ConditionCompiler.compileRow(cond, df))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = df.collect().filter { r =>
+        val json = JObj(Map(
+          "id" -> JLong(r.getLong(0)),
+          "tags" -> JArr(r.getSeq[String](1).map(t =>
+            if (t == null) JNull else JString(t)).toVector)))
+        graft.condition.ConditionEvaluator.eval(cond, json)
+      }.map(_.getLong(0)).toSet
+      assert(compiled === expected, s"condition: $condText")
+    }
+  }
+
+  test("ANSI-safe Java-abs parity and partition guards") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    // Spark's checked abs throws on Int.MinValue under ANSI; the guard
+    // must return it unchanged (Math.abs parity) and stay exact elsewhere
+    val r = Seq(1).toDF("x").select(
+      expressions.absJava(lit(Int.MinValue)).as("m"),
+      expressions.absJava(lit(-5)).as("n"),
+      expressions.absJava(lit(7)).as("p")).head()
+    assert(r.getInt(0) === Int.MinValue && r.getInt(1) === 5 && r.getInt(2) === 7)
+    // partition(0: ...) rejects at construction (PartitionConditionImpl
+    // parity), not with a modulo-by-zero on every executor
+    intercept[IllegalArgumentException] {
+      graft.delta.DslParser.parseCondition("partition(0:1)")
+    }
+  }
+
+  test("partial-intrinsics parity eval rejects unavailable intrinsics loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("""{"a":1}""", "k1", "t1")).toDF("body", "id", "table")
+    // ~id/~table are fine with the 3-child form
+    val ok = df.select(expressions.emoCondEval(
+      """intrinsic("~table":"t1")""", col("body"), col("id"), col("table")))
+      .head().getBoolean(0)
+    assert(ok)
+    // ~deleted would silently evaluate against a fabricated false — must throw
+    val e = intercept[Exception] {
+      df.select(expressions.emoCondEval(
+        """intrinsic("~deleted":true)""", col("body"), col("id"), col("table")))
+        .collect()
+    }
+    assert(e.getMessage != null) // wrapped SparkException carries the require text
+  }
+
+  test("string comparisons crossing the UTF-8/UTF-16 boundary demote to the parity path") {
+    val s = spark
+    import s.implicits._
+    val ms = 1700000000000L
+    val df = Seq(("t", "😀", "sig", false, ms, ms, ms, "p", """{"a":1}"""))
+      .toDF("table", "id", "signature", "deleted", "first_update_ms",
+        "last_update_ms", "last_mutate_ms", "placement", "body")
+    // Java (reference) order: U+D83D < U+E000 -> gt is FALSE; UTF-8 byte
+    // order would say the emoji is GREATER — the predicate must follow the
+    // parity evaluator by demoting the conjunct
+    val kept = df.where(EmoDocs.predicate(df, "intrinsic(\"~id\":gt(\"\"))"))
+    assert(kept.count() === 0L)
+    // and the safe-side literal stays on the fast native path
+    val kept2 = df.where(EmoDocs.predicate(df, """intrinsic("~id":gt("a"))"""))
+    assert(kept2.count() === 1L)
+  }
+
   test("compiled conditions match the parity evaluator on typed rows") {
     val s = spark
     import s.implicits._
@@ -470,6 +554,31 @@ class EngineSpec extends AnyFunSuite {
     assert(out("a") === ev.where(col("event_type") === "purchase").count())
     assert(out("b") === ev.where(col("user_id") === 3).count())
     assert(out("c") === ev.where(col("event_type").isin("error", "view")).count())
+  }
+
+  test("compaction folds under the caller's placement (conditional deltas)") {
+    import graft.resolve.{ChangeRow, Compactor}
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ChangeRow("t", "k", 1000L, 1L, "n1", """{"v":1}""", Seq.empty),
+      ChangeRow("t", "k", 2000L, 2L, "n2",
+        """if intrinsic("~placement":"eu") then {..,"region":"eu"} else {..,"region":"other"} end""",
+        Seq.empty),
+      ChangeRow("t", "k", 3000L, 3L, "n3", """{..,"v":2}""", Seq.empty)).toDF()
+    val direct = ResolveEngine.resolve(df, placement = "eu").collect().head
+    assert(direct.body.contains("\"region\":\"eu\""))
+    // the checkpoint must bake the SAME branch the deployment resolves
+    val viaCompact = ResolveEngine.resolve(
+      Compactor.compact(df, cutoffMs = 2500, placement = "eu"),
+      placement = "eu").collect().head
+    assert(viaCompact.body === direct.body)
+    assert(viaCompact.signature === direct.signature)
+    // the default-placement fold bakes the WRONG branch — the divergence
+    // the placement parameter exists to prevent
+    val wrong = ResolveEngine.resolve(Compactor.compact(df, cutoffMs = 2500),
+      placement = "eu").collect().head
+    assert(wrong.body != direct.body)
   }
 
   test("compaction invariant: resolve(compact(log, cutoff)) == resolve(log)") {

@@ -208,7 +208,12 @@ class StreamingSpec extends AnyFunSuite {
       Subscription("ugc_placement", """intrinsic("~placement":"app_global:ugc")"""),
       // ~version is unsupported in conditions: evaluation throws, which at
       // fanout means NO MATCH, not a failed pass
-      Subscription("broken", """intrinsic("~version":5)"""))
+      Subscription("broken", """intrinsic("~version":5)"""),
+      // COMPOSITE conditions on the absent-capable ~tags field: the
+      // mayBeUndefined flag must survive not/and/or/in recursion or the
+      // native path diverges from the parity evaluator on untagged events
+      Subscription("not_undef", """not({..,"~tags":is(undefined)})"""),
+      Subscription("tags_not_null", """{..,"~tags":not(is(null))}"""))
     def routed(unionMax: Int): Set[(String, String)] =
       Databus.fanout(events, subs, unionPathMaxSubs = unionMax,
           placementCol = Some("placement"))
@@ -218,7 +223,13 @@ class StreamingSpec extends AnyFunSuite {
       "skip_ignore" -> "k_untagged", "skip_ignore" -> "k_null",
       "get_ignore" -> "k_tagged",
       "tags_defined" -> "k_tagged",
-      "ugc_placement" -> "k_tagged", "ugc_placement" -> "k_untagged")
+      "ugc_placement" -> "k_tagged", "ugc_placement" -> "k_untagged",
+      // not(is(undefined)): tagged only (evaluator: JUndefined -> true -> not false)
+      "not_undef" -> "k_tagged",
+      // not(is(null)): EVERY event (is(null) is false for both JUndefined
+      // and a real tag array — ~tags can never hold a present null)
+      "tags_not_null" -> "k_tagged", "tags_not_null" -> "k_untagged",
+      "tags_not_null" -> "k_null")
     assert(routed(unionMax = 16) === expected, "union path")
     assert(routed(unionMax = 1) === expected, "single-pass path")
   }
