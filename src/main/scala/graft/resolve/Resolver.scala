@@ -165,19 +165,18 @@ object Resolver {
     * ~signature between the batch and streaming paths. */
   val Utf8Order: Ordering[String] = new Ordering[String] {
     def compare(a: String, b: String): Int = {
-      val la = a.length
-      val lb = b.length
+      // fast path: walk the equal char prefix (compareTo speed); only the
+      // first DIFFERING position needs code-point semantics — and if the
+      // previous char is a high surrogate the difference starts inside a
+      // pair, so back up one unit and compare whole code points there
+      val n = math.min(a.length, b.length)
       var i = 0
-      var j = 0
-      var r = 0
-      while (r == 0 && i < la && j < lb) {
-        val ca = a.codePointAt(i)
-        val cb = b.codePointAt(j)
-        r = Integer.compare(ca, cb)
-        i += Character.charCount(ca)
-        j += Character.charCount(cb)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      if (i == n) Integer.compare(a.length, b.length)
+      else {
+        val j = if (i > 0 && Character.isHighSurrogate(a.charAt(i - 1))) i - 1 else i
+        Integer.compare(a.codePointAt(j), b.codePointAt(j))
       }
-      if (r != 0) r else Integer.compare(la - i, lb - j)
     }
   }
 
