@@ -55,6 +55,83 @@ class EngineSpec extends AnyFunSuite {
     assert(ResolveEngine.resolve(changes, includeDeleted = false).collect().map(_.id).toSeq === Seq("k2"))
   }
 
+  test("FUZZ: compiled conditions equal the parity evaluator on 150 random trees") {
+    val s = spark
+    import s.implicits._
+    import graft.json._
+    val rnd = new scala.util.Random(4242)
+    val rows = (1L to 40L).map { i =>
+      (i,
+        if (i % 7 == 0) null else s"name${i % 5}",
+        (i % 9) * 1.5 - 3.0,
+        if (i % 11 == 0) Seq[String](null)
+        else Seq.tabulate((i % 4).toInt)(j => s"t${(i + j) % 5}"))
+    }
+    val df = rows.toDF("id", "name", "score", "tags")
+    val fields = Seq("id", "name", "score", "tags", "missing")
+    def jl(): String = rnd.nextInt(6) match {
+      case 0 => (rnd.nextInt(10) + 1).toString
+      case 1 => s"${rnd.nextInt(5)}.5"
+      case 2 => "\"name" + rnd.nextInt(5) + "\""
+      case 3 => "\"t" + rnd.nextInt(5) + "\""
+      case 4 => "null"
+      case _ => "true"
+    }
+    def leaf(): String = rnd.nextInt(9) match {
+      case 0 => jl()
+      case 1 => s"in(${jl()},${jl()})"
+      case 2 => Seq("~", "+", "is(null)", "is(string)", "is(num)",
+        "is(array)", "is(bool)")(rnd.nextInt(7))
+      case 3 => s"gt(${rnd.nextInt(10)})"
+      case 4 => s"le(${rnd.nextInt(8)}.5)"
+      case 5 => "like(\"*a*\")"
+      case 6 => "like(\"name*\")"
+      case 7 => s"contains(${jl()})"
+      case _ => s"containsAny(${jl()},${jl()})"
+    }
+    def fieldCond(): String = {
+      val f = fields(rnd.nextInt(fields.size))
+      val sub = rnd.nextInt(3) match {
+        case 0 => leaf()
+        case 1 => s"not(${leaf()})"
+        case _ => s"or(${leaf()},${leaf()})"
+      }
+      s"""{..,"$f":$sub}"""
+    }
+    def gen(depth: Int): String =
+      if (depth == 0) fieldCond()
+      else rnd.nextInt(4) match {
+        case 0 => s"and(${gen(depth - 1)},${gen(depth - 1)})"
+        case 1 => s"or(${gen(depth - 1)},${gen(depth - 1)})"
+        case 2 => s"not(${gen(depth - 1)})"
+        case _ => fieldCond()
+      }
+    def rowJson(r: org.apache.spark.sql.Row): JValue = JObj(Map(
+      "id" -> JLong(r.getLong(0)),
+      "name" -> (if (r.isNullAt(1)) JNull else JString(r.getString(1))),
+      "score" -> JDouble(r.getDouble(2)),
+      "tags" -> JArr(r.getSeq[String](3).map(t =>
+        if (t == null) JNull else JString(t)).toVector)))
+    val collected = df.collect()
+    var checked = 0
+    for (_ <- 1 to 150) {
+      val text = gen(2)
+      val cond = Conditions.fromString(text)
+      val compiledIds =
+        try Some(df.where(ConditionCompiler.compileRow(cond, df))
+          .select("id").collect().map(_.getLong(0)).toSet)
+        catch { case _: UnsupportedOperationException => None } // legit fallback
+      compiledIds.foreach { ids =>
+        checked += 1
+        val expected = collected.filter(r =>
+          graft.condition.ConditionEvaluator.eval(cond, rowJson(r)))
+          .map(_.getLong(0)).toSet
+        assert(ids === expected, s"condition: $text")
+      }
+    }
+    assert(checked >= 140, s"too many trees skipped: $checked") // fuzz must bite
+  }
+
   test("compiled array conditions: null elements and null literals (parity)") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("batch and streaming folds agree under supplementary-plane tie-breaks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // full cross product of colliding (ms, seq) pairs × node ids straddling
+    // the UTF-8/UTF-16 order divergence: the batch fold tie-breaks on the
+    // node via Tungsten's UTF-8 sort, the streaming fold via
+    // Resolver.Utf8Order — they MUST apply equal-(ms,seq) deltas in the
+    // same order or content AND chained signatures diverge
+    val nodes = Seq("", "😀", "n1", "￿", "zz")
+    val tags = Seq("", "😀", "a")
+    val log = (for {
+      key <- Seq("k1", "k2", "k3")
+      ms <- Seq(1000L, 1100L)
+      seq <- Seq(1L, 2L)
+      (node, ni) <- nodes.zipWithIndex
+    } yield {
+      val i = s"$key$ms$seq$ni".hashCode
+      graft.resolve.ChangeRow("t", key, ms, seq, node,
+        s"""{..,"v":$i}""", Seq(tags(math.floorMod(i, tags.size))))
+    }).toIndexedSeq
+    val batch = ResolveEngine.resolve(log.toDF()).collect()
+      .map(d => d.id -> (d.version, d.body, d.signature, d.last_tags)).toMap
+
+    val input = MemoryStream[ChangeRow]
+    val query = Materializer.materialize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fold_parity_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_parity").toString)
+      .start()
+    try {
+      input.addData(log) // one trigger: the whole log sorts inside the fold
+      query.processAllAvailable()
+      val streamed = spark.table("fold_parity_out").collect()
+        .groupBy(_.getAs[String]("id"))
+        .map { case (id, rows) =>
+          val last = rows.maxBy(_.getAs[Long]("version"))
+          id -> (last.getAs[Long]("version"), last.getAs[String]("body"),
+            last.getAs[String]("signature"), last.getAs[Seq[String]]("last_tags"))
+        }
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (id, got) =>
+        assert(got === batch(id), s"fold divergence on $id")
+      }
+    } finally query.stop()
+  }
+
   test("watermark-ordered materializer folds cross-batch late changes in changeId order") {
     val s = spark
     import s.implicits._
