@@ -172,19 +172,24 @@ object Curation {
     // sub-stages (no URL != same URL), and survivors are selected by
     // id-semi-join so no user column is ever renamed or clobbered.
     cfg.urls.foreach { u =>
+      // exempt predicate shared by both sub-stages: a null URL — or one
+      // whose NORMALIZED form is empty (blank/fragment-only) — is missing,
+      // not comparable; without the second clause every such row would
+      // collapse onto one url_norm="" survivor (or one ""-domain cap group)
+      def missingUrl = col(u.urlCol).isNull || Urls.normalize(col(u.urlCol)) === ""
       if (u.dedup) {
         val keep = Urls.urlDedup(df, idCol, u.urlCol).select(col("keep_id").as(idCol))
         df = stage("url_dedup", df.join(keep, Seq(idCol), "left_semi")
-          .unionByName(df.where(col(u.urlCol).isNull)))
+          .unionByName(df.where(missingUrl)))
       }
       u.domainCap.foreach { n =>
-        val withUrl = df.where(col(u.urlCol).isNotNull)
+        val dom = Urls.registeredDomain(Urls.normalize(col(u.urlCol)))
+        val withUrl = df.where(col(u.urlCol).isNotNull && dom =!= "")
         val keepIds = Sampling.capPerGroup(
-          withUrl.select(col(idCol),
-            Urls.registeredDomain(Urls.normalize(col(u.urlCol))).as("__graft_dom")),
+          withUrl.select(col(idCol), dom.as("__graft_dom")),
           "__graft_dom", idCol, n).select(idCol)
         df = stage("domain_cap", df.join(keepIds, Seq(idCol), "left_semi")
-          .unionByName(df.where(col(u.urlCol).isNull)))
+          .unionByName(df.where(col(u.urlCol).isNull || dom === "")))
       }
     }
 
@@ -244,11 +249,19 @@ object Curation {
       df = stage("near_dedup", kept)
     }
     // data-derived length threshold: the corpus's own p-quantile token
-    // count (histogram-first, so deriving it is not a corpus sort)
-    val minTok = cfg.minTokensPermille.map { p =>
-      math.max(1L, Stats.exactQuantiles(df,
-        TextAnalysis.tokenCount(col(textCol)), Seq(p)).head().getLong(1)).toInt
-    }.getOrElse(cfg.minTokens)
+    // count (histogram-first, so deriving it is not a corpus sort). Only
+    // computed when the quality gate will consume it — it is an extra
+    // corpus pass — and an EMPTY surviving pool (aggressive upstream dedup,
+    // all-null text) yields no quantile row: fall back to the static floor
+    // instead of crashing the run on head()-of-empty.
+    val minTok =
+      if (!cfg.requireQuality) cfg.minTokens
+      else cfg.minTokensPermille.map { p =>
+        val q = Stats.exactQuantiles(df,
+          TextAnalysis.tokenCount(col(textCol)), Seq(p)).collect()
+        if (q.isEmpty) cfg.minTokens
+        else math.max(1L, q(0).getLong(1)).toInt
+      }.getOrElse(cfg.minTokens)
     val gates = scala.collection.mutable.ArrayBuffer[Column]()
     if (cfg.requireQuality) gates += TextAnalysis.qualityOk(col(textCol), minTokens = minTok)
     if (cfg.requireRepetitionOk) gates += TextAnalysis.repetitionOk(col(textCol))
@@ -303,6 +316,9 @@ object Curation {
     for (tgt <- dsirTarget; k <- cfg.dsirK) {
       val pool =
         if (trackFunnel) df // predecessor stage output is already persisted
+        // session-cached (see the Dedup band table policy): the pool must
+        // stay resident for the caller's final action, so it cannot be
+        // released here; long-lived drivers clearCache() between runs
         else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lambdas = Dsir.logRatios(pool, tgt, textCol, cfg.dsirBuckets)
       df = stage("dsir_select", pool.join(

@@ -65,12 +65,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * them). Either divergence shifts window indexes between the hash side
   * and the rebuild side, dropping the WRONG segments. */
 private[pipeline] object SparkToks {
+  private val Ws = java.util.regex.Pattern.compile("\\s+") // per-row compile is the hot-path tax
   def apply(s: String): Array[String] = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s.substring(b, e).split("\\s+", -1)
+    Ws.split(s.substring(b, e), -1)
   }
 }
 

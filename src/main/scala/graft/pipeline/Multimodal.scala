@@ -90,7 +90,13 @@ object Multimodal {
         bpp != 24 || compression != 0) return None
     val height = math.abs(rawHeight)
     val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
-    if (pixelOffset < 54 || pixelOffset.toLong + rowSizeL * height > b.length) return None
+    // bound rowSize and height by the payload FIRST: a hostile header with
+    // width*height near 2^31 makes rowSizeL*height wrap negative, slipping
+    // past the bound check and crashing the pixel loop on a 54-byte array
+    // (decode's contract is never-throws); with both factors <= b.length
+    // the product cannot overflow a Long
+    if (pixelOffset < 54 || rowSizeL > b.length.toLong || height > b.length ||
+        pixelOffset.toLong + rowSizeL * height > b.length) return None
     Some(BmpHeader(pixelOffset, width, rawHeight, height, rowSizeL.toInt))
   }
 
@@ -419,7 +425,7 @@ object Multimodal {
     val banded = allBands.join(
       sized.where(col("bucket_n") <= maxBucketSize).select("band", "chunk"),
       Seq("band", "chunk"), "left_semi")
-    banded.as("l").join(banded.as("r"),
+    val approx = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
         col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("id1"), col("r.media_id").as("id2"),
@@ -428,6 +434,22 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+    // the promised hash-equality collapse for clusters the cap drops: an
+    // exact-duplicate cluster larger than maxBucketSize saturates every
+    // band bucket, so the approximate tier would emit ZERO pairs for it.
+    // Star pairs (cluster min -> member) via a hash-keyed join — linear in
+    // cluster size, no collected member lists — keep exact dedup complete
+    // at any cluster size; the cap bounds only the hamming>0 tier.
+    // band 0 carries every (media_id, ahash) exactly once and reads from
+    // the persisted band table — no second image-decode pass
+    val hashRows = allBands.where(col("band") === 0).select("media_id", "ahash")
+    val mins = hashRows.groupBy("ahash")
+      .agg(min(col("media_id")).as("id1"), count(lit(1)).as("n"))
+      .where(col("n") > 1).select("ahash", "id1")
+    val exact = hashRows.join(mins, Seq("ahash"))
+      .where(col("media_id") =!= col("id1"))
+      .select(col("id1"), col("media_id").as("id2"), lit(0).as("hamming"))
+    approx.unionByName(exact).dropDuplicates("id1", "id2")
   }
 
   /** Payload-level resize over a media stream: BMP payloads re-encoded
@@ -585,7 +607,10 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
         encode(col(textCol), "UTF-8").as("media"))
       .as[(Long, Array[Byte])]
-      .map { case (id, textBytes) =>
+      .map { case (id, rawBytes) =>
+        // null text encodes to a null array — the one payload-null boundary
+        // the other media entry points guard; empty media is the honest form
+        val textBytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val len = textBytes.length
         def tb(i: Int): Int = if (len == 0) 0 else textBytes(i % len) & 0xff
         if (id % 2 == 0) {

@@ -50,7 +50,9 @@ object TextAnalysis {
   def langIdBuiltin(textCol: Column): Column = {
     val ordered = stopwords.toSeq.sortBy(_._1)
     val scored = ordered.map { case (lang, ms) =>
-      val set = array(ms.map(lit): _*)
+      // fold markers with the tokenizer's case fold (as the expression
+      // does) so a mixed-case marker matches on BOTH formulations
+      val set = array(ms.map(m => lit(sketches.foldMarker(m))): _*)
       (lang, size(filter(tokens(textCol), t => array_contains(set, t))))
     }
     val best = scored.foldLeft((lit("und"), lit(0))) {

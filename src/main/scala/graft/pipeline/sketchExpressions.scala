@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * own XxHash64 seed/algorithm so values match `functions.xxhash64`. */
 private object SketchHash {
   import org.apache.spark.sql.catalyst.expressions.XXH64
+  // precompiled: String.split has no fast path for multi-char regexes, so
+  // an inline "\\s+" recompiles the pattern ON EVERY ROW of every
+  // single-pass text expression
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
   def hash(bytes: Array[Byte]): Long =
     XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       bytes.length, 42L)
@@ -37,7 +41,7 @@ private object SketchHash {
     * boundary. */
   def tokenize(text: UTF8String): Array[String] = {
     val lowered = text.trim().toLowerCase.toString
-    if (lowered.isEmpty) Array("") else lowered.split("\\s+", -1)
+    if (lowered.isEmpty) Array("") else Ws.split(lowered, -1)
   }
 
   /** The SAME case fold [[tokenize]] (and SQL `lower`) applies to the
@@ -88,6 +92,7 @@ case class SimHash64Expr(child: Expression)
   * formulation over 31-bit shingle hashes. */
 case class MinHashExpr(child: Expression, shingleN: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
+  require(shingleN >= 1 && k >= 1, s"need shingleN >= 1 and k >= 1 (got $shingleN, $k)")
 
   private final val P = 2147483647L // 2^31 - 1
 
@@ -141,6 +146,7 @@ case class MinHashExpr(child: Expression, shingleN: Int, k: Int)
   * runs interpreted at scale; this is one small JIT-friendly loop. */
 case class HashedShinglesExpr(child: Expression, shingleN: Int)
     extends UnaryExpression with CodegenFallback {
+  require(shingleN >= 1, s"need shingleN >= 1 (got $shingleN)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -328,6 +334,9 @@ case class NearestCellsExpr(child: Expression, centroids: Seq[Seq[Double]], n: I
   * codes. One JVM pass; codebooks ride in the plan (M*K*subDim doubles). */
 case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with CodegenFallback {
+  // empty codebooks would be a per-row divide-by-zero on every executor
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pqEncode needs at least one non-empty codebook per subspace")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -341,10 +350,26 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     val dims = vec.numElements()
     val m = books.length
     val subDim = dims / m
+    // decode the vector ONCE per row: the et dispatch + ArrayData accessor
+    // in the centroid loop cost K re-reads per element (K=256 codebooks =
+    // 256x the memory traffic); every sibling expression buffers first
+    val xs = new Array[Double](dims)
+    var vi = 0
+    while (vi < dims) {
+      xs(vi) = et match {
+        case FloatType   => vec.getFloat(vi).toDouble
+        case DoubleType  => vec.getDouble(vi)
+        case IntegerType => vec.getInt(vi).toDouble
+        case LongType    => vec.getLong(vi).toDouble
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+      vi += 1
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
       val book = books(s)
+      val base = s * subDim
       var best = 0
       var bestDist = Double.MaxValue
       var c = 0
@@ -353,14 +378,7 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
         var dist = 0.0
         var d = 0
         while (d < subDim && d < cent.length) {
-          val x = et match {
-            case FloatType   => vec.getFloat(s * subDim + d).toDouble
-            case DoubleType  => vec.getDouble(s * subDim + d)
-            case IntegerType => vec.getInt(s * subDim + d).toDouble
-            case LongType    => vec.getLong(s * subDim + d).toDouble
-            case other => throw new IllegalArgumentException(s"unsupported element type $other")
-          }
-          val diff = x - cent(d)
+          val diff = xs(base + d) - cent(d)
           dist += diff * diff
           d += 1
         }
@@ -536,6 +554,7 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   * row: O(outDims * dims) multiplies, no catalyst-node churn. */
 case class RandomProjectExpr(child: Expression, outDims: Int)
     extends UnaryExpression with CodegenFallback {
+  require(outDims >= 1, s"need outDims >= 1 (got $outDims)")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -593,6 +612,10 @@ case class RandomProjectExpr(child: Expression, outDims: Int)
 }
 
 object sketches {
+  /** The tokenizer's locale-independent case fold, for probe/marker sets
+    * built outside this file (see SketchHash.foldCase). */
+  def foldMarker(s: String): String = SketchHash.foldCase(s)
+
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
 

@@ -26,12 +26,22 @@ case class LangIdExpr(child: Expression, stopwords: Map[String, Seq[String]])
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val langs: Array[String] = stopwords.keys.toArray.sorted
-  // token -> bitmask of language indexes claiming it as a marker
-  @transient private lazy val markerOf: java.util.HashMap[String, Int] = {
-    val m = new java.util.HashMap[String, Int]()
+  @transient private lazy val langs: Array[String] = {
+    val ls = stopwords.keys.toArray.sorted
+    // the per-token membership mask is a Long: beyond 64 languages the
+    // bit 1L << i would alias mod 64 and SILENTLY credit markers to the
+    // wrong language — fail loudly instead (an Int mask aliased at 33)
+    require(ls.length <= 64,
+      s"langId supports at most 64 languages per map, got ${ls.length}")
+    ls
+  }
+  // token -> bitmask of language indexes claiming it as a marker; markers
+  // fold through the SAME case fold the tokenizer applies (foldCase), so a
+  // mixed-case marker cannot silently never-match the lowercased stream
+  @transient private lazy val markerOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
     for (i <- langs.indices; t <- stopwords(langs(i)))
-      m.merge(t, 1 << i, (a, b) => a | b)
+      m.merge(SketchHash.foldCase(t), 1L << i, (a, b) => a | b)
     m
   }
 
@@ -40,11 +50,12 @@ case class LangIdExpr(child: Expression, stopwords: Map[String, Seq[String]])
     val counts = new Array[Int](langs.length)
     var t = 0
     while (t < tokens.length) {
-      val mask = markerOf.getOrDefault(tokens(t), 0)
-      if (mask != 0) {
+      val boxed = markerOf.get(tokens(t))
+      val mask: Long = if (boxed == null) 0L else boxed.longValue()
+      if (mask != 0L) {
         var i = 0
         while (i < langs.length) {
-          if ((mask & (1 << i)) != 0) counts(i) += 1
+          if ((mask & (1L << i)) != 0L) counts(i) += 1
           i += 1
         }
       }
@@ -151,7 +162,7 @@ private[pipeline] object RepetitionCore {
   }
 
   def compute(raw: UTF8String): Stats = {
-    val parts = raw.toString.split("[.!?]", -1)
+    val parts = textExpressions.SentenceSplit.split(raw.toString, -1)
     var nSegs = 0
     var dups = 0
     val seen = new java.util.HashSet[String]()
@@ -570,6 +581,10 @@ object UnicodeNormalizeExpr {
 }
 
 object textExpressions {
+  /** Precompiled sentence-boundary split (String.split would recompile the
+    * regex per row in RepetitionCore's hot loop). */
+  private[pipeline] val SentenceSplit = java.util.regex.Pattern.compile("[.!?]")
+
   def wordNgrams(text: Column, n: Int): Column =
     GraftBridge.column(WordNgramsExpr(GraftBridge.expression(text), n))
 

@@ -74,6 +74,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty.n_bytes === 0L)
   }
 
+  test("hostile BMP header: width*height overflow must not slip the bound check") {
+    // width=height=0x7FFFFFFF wraps rowSize*height negative — the naive
+    // bound check passes and the pixel loop AIOOBEs out of decode()
+    val b = new Array[Byte](54)
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b(0) = 'B'; b(1) = 'M'
+    buf.putInt(10, 54)                 // pixelOffset
+    buf.putInt(18, Int.MaxValue)       // width
+    buf.putInt(22, Int.MaxValue)       // height
+    buf.putShort(28, 24.toShort)       // bpp
+    buf.putInt(30, 0)                  // compression
+    val f = Multimodal.decode(MediaRow(1L, "image/bmp", b))
+    // degraded to byte-level features (no decoded dimensions), not thrown
+    assert(f.n_bytes === 54L && f.width === 0 && f.height === 0)
+    assert(Multimodal.resizeBmp(b, 4) != null) // pass-through, not thrown
+  }
+
+  test("exact-duplicate clusters larger than the bucket cap still pair up") {
+    val s = spark
+    import s.implicits._
+    // 30 identical solid-color thumbnails + cap 10: every band bucket is
+    // oversized, so the approximate tier alone would emit ZERO pairs —
+    // the hash-equality star tier must keep exact dedup complete
+    val bmp = Multimodal.encodeBmp(4, 4, (_, _) => (255, 255, 255))
+    val other = Multimodal.encodeBmp(4, 4, (x, y) => (x * 40, y * 40, 9))
+    val media = ((1L to 30L).map(i => MediaRow(i, "image/bmp", bmp)) :+
+      MediaRow(99L, "image/bmp", other)).toDS()
+    val pairs = Multimodal.imageNearDuplicates(media, maxHamming = 0,
+        maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (2L to 30L).map(i => (1L, i)).toSet,
+      "star pairs: cluster min to every member, nothing for the singleton")
+  }
+
+  test("syntheticMedia: null text degrades to empty media, no NPE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((2L, Option.empty[String]), (4L, Option("hello")))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.syntheticMedia(df, "doc_id", "text")
+      .collect().map(m => m.media_id -> m.media.length).toMap
+    assert(rows.contains(2L) && rows.contains(4L))
+    assert(rows(4L) > 0)
+  }
+
   test("decode and resizeBmp never throw on fuzzed/truncated payloads") {
     val rnd = new scala.util.Random(31)
     val wav = Multimodal.encodeWav(100, 8000, 1, (f, _) => math.sin(f * 0.1))

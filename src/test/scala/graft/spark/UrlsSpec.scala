@@ -8,6 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
 /** URL canonicalization + per-domain curation (round 5). */
 class UrlsSpec extends AnyFunSuite {
 
+  test("urlDedup: URLs normalizing to empty are missing, never 'the same page'") {
+    val s = spark
+    import s.implicits._
+    // "", whitespace, and fragment-only URLs all normalize to "" — grouping
+    // them would collapse every un-URL'd document onto one survivor
+    val df = Seq(
+      (1L, "https://a.example/x"),
+      (2L, "https://a.example/x#frag"), // true duplicate of 1
+      (3L, ""),
+      (4L, "   "),
+      (5L, "#only-a-fragment")).toDF("id", "url")
+    val groups = Urls.urlDedup(df, "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups.size === 1)
+    assert(groups("https://a.example/x") === ((1L, 2L)))
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
