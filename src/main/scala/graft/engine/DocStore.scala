@@ -443,7 +443,11 @@ object DocStore {
       }
       Some((col(PartCol).isin(keep: _*), true))
     case IntrinsicCondition(Intrinsic.Table, sub) =>
-      Some((ConditionCompiler.compileField(sub, col("table"), StringType), true))
+      // compiler rejection (UTF-8/UTF-16 order divergence) => skip pruning
+      // for this branch (None) — the row-level condition still applies, so
+      // the result stays exact, just unpruned
+      try Some((ConditionCompiler.compileField(sub, col("table"), StringType), true))
+      catch { case _: UnsupportedOperationException => None }
     case AndCondition(cs) =>
       val parts = cs.flatMap(prunePredicateEx(_, shards))
       if (parts.isEmpty) None

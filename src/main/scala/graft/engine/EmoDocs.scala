@@ -131,8 +131,15 @@ object EmoDocs {
     val preIntr = Map(
       Intrinsic.Table -> changes("table"),
       Intrinsic.Id -> changes("key"))
+    // a conjunct the compiler rejects (e.g. a comparison literal crossing
+    // the UTF-8/UTF-16 order divergence) is simply dropped from the
+    // pushdown set — the post-fold where() below applies the FULL
+    // condition exactly, so pushdown is an optimization, never required
     val pre = pushable
-      .map(c => ConditionCompiler.compileRow(c, changes, preIntr))
+      .flatMap { c =>
+        try Some(ConditionCompiler.compileRow(c, changes, preIntr))
+        catch { case _: UnsupportedOperationException => None }
+      }
       .foldLeft(lit(true))(_ && _)
     where(graft.resolve.ResolveEngine.resolve(changes.where(pre), placement),
       conditionText)

@@ -232,21 +232,23 @@ object Multimodal {
   def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
     require(maxDim > 0, s"maxDim must be positive: $maxDim")
     val f = features.toDF()
-    // EXACT integer ceil-division, the same rule resizeBmp applies to the
-    // payload: the float formulation ceil(width * (maxDim/longest)) rounds
-    // up past the true ceiling (25×25 at maxDim=7: 25*(7/25.0) =
-    // 7.000000000000001 → planned 8 vs the payload's 7), so planned dims
-    // could disagree with decoded dims. floor of the double quotient is
-    // safe here: an exact multiple divides exactly in IEEE, and a
-    // non-multiple is > 1e-9 away from the next integer (dims < 2^31)
-    // while double error is ~1e-16 relative.
-    val longest = greatest(col("width"), col("height")).cast("long")
-    def planned(dim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(longest <= maxDim, dim.cast("int"))
-        .otherwise(floor((dim.cast("long") * maxDim + longest - lit(1L)) / longest)
-          .cast("int"))
-    f.withColumn("out_width", planned(col("width")))
-      .withColumn("out_height", planned(col("height")))
+    // EXACT integer ceil-division via SQL DIV, the same rule resizeBmp
+    // applies to the payload: the float formulation ceil(width *
+    // (maxDim/longest)) rounds up past the true ceiling (25×25 at
+    // maxDim=7: 25*(7/25.0) = 7.000000000000001 → planned 8 vs the
+    // payload's 7), and routing the long numerator through double `/`
+    // loses bit-parity once dim*maxDim exceeds 2^53. DIV stays in long
+    // arithmetic end to end, so planned dims match the codec at any
+    // magnitude.
+    val withLongest = f.withColumn("__longest",
+      greatest(col("width"), col("height")).cast("long"))
+    def planned(name: String): org.apache.spark.sql.Column =
+      when(col("__longest") <= maxDim, col(name).cast("int"))
+        .otherwise(expr(
+          s"CAST((CAST($name AS BIGINT) * $maxDim + __longest - 1) DIV __longest AS INT)"))
+    withLongest.withColumn("out_width", planned("width"))
+      .withColumn("out_height", planned("height"))
+      .drop("__longest")
   }
 
   /** REAL downsample of a 24-bpp BMP payload: nearest-neighbor resample so

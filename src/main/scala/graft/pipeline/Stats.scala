@@ -26,8 +26,8 @@ import org.apache.spark.sql.types.DecimalType
  */
 object Stats {
 
-  /** Value histogram: one row per distinct value with its count. */
-  /** Value histogram; NULL values are excluded (a null has no place on
+  /** Value histogram: one row per distinct value with its count.
+    * NULL values are excluded (a null has no place on
     * the value axis — SQL percentile/median ignore nulls too; count them
     * separately with `where(valueCol.isNull)` if they need reporting). */
   def histogram(df: DataFrame, valueCol: Column): DataFrame =

