@@ -57,10 +57,8 @@ object Bench {
           (timeKeys ++ rateKeys).map(_ -> -1.0).toMap
         }
       }
-      def merged(key: String, lowerIsBetter: Boolean): Double = {
-        val good = perRep.flatMap(_.get(key)).filter(_ >= 0)
-        if (good.isEmpty) -1.0 else if (lowerIsBetter) good.min else good.max
-      }
+      def merged(key: String, lowerIsBetter: Boolean): Double =
+        mergeReps(perRep.flatMap(_.get(key)), lowerIsBetter)
       timeKeys.foreach { k =>
         if (k == rowName) times += ((k, merged(k, lowerIsBetter = true)))
         else rates += ((k, merged(k, lowerIsBetter = true)))
@@ -189,6 +187,16 @@ object Bench {
       }
     }
     (times.toSeq, rates.toSeq)
+  }
+
+  /** Rep-merge rule for streaming rows (unit-tested in BenchDiffSpec):
+    * failed reps (-1 sentinels) are dropped; the survivors merge as MIN
+    * for times/commit-ms (lower is better — same semantics as the batch
+    * queries' rep-min) and MAX for rates (best rep = steady state, the
+    * cold first rep pays plan/codegen). All-failed => the -1 sentinel. */
+  private[graft] def mergeReps(values: Seq[Double], lowerIsBetter: Boolean): Double = {
+    val good = values.filter(_ >= 0)
+    if (good.isEmpty) -1.0 else if (lowerIsBetter) good.min else good.max
   }
 
   /** True iff ANY path segment is EXACTLY sf0.1 — `sf0.15`/`sf0.125` dirs

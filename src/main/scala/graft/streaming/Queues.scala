@@ -37,8 +37,13 @@ object Queues {
   def sortedView(queue: DataFrame, keyCol: String): DataFrame =
     dedup(queue, keyCol).orderBy(keyCol)
 
-  /** Size estimate, exact up to `limit` (Databus.java:45-57 semantics). */
+  /** Size estimate, exact up to `limit` (Databus.java:45-57 semantics).
+    * Limits past Int.MaxValue-1 clamp to a plain count (the probe-row
+    * trick needs `limit+1` to fit an Int; a count that large is exact
+    * by definition since DataFrame.limit cannot exceed it either). */
   def sizeEstimate(queue: DataFrame, limit: Long): (Long, Boolean) = {
+    require(limit >= 0, s"limit must be non-negative: $limit")
+    if (limit >= Int.MaxValue - 1) return (queue.count(), true)
     val n = queue.limit((limit + 1).toInt).count()
     if (n > limit) (limit, false) else (n, true)
   }

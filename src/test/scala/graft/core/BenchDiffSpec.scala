@@ -71,6 +71,19 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(r3.regressions.map(_.query) === Seq("big"))
   }
 
+  test("streaming rep-merge: min for times, max for rates, sentinel-safe") {
+    // times/commit-ms keep the best (lowest) successful rep
+    assert(graft.Bench.mergeReps(Seq(5.2, 4.8), lowerIsBetter = true) === 4.8)
+    // rates keep the best (highest) — the cold rep pays plan/codegen
+    assert(graft.Bench.mergeReps(Seq(32095.0, 60694.0), lowerIsBetter = false) === 60694.0)
+    // a failed rep's -1 sentinel must not win a min merge
+    assert(graft.Bench.mergeReps(Seq(-1.0, 4.8), lowerIsBetter = true) === 4.8)
+    assert(graft.Bench.mergeReps(Seq(-1.0, 60694.0), lowerIsBetter = false) === 60694.0)
+    // all reps failed => the sentinel survives so the floor check fires
+    assert(graft.Bench.mergeReps(Seq(-1.0, -1.0), lowerIsBetter = false) === -1.0)
+    assert(graft.Bench.mergeReps(Seq.empty, lowerIsBetter = true) === -1.0)
+  }
+
   test("streaming floors apply only to an exact sf0.1 path segment") {
     assert(graft.Bench.isSf01("/root/testdata/sf0.1"))
     assert(graft.Bench.isSf01("/root/testdata/sf0.1/"))

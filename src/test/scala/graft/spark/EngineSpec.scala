@@ -1134,6 +1134,10 @@ class EngineSpec extends AnyFunSuite {
     assert(dedupRows.toSeq === Seq((1L, "m1"), (2L, "m2"), (4L, "m4")))
     assert(Queues.sizeEstimate(q, 3) === ((3L, false)))
     assert(Queues.sizeEstimate(q, 10) === ((5L, true)))
+    // a limit past Int range must not overflow the probe-row .toInt —
+    // it clamps to an exact count instead
+    assert(Queues.sizeEstimate(q, Long.MaxValue) === ((5L, true)))
+    assertThrows[IllegalArgumentException](Queues.sizeEstimate(q, -1))
   }
 
   test("intrinsic timestamps render UTC under ANY session timezone") {
