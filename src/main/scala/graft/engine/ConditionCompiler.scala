@@ -140,7 +140,17 @@ object ConditionCompiler {
             }
           }
           fieldChecks.foldLeft(col.isNotNull)(_ && _)
-        case _ => lit(false) // value must be an object
+        case _: MapType =>
+          // a MapType column IS a JSON object, but per-key lookup with
+          // UNDEFINED-vs-null semantics is not decidable from the static
+          // schema (every key "exists" with a null-or-value). FAIL LOUDLY
+          // like object equality: compiling to constant false silently
+          // dropped every matching row; fallback-capable callers demote
+          // to the parity evaluator
+          throw new UnsupportedOperationException(
+            "map-condition on a MapType column is not natively compilable " +
+              "— evaluate via the parity path (emoCondEval)")
+        case _ => lit(false) // a non-object value never matches {..}
       }
 
     case ContainsCondition(condValues, containment) =>

@@ -72,6 +72,16 @@ object Incremental {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val rowsPerBand = k / bands
+    // a store built with a different k can never match honestly: zip_with
+    // pads the shorter signature with nulls, which count as non-matching
+    // slots, so the estimate silently DEFLATES and near-dups get admitted
+    // — the same silent-degradation trap segmentHashStore guards against
+    // with its recorded seg_size; fail loud here too (3 probe rows, the
+    // store signature length is constant by construction)
+    store.select(size(col("sig")).as("store_k")).limit(3).collect().foreach { r =>
+      require(r.getInt(0) == k,
+        s"store signatures have k=${r.getInt(0)}, query uses k=$k")
+    }
     // both signature tables feed two consumers each (band join + the
     // estimator join); persist them so the k-permutation MinHash and the
     // store scan run once — session-cached on purpose, see the Dedup band

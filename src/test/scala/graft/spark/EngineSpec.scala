@@ -132,6 +132,21 @@ class EngineSpec extends AnyFunSuite {
     assert(checked >= 140, s"too many trees skipped: $checked") // fuzz must bite
   }
 
+  test("map-condition on a MapType column refuses native compile (parity path)") {
+    val s = spark
+    import s.implicits._
+    // a MapType column IS a JSON object: compiling {..} against it to
+    // constant false silently dropped matching rows — it must throw so
+    // fallback-capable callers demote to the exact parity evaluator
+    val df = Seq((1L, Map("a" -> 1L))).toDF("id", "attrs")
+    val cond = graft.condition.Conditions.fromString("""{..,"attrs":{..,"a":1}}""")
+    intercept[UnsupportedOperationException](
+      graft.engine.ConditionCompiler.compileRow(cond, df))
+    // non-object scalar columns still compile (to never-matching), as before
+    val df2 = Seq((1L, 5L)).toDF("id", "attrs")
+    assert(df2.where(graft.engine.ConditionCompiler.compileRow(cond, df2)).count() === 0)
+  }
+
   test("compiled array conditions: null elements and null literals (parity)") {
     val s = spark
     import s.implicits._

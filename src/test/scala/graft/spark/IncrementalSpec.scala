@@ -79,6 +79,20 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDup rejects a store built at a different k (silent deflation)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((1L, "some text here")).toDF("id", "text")
+    // a k=16 store queried at k=32: zip_with pads with nulls that count as
+    // non-matching slots, so the estimate silently deflates and near-dups
+    // slip through — must fail loud like the segSize guard
+    val store16 = Incremental.minhashStore(batch, "id", "text", 3, 16)
+    val err = intercept[IllegalArgumentException] {
+      Incremental.incrementalNearDupHits(batch, "id", "text", store16, k = 32)
+    }
+    assert(err.getMessage.contains("k=16"))
+  }
+
   test("signature estimator tracks exact jaccard on random edits") {
     val s = spark
     import s.implicits._
