@@ -67,7 +67,16 @@ object Bloom {
     require(nItems > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1: $nItems, $fpp")
     val ln2 = math.log(2.0)
     val m = math.max(64L, math.ceil(-(nItems.toDouble * math.log(fpp)) / (ln2 * ln2)).toLong)
-    val words = ((m + 63L) / 64L).toInt
+    val wordsL = (m + 63L) / 64L
+    // the filter is plan-embedded state shipped inside the serialized
+    // expression: past ~1 GiB that is the wrong tool (and past Int words
+    // the allocation would throw NegativeArraySizeException) — fail with
+    // the documented alternative instead
+    require(wordsL <= (1L << 27),
+      s"Bloom bitset would be ${wordsL * 8L} bytes for nItems=$nItems at fpp=$fpp " +
+        "— too large for plan-embedded expression state; use the exact " +
+        "broadcast semi-join instead (false negatives are impossible there too)")
+    val words = wordsL.toInt
     val k = math.max(1, math.round(m.toDouble / nItems.toDouble * ln2).toInt)
     Filter(new Array[Long](words), k)
   }

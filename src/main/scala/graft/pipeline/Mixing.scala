@@ -63,6 +63,10 @@ object Mixing {
     val totals = sourceTokenTotals(df, srcCol, textCol).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val mass = totals.values.map(_.toDouble).sum
+    // all-zero-token corpus: 0/0 would silently yield NaN shares that
+    // propagate into every downstream rate — no mass means no mixture
+    require(totals.isEmpty || mass > 0,
+      s"temperatureShares: corpus has zero tokens across ${totals.size} sources — no mass to scale")
     val raw = totals.map { case (src, toks) =>
       src -> math.pow(toks.toDouble / mass, 1.0 / temperature)
     }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
  * seed plumbing, rerun-stable and join-stable across engines (md5 hex is
  * identical in Spark and SQL engines, so splits are reproducible outside
  * Spark too). Thresholds compare the first hex chars lexically: a fraction
- * f maps to the hex prefix floor(f * 16^k) at width k, giving granularity
+ * f maps to the hex prefix round(f * 16^k) at width k, giving granularity
  * 1/16^k (k=4 → 0.0015%).
  */
 object Sampling {

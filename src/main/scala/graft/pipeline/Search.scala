@@ -151,7 +151,10 @@ object Search {
     val docLen = p0.groupBy("doc_id").agg(sum("tf").as("dl"))
     val scalars = docLen.agg(count(lit(1)).as("n"), sum("dl").as("toks")).head()
     val nDocs = scalars.getLong(0)
-    val avgdl = scalars.getLong(1).toDouble / nDocs.toDouble
+    // empty corpus: sum(dl) is null (getLong would NPE) and avgdl is
+    // meaningless — every downstream frame is empty anyway, so any finite
+    // placeholder yields the correct empty result instead of a crash
+    val avgdl = if (nDocs == 0L) 1.0 else scalars.getLong(1).toDouble / nDocs.toDouble
     val dfTab = p.groupBy("token").agg(count(lit(1)).as("df"))
     val qt = queries
       .select(col(qIdCol).as("query_id"), explode(toks(col(qTextCol))).as("token"))

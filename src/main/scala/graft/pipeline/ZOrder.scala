@@ -34,7 +34,8 @@ import org.apache.spark.sql.types._
 object ZOrder {
 
   /** Bit-interleave already-normalized non-negative int ranks (each
-    * `< 2^bits`) into a Long Morton code. Up to 4 dims at 16 bits. */
+    * `< 2^bits`) into a Long Morton code. Up to 4 dims, with
+    * `bits × dims <= 62` (so 4 dims cap at 15 bits, 3 at 20, 2 at 31). */
   def interleave(ranks: Seq[Column], bits: Int = 16): Column =
     GraftBridge.column(ZOrderExpr(ranks.map(GraftBridge.expression), bits))
 

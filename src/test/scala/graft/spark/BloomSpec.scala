@@ -69,4 +69,14 @@ class BloomSpec extends AnyFunSuite {
       s"bloom probe missing from plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), "exact verify join must remain")
   }
+
+  test("oversized bitset rejects with the broadcast-join pointer, not a JVM error") {
+    // 100B items at 1% fpp needs a ~120 GB bitset: plan-embedded state is
+    // the wrong tool and the raw Int cast would NegativeArraySizeException
+    val err = intercept[IllegalArgumentException](
+      Bloom.empty(100000000000L, 0.01))
+    assert(err.getMessage.contains("broadcast"))
+    // the practical end of the range still builds (10M items ~ 12 MB)
+    assert(Bloom.empty(10000000L, 0.01).bits.length > 0)
+  }
 }

@@ -175,6 +175,14 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK on an empty corpus returns empty, not an NPE") {
+    // sum(dl) over zero docs is SQL NULL — the scalar collect must not
+    // getLong it; the correct answer is simply no candidates
+    val d = docs()
+    val q = queries(10L -> "spark join")
+    assert(Search.bm25TopK(d, q, "id", "text", "qid", "qtext", k = 5).count() === 0)
+  }
+
   test("bm25TopK honors maxDf pruning") {
     val d = docs(corpus: _*)
     val q = queries(10L -> "the spark")
@@ -239,6 +247,22 @@ class SearchSpec extends AnyFunSuite {
     val rates = Mixing.mixRates(d, "source", "text",
       Map("good" -> 0.5, "broken" -> 0.5), budgetTokens = 100L)
     assert(rates.contains("good"))
+  }
+
+  test("temperatureShares rejects a zero-mass corpus instead of NaN shares") {
+    val s = spark
+    import s.implicits._
+    // every source totals zero tokens (all-null texts — note "" counts as
+    // ONE token under the repo tokenizer idiom, matching the oracle):
+    // 0/0 would yield NaN shares that silently poison every mixing rate
+    val d = Seq((1L, "a", null.asInstanceOf[String]),
+        (2L, "b", null.asInstanceOf[String]))
+      .toDF("id", "source", "text")
+    val err = intercept[IllegalArgumentException](
+      Mixing.temperatureShares(d, "source", "text", temperature = 2.0))
+    assert(err.getMessage.contains("zero tokens"))
+    // an EMPTY corpus has no sources at all — empty shares, no crash
+    assert(Mixing.temperatureShares(d.where(lit(false)), "source", "text", 2.0).isEmpty)
   }
 
   test("temperatureShares: T=1 natural, T->inf uniform, monotone flattening") {
