@@ -210,12 +210,15 @@ object Bench {
     * the SF the committed numbers were measured at. End-to-end floors are
     * 60% of committed round artifacts (materializer 19,093 r7; fanout500
     * 11,776 r7): generous against VM noise, tight against a real (≥2×)
-    * regression. The sink floor is 60% of the r9 re-baseline — 60,694
-    * events/s, the LOWER of two consecutive runs of the DETERMINISTIC
-    * harness (60,694/61,776 — 1.02× apart; the r8 floor guarded a bimodal
+    * regression. The sink floor is 60% of the r9 re-baseline — 46,645
+    * events/s, the LOWEST of three consecutive runs of the DETERMINISTIC
+    * harness (60,694 / 61,776 / 46,645 — the first two idle-host, the
+    * third sharing the host with a test run, which is the honest worst
+    * case for a driver-side execution; the r8 floor guarded a bimodal
     * measurement that swung 3.7–27 s on thread timing, and its 16,000 was
     * derived from one lucky mode). The gated value is best-of-reps, which
-    * absorbs the cold first rep (~32–56k observed) by design.
+    * absorbs the cold first rep (~32–56k observed) by design; 60%-of-lowest
+    * still fires on any real ≥2× regression from the ~61k idle-host rate.
     * The FOLD-rate floor is 40% of the LOWER of two
     * consecutive r8 measurements (69,395 and 105,867 rows/s — a 1.5×
     * swing from probe sensitivity alone, after the warmup fix removed the
@@ -232,9 +235,9 @@ object Bench {
       "streaming_fanout500_rows_per_sec" ->
         sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT", "7100").toDouble,
       "streaming_fanout500_sink_rows_per_sec" ->
-        // 36400 = 60% of 60,694 (lower of two consecutive r9 runs of the
-        // deterministic AvailableNow harness), per the rule above
-        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "36400").toDouble,
+        // 27900 = 60% of 46,645 (lowest of three consecutive r9 runs of
+        // the deterministic AvailableNow harness), per the rule above
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR_FANOUT_SINK", "27900").toDouble,
       "streaming_materializer_fold_rows_per_sec" ->
         // 27700 = 40% of the LOWER r8 measurement (69,395), per the rule
         // documented above — not a round 28000 that would sit above it

@@ -77,7 +77,7 @@ class EngineSpec extends AnyFunSuite {
       case 4 => "null"
       case _ => "true"
     }
-    def leaf(): String = rnd.nextInt(9) match {
+    def leaf(): String = rnd.nextInt(13) match {
       case 0 => jl()
       case 1 => s"in(${jl()},${jl()})"
       case 2 => Seq("~", "+", "is(null)", "is(string)", "is(num)",
@@ -87,7 +87,13 @@ class EngineSpec extends AnyFunSuite {
       case 5 => "like(\"*a*\")"
       case 6 => "like(\"name*\")"
       case 7 => s"contains(${jl()})"
-      case _ => s"containsAny(${jl()},${jl()})"
+      case 8 => s"containsAny(${jl()},${jl()})"
+      // the subtlest compiled branches: ALL needs every literal contained
+      // (null members via exists), ONLY adds the array_distinct size count
+      case 9  => s"containsAll(${jl()},${jl()})"
+      case 10 => s"containsOnly(${jl()})"
+      case 11 => s"ge(${rnd.nextInt(10)})"
+      case _  => s"lt(${rnd.nextInt(8)}.5)"
     }
     def fieldCond(): String = {
       val f = fields(rnd.nextInt(fields.size))
