@@ -1008,6 +1008,23 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, minSim = 0.05, maxSim = 0.45)
     },
 
+    // ANN recall audit: exact top-5 vs a genuinely approximate variant
+    // (cosine on the first 48 of 64 dims only — the metric truncation makes
+    // recall < 1 for real, unlike the planted-copy fixtures), reported as
+    // ALL-INTEGER per-query (n_exact, n_hit) so the DuckDB oracle
+    // reproduces the audit bit-exactly. Both rankings ride the same
+    // cross-engine cosine rank agreement every sim_* oracle depends on.
+    "sim_recall" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 48).as("embedding"))
+      val approx = Similarity.bruteForceTopK(
+        sliced, sliced.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(exact, approx, k = 5)
+    },
+
     // curriculum bucketing by document length: 0-based global rank under
     // (n_chars, doc_id) via the distributed two-phase prefix sum, bucket =
     // rank*10 DIV N — all-integer, no ntile edge semantics, no global window
@@ -2967,6 +2984,27 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
         |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
         |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings),
+        |exact AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC) AS rank
+        |    FROM q, c WHERE qid <> nid) WHERE rank <= 5),
+        |approx AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, row_number() OVER (
+        |      PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv[1:48], cv[1:48]) DESC, nid ASC) AS rank
+        |    FROM q, c WHERE qid <> nid) WHERE rank <= 5)
+        |SELECT e.qid AS query_id, count(*) AS n_exact, count(a.nid) AS n_hit
+        |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_pq" ->
       """WITH all_v AS (

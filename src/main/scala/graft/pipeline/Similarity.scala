@@ -725,6 +725,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /**
+   * Recall@k of an approximate ANN result against the exact result — the
+   * standard audit every approximate index (IVF/LSH/PQ/projected) ships
+   * with: before trusting an ANN variant at corpus scale, measure what
+   * fraction of the TRUE top-k it returns on a probe query set.
+   *
+   * Both inputs are (query_id, rank, neighbor_id) frames as produced by
+   * every topK operator here; rows with rank > k are ignored, so a
+   * k'=100 result can be audited at k=10 without recomputation. Output is
+   * one row per query with ALL-INTEGER fields — (query_id, n_exact,
+   * n_hit), recall = n_hit / n_exact — so an external oracle reproduces
+   * the audit bit-exactly (the no-raw-doubles rule); queries with an
+   * empty exact top-k are absent (recall of nothing is undefined).
+   *
+   * Scale shape: both sides are (queries × k)-sized — orders of magnitude
+   * below the corpus by construction — and the hit test is one semi-join
+   * keyed by (query_id, neighbor_id) plus two query-keyed aggregates.
+   * Nothing corpus-sized appears anywhere.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = exact.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val a = approx.where(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** One band's bucket key via builtins (cross-check formulation):
     * planes [band*planes, (band+1)*planes). */
   def lshBucketBand(vecCol: Column, planes: Int, band: Int): Column = {

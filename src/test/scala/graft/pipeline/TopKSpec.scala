@@ -47,4 +47,29 @@ class TopKSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     assert(got === Set(("q1", 1, "c"), ("q1", 2, "a"), ("q2", 1, "a")))
   }
+
+  test("recallAtK: integer per-query audit, rank>k ignored, zero-hit queries kept") {
+    val s = spark
+    import s.implicits._
+    def frame(rows: (Long, Int, Long)*) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    val exact = frame((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+                      (2L, 1, 20L), (2L, 2, 21L),
+                      (3L, 1, 30L))
+    val approx = frame((1L, 1, 11L), (1L, 2, 99L), (1L, 3, 10L),
+                       (2L, 1, 98L), (2L, 2, 97L),
+                       (3L, 1, 30L),
+                       // rank 4 rows on both sides must be IGNORED at k=3
+                       (1L, 4, 12L))
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // q1: exact {10,11,12}, approx<=3 {11,99,10} -> 2 hits of 3
+    // q2: zero overlap -> present with 0 hits (left join, not dropped)
+    // q3: perfect recall 1/1
+    assert(got === Map(1L -> ((3L, 2L)), 2L -> ((2L, 0L)), 3L -> ((1L, 1L))))
+    // auditing a k'=3 result at k=1 uses only the rank-1 rows
+    val at1 = Similarity.recallAtK(exact, approx, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(at1 === Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L)), 3L -> ((1L, 1L))))
+  }
 }
