@@ -1448,6 +1448,33 @@ object SparkEntry {
         .where(col("n_dups") >= 2)
     },
 
+    // dedup-method agreement audit: exact star pairs vs template star
+    // pairs over the same planted corpus — which pairs does digit
+    // normalization ADD (in_b only) and which does each group's canonical
+    // shift (star pairs key on their own group's min id, so the sets are
+    // not nested). All integer/boolean output per the oracle rule.
+    "dedup_agreement" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" version 1")).as("text")))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" version 23")).as("text")))
+        .where(col("text").isNotNull)
+      def star(key: Column): DataFrame = {
+        val keyed = corpus.select(key.as("h"), col("doc_id"))
+        val groups = keyed.groupBy("h")
+          .agg(min("doc_id").as("id1"), count(lit(1)).as("n"))
+          .where(col("n") > 1).select("h", "id1")
+        keyed.join(groups, "h").where(col("doc_id") =!= col("id1"))
+          .select(col("id1"), col("doc_id").as("id2"))
+      }
+      Dedup.pairAgreement(star(md5(col("text"))),
+        star(Dedup.templateKey(col("text"))))
+    },
+
     // snapshot diff between two corpus versions: removed (ids 0-99),
     // modified (100-109, text edited), unchanged (110-399), added (400+)
     "pipeline_snapshot_diff" -> { (s, dir) =>
@@ -3358,6 +3385,26 @@ object SparkEntry {
         |       CAST(length(raw) AS INT) AS raw_len,
         |       CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_agreement" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' version 1'
+        |    FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 2000000, text || ' version 23'
+        |    FROM documents WHERE doc_id < 10),
+        |nn AS (SELECT doc_id, text FROM corpus WHERE text IS NOT NULL),
+        |ek AS (SELECT doc_id, md5(text) AS h FROM nn),
+        |eg AS (SELECT h, min(doc_id) AS id1 FROM ek GROUP BY 1 HAVING count(*) > 1),
+        |ep AS (SELECT DISTINCT eg.id1, ek.doc_id AS id2, TRUE AS in_a
+        |       FROM ek JOIN eg USING (h) WHERE ek.doc_id <> eg.id1),
+        |tk AS (SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS h FROM nn),
+        |tg AS (SELECT h, min(doc_id) AS id1 FROM tk GROUP BY 1 HAVING count(*) > 1),
+        |tp AS (SELECT DISTINCT tg.id1, tk.doc_id AS id2, TRUE AS in_b
+        |       FROM tk JOIN tg USING (h) WHERE tk.doc_id <> tg.id1)
+        |SELECT id1, id2,
+        |       COALESCE(in_a, FALSE) AS in_a, COALESCE(in_b, FALSE) AS in_b
+        |FROM ep FULL OUTER JOIN tp USING (id1, id2)
+        |ORDER BY 1, 2""".stripMargin,
 
     "dedup_template" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

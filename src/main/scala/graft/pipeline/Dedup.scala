@@ -174,6 +174,32 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /**
+   * Agreement audit between two duplicate-pair sets — the method-comparison
+   * report a dedup pipeline runs before switching detectors (MinHash vs
+   * SimHash candidates, exact vs template star pairs): which pairs do both
+   * methods flag, which does only one. Pairs normalize to unordered
+   * (min, max) form and dedupe, so orientation and repetition never skew
+   * the audit. Output: (id1, id2, in_a, in_b) — one row per pair flagged
+   * by EITHER side, all comparisons integer/boolean so an external oracle
+   * reproduces the audit bit-exactly.
+   *
+   * Scale shape: pair lists are capped-bucket outputs, orders of magnitude
+   * below the corpus; the audit is two scan-local normalizations and one
+   * pair-keyed full-outer join. Nothing corpus-sized appears.
+   */
+  def pairAgreement(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    def norm(df: DataFrame, flag: String) = df.select(
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+      .withColumn(flag, lit(true))
+    norm(pairsA, "in_a").join(norm(pairsB, "in_b"), Seq("id1", "id2"), "full_outer")
+      .select(col("id1"), col("id2"),
+        coalesce(col("in_a"), lit(false)).as("in_a"),
+        coalesce(col("in_b"), lit(false)).as("in_b"))
+  }
+
   /** Winnowing fingerprints of a text column (Schleimer et al. 2003, the
     * MOSS algorithm — see [[WinnowExpr]]): sorted distinct selected k-gram
     * hashes at window `w`. ~1/w the storage of the full gram set with the

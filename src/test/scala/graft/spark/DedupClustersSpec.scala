@@ -117,4 +117,19 @@ class DedupClustersSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(1L, 9L))
   }
+
+  test("pairAgreement normalizes orientation and flags each side's exclusives") {
+    val s = spark
+    import s.implicits._
+    // (2,1) reversed + a duplicate row: normalization must collapse both
+    val a = Seq((2L, 1L), (1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val b = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.pairAgreement(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, true, true),   // agreed (after normalizing b's orientation? both 1<2)
+      (3L, 4L, true, false),  // method A only
+      (5L, 6L, false, true))) // method B only
+  }
 }
