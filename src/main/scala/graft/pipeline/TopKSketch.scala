@@ -45,37 +45,78 @@ object TopKSketch {
       SpaceSavingTopK(GraftBridge.expression(c), n, capacity).toAggregateExpression())
 }
 
-/** item -> (count, err) with a bounded counter table. */
+/** item -> (count, err) with a bounded counter table.
+  *
+  * Eviction is O(log capacity) amortized via a LAZY min-heap of
+  * (count, item) snapshots, not an O(capacity) table scan per evicting
+  * row: the scan was invisible below capacity (the exact regime the
+  * oracle pins) but dominated the saturated open-vocabulary regime the
+  * sketch exists for — a capacity-4096 table paid 4096 comparisons for
+  * EVERY distinct-item arrival past saturation. Snapshots go stale when
+  * their item's count moves (or the item is evicted); stale entries are
+  * discarded on pop by validating against the live table, the heap is
+  * rebuilt from the table when it runs empty (also covers deserialize
+  * and merge, which mutate the table directly and just clear the heap),
+  * and compacted when lazy pushes outgrow 8x capacity. Victim selection
+  * is IDENTICAL to the old scan: min count, ties to the LARGER item. */
 final class SpaceSavingBuffer(val capacity: Int) {
   val counts = new java.util.HashMap[String, Array[Long]]() // [count, err]
 
-  private def minEntry(): java.util.Map.Entry[String, Array[Long]] = {
-    var best: java.util.Map.Entry[String, Array[Long]] = null
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (best == null || e.getValue()(0) < best.getValue()(0) ||
-        (e.getValue()(0) == best.getValue()(0) && e.getKey > best.getKey))
-        best = e
+  private val heap = new java.util.PriorityQueue[Array[AnyRef]](
+    (a: Array[AnyRef], b: Array[AnyRef]) => {
+      val c = java.lang.Long.compare(a(0).asInstanceOf[java.lang.Long],
+        b(0).asInstanceOf[java.lang.Long])
+      if (c != 0) c
+      else b(1).asInstanceOf[String].compareTo(a(1).asInstanceOf[String])
+    })
+
+  private def push(count: Long, item: String): Unit = {
+    heap.add(Array[AnyRef](java.lang.Long.valueOf(count), item))
+    if (heap.size > 8 * capacity) rebuildHeap()
+    ()
+  }
+
+  /** Called after direct table mutation (merge/deserialize bypass add). */
+  def invalidateHeap(): Unit = heap.clear()
+
+  private def rebuildHeap(): Unit = {
+    heap.clear()
+    counts.forEach { (k, v) => push(v(0), k) }
+  }
+
+  /** The live minimum entry: pop stale snapshots until the top matches
+    * the table; rebuild if the heap drains (lazy init / post-merge). */
+  private def validMin(): Array[AnyRef] = {
+    while (true) {
+      if (heap.isEmpty) rebuildHeap()
+      val top = heap.peek()
+      val cur = counts.get(top(1).asInstanceOf[String])
+      if (cur != null && cur(0) == top(0).asInstanceOf[java.lang.Long].longValue)
+        return top
+      heap.poll()
     }
-    best
+    throw new IllegalStateException("unreachable")
   }
 
   /** smallest tracked count, 0 while the table is not full — the absent-
     * item bound the merge rule needs. */
   def minCount: Long =
-    if (counts.size < capacity) 0L else minEntry().getValue()(0)
+    if (counts.size < capacity) 0L
+    else validMin()(0).asInstanceOf[java.lang.Long].longValue
 
   def add(item: String, count: Long, err: Long): Unit = {
     val cur = counts.get(item)
-    if (cur != null) { cur(0) += count; cur(1) += err; () }
-    else if (counts.size < capacity) { counts.put(item, Array(count, err)); () }
-    else {
-      val evict = minEntry()
-      val m = evict.getValue()(0)
-      counts.remove(evict.getKey)
+    if (cur != null) { cur(0) += count; cur(1) += err; push(cur(0), item) }
+    else if (counts.size < capacity) {
+      counts.put(item, Array(count, err)); push(count, item)
+    } else {
+      val evict = validMin()
+      val key = evict(1).asInstanceOf[String]
+      val m = counts.get(key)(0)
+      counts.remove(key)
+      heap.poll() // the evicted entry is at the top (validMin peeked it)
       counts.put(item, Array(m + count, m + err))
-      ()
+      push(m + count, item)
     }
   }
 }
@@ -121,6 +162,7 @@ case class SpaceSavingTopK(child: Expression, n: Int, capacity: Int,
     if (other.counts.isEmpty) return buffer
     if (buffer.counts.isEmpty) {
       other.counts.forEach((k, v) => buffer.counts.put(k, v.clone()))
+      buffer.invalidateHeap()
       return buffer
     }
     val mA = buffer.minCount
@@ -150,6 +192,7 @@ case class SpaceSavingTopK(child: Expression, n: Int, capacity: Int,
       buffer.counts.put(e.getKey, e.getValue)
       i += 1
     }
+    buffer.invalidateHeap() // table mutated directly; heap rebuilds lazily
     buffer
   }
 

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.pipeline.TopKSketch
+import graft.pipeline.{SpaceSavingBuffer, TopKSketch}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -67,5 +67,45 @@ class TopKSketchSpec extends AnyFunSuite {
       .select(explode(col("tk")).as("e")).select("e.item", "e.count")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("DIFFERENTIAL: lazy-heap eviction equals the linear-scan rule on saturated streams") {
+    // reference implementation: the original O(capacity) min-scan with the
+    // identical victim rule (min count, ties to the LARGER item) — the
+    // heap-based buffer must produce byte-identical tables on any stream,
+    // including heavy past-capacity churn where every arrival evicts
+    case class Reverse(s: String) extends Ordered[Reverse] {
+      def compare(o: Reverse): Int = o.s.compareTo(s)
+    }
+    def reference(capacity: Int, stream: Seq[String]): Map[String, (Long, Long)] = {
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      stream.foreach { item =>
+        counts.get(item) match {
+          case Some((c, e)) => counts(item) = (c + 1, e)
+          case None if counts.size < capacity => counts(item) = (1L, 0L)
+          case None =>
+            val (vk, (vc, _)) = counts.minBy { case (k, (c, _)) => (c, Reverse(k)) }
+            counts.remove(vk)
+            counts(item) = (vc + 1, vc)
+        }
+      }
+      counts.toMap
+    }
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val cap = 16 + rnd.nextInt(17)
+      // zipf-ish: a few heavy items + a long distinct tail that churns
+      val stream = (1 to 2000).map { i =>
+        if (rnd.nextInt(3) == 0) s"hot${rnd.nextInt(8)}" else s"tail${i}_$trial"
+      }
+      val buf = new SpaceSavingBuffer(cap)
+      stream.foreach(buf.add(_, 1L, 0L))
+      val got = {
+        val b = Map.newBuilder[String, (Long, Long)]
+        buf.counts.forEach((k, v) => b += k -> ((v(0), v(1))))
+        b.result()
+      }
+      assert(got === reference(cap, stream), s"trial $trial cap $cap")
+    }
   }
 }
