@@ -118,11 +118,13 @@ object Claims {
     * "claims now vs after the next TTL window"). `instants` maps an output
     * column name to its probe time; the channel lineage is evaluated once
     * instead of once per instant. */
-  def claimCountsAt(channel: DataFrame, instants: Seq[(String, Long)]): DataFrame =
+  def claimCountsAt(channel: DataFrame, instants: Seq[(String, Long)]): DataFrame = {
+    require(instants.nonEmpty, "claimCountsAt needs at least one probe instant")
     channel.groupBy("subscription")
       .agg(instants.head match { case (name, t) =>
         sum(when(col("claim_until_ms") > t, 1L).otherwise(0L)).cast("long").as(name)
       }, instants.tail.map { case (name, t) =>
         sum(when(col("claim_until_ms") > t, 1L).otherwise(0L)).cast("long").as(name)
       }: _*)
+  }
 }
