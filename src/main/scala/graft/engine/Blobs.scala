@@ -9,25 +9,6 @@ import org.apache.spark.sql.functions._
  * metadata scans never load payload bytes (the source prunes the content
  * column), and ranged gets slice the binary column.
  */
-/** Hadoop Configuration is Writable but not Serializable; this wrapper
-  * (the standard pattern Spark uses internally, re-implemented here
-  * because Spark's own is package-private) carries it to executors via
-  * Java serialization so distributed writes resolve the SAME filesystems
-  * the driver sees (s3a credentials, defaultFS, ...). */
-private[engine] final class SerializableHadoopConf(
-    @transient var value: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new org.apache.hadoop.conf.Configuration(false)
-    value.readFields(in)
-  }
-}
-
 object Blobs {
 
   /** Metadata scan: (path, modificationTime, length) without reading bytes. */
@@ -51,20 +32,22 @@ object Blobs {
     * is the payload, UTF-8) — the blob store put path as a partitioned
     * write, each task writing its own partition's objects (no driver
     * collect). All I/O goes through the Hadoop FileSystem API with the
-    * session's configuration broadcast to executors (same rule as
-    * [[Stash]]'s marker I/O): a java.nio write would land each partition's
+    * session's configuration shipped to executors (same rule as
+    * [[Stash]]'s marker I/O and [[graft.pipeline.Warc.writeWet]]): a
+    * java.nio write would land each partition's
     * objects on that EXECUTOR's local disk — silently scattered on any
     * real cluster — while this path works unchanged on hdfs://, s3a://,
     * or local files. Returns the store dir. */
   def putAll(docs: DataFrame, idCol: String, textCol: String, dir: String): String = {
     val sc = docs.sparkSession.sparkContext
-    val confBc = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    // serializable conf via GraftBridge (same as Warc.writeWet) so every
+    // executor resolves the filesystems the driver sees
+    val conf = org.apache.spark.sql.GraftBridge.serializableConf(sc.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
     base.getFileSystem(sc.hadoopConfiguration).mkdirs(base)
     docs.select(col(idCol).cast("string"), col(textCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(confBc.value.value)
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
         it.foreach { r =>
           val out = fs.create(
             new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".txt"), true)
