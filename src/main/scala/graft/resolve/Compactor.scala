@@ -70,10 +70,6 @@ object Compactor {
     baseDeltas.unionByName(tail)
   }
 
-  /** Targeted compaction: checkpoint ONLY the hot coordinates (log size at
-    * or above `threshold`, i.e. [[skewReport]]'s output), leaving cold logs
-    * untouched — the incremental OPTIMIZE a deployment schedules, touching
-    * a small fraction of the data instead of rewriting every log. */
   /**
    * Compaction keeping the audit trail: the prefix deltas a compaction
    * replaces are archived to a history DataFrame with an expiry — the
@@ -103,6 +99,10 @@ object Compactor {
     (compact(changes, cutoffMs, placement), history)
   }
 
+  /** Targeted compaction: checkpoint ONLY the hot coordinates (log size at
+    * or above `threshold`, i.e. [[skewReport]]'s output), leaving cold logs
+    * untouched — the incremental OPTIMIZE a deployment schedules, touching
+    * a small fraction of the data instead of rewriting every log. */
   def compactHot(changes: DataFrame, cutoffMs: Long, threshold: Long,
                  placement: String = "default"): DataFrame = {
     val hot = changes.groupBy(col("table"), col("key"))
