@@ -1556,4 +1556,27 @@ class EngineSpec extends AnyFunSuite {
       s0.update("t", "k", Deltas.literal(JString("scalar")), atMs = 1L)
     }
   }
+
+  test("blob putAll writes every object readable through the blob scan") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_blob_put_spec_${System.nanoTime()}"
+    val docs = (1 to 37).map(i => (i.toLong, s"payload-$i-héllo\n" * i))
+      .toDF("doc_id", "text").repartition(4)
+    Blobs.putAll(docs, "doc_id", "text", dir)
+    val back = Blobs.read(s, dir, "*.txt")
+      .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(back.size === 37)
+    for (i <- 1 to 37) assert(back(i.toLong) === s"payload-$i-héllo\n" * i)
+    // overwrite put: a second putAll with different payloads fully replaces
+    val docs2 = (1 to 37).map(i => (i.toLong, s"v2-$i")).toDF("doc_id", "text")
+    Blobs.putAll(docs2, "doc_id", "text", dir)
+    val back2 = Blobs.read(s, dir, "*.txt")
+      .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(back2.size === 37 && back2(5L) === "v2-5")
+  }
 }
