@@ -133,4 +133,90 @@ class DeltaEvalSpec extends AnyFunSuite {
     assert(eval("..", JUndefined) === JUndefined)
     assert(eval("..", JLong(5)) === JLong(5))
   }
+
+  // --- predicate properties over RAW (non-normalized) delta trees ---
+  // isConstant feeds Deltas.buildMap's constant folding and neverDeletes
+  // its deleteIfEmpty dropping; a wrong answer there silently rewrites a
+  // user's delta into one with different semantics, so both predicates are
+  // checked against the evaluator itself on random raw ASTs.
+
+  private def rawJValue(r: scala.util.Random, depth: Int): JValue =
+    r.nextInt(if (depth <= 0) 5 else 7) match {
+      case 0 => JNull
+      case 1 => JBool(r.nextBoolean())
+      case 2 => JLong(r.nextInt(20) - 10)
+      case 3 => JDouble(r.nextInt(7) * 0.5)
+      case 4 => JString(Seq("", "a", "b", "if", "~")(r.nextInt(5)))
+      case 5 => JArr(Vector.fill(r.nextInt(3))(rawJValue(r, depth - 1)))
+      case _ => JObj(Seq.fill(r.nextInt(3))(
+        Seq("k1", "k2", "k3")(r.nextInt(3)) -> rawJValue(r, depth - 1)).toMap)
+    }
+
+  private def rawDelta(r: scala.util.Random, depth: Int): Delta =
+    r.nextInt(if (depth <= 0) 3 else 6) match {
+      case 0 => DeleteDelta
+      case 1 => NoopDelta
+      case 2 => Literal(rawJValue(r, 2))
+      case 3 => MapDelta( // raw constructor: no buildMap normalization
+        Seq.fill(r.nextInt(3))(
+          Seq("k1", "k2", "k3")(r.nextInt(3)) -> rawDelta(r, depth - 1)).toMap,
+        removeRest = r.nextBoolean(), deleteIfEmpty = r.nextBoolean())
+      case 4 => SetDelta(
+        Seq.fill(r.nextInt(3))(rawJValue(r, 1)).toSet,
+        Seq.fill(r.nextInt(2))(rawJValue(r, 1)).toSet,
+        removeRest = r.nextBoolean(), deleteIfEmpty = r.nextBoolean())
+      case _ => ConditionalDelta(
+        graft.condition.Conditions.fromString(
+          Seq("+", "~", "is(num)", "is(object)", "gt(0)", """{..,"k1":+}""")(r.nextInt(6))),
+        rawDelta(r, depth - 1), rawDelta(r, depth - 1))
+    }
+
+  private def probeInputs(r: scala.util.Random): Seq[JValue] =
+    JUndefined +: Seq.fill(12)(rawJValue(r, 2))
+
+  test("FUZZ: isConstant deltas evaluate identically on every input") {
+    for (seed <- 1 to 400) {
+      val r = new scala.util.Random(seed)
+      val d = rawDelta(r, 3)
+      if (d.isConstant) {
+        val expected = DeltaEvaluator.eval(d, JUndefined)
+        for (in <- probeInputs(r))
+          assert(DeltaEvaluator.eval(d, in) === expected, s"delta: $d input: $in")
+      }
+    }
+  }
+
+  test("FUZZ: neverDeletes deltas never evaluate to UNDEFINED") {
+    var checked = 0
+    for (seed <- 1 to 400) {
+      val r = new scala.util.Random(seed * 7 + 3)
+      val d = rawDelta(r, 3)
+      if (Deltas.neverDeletes(d)) {
+        checked += 1
+        for (in <- probeInputs(r))
+          assert(DeltaEvaluator.eval(d, in) !== JUndefined, s"delta: $d input: $in")
+      }
+    }
+    assert(checked >= 50, s"fuzz must bite: $checked")
+  }
+
+  test("FUZZ: set-delta results are always sorted and deduplicated") {
+    for (seed <- 1 to 400) {
+      val r = new scala.util.Random(seed * 13 + 1)
+      val d = SetDelta(
+        Seq.fill(r.nextInt(4))(rawJValue(r, 1)).toSet,
+        Seq.fill(r.nextInt(3))(rawJValue(r, 1)).toSet,
+        removeRest = r.nextBoolean(), deleteIfEmpty = r.nextBoolean())
+      for (in <- probeInputs(r)) {
+        DeltaEvaluator.eval(d, in) match {
+          case JArr(items) =>
+            val sorted = items.sorted(JValue.CrossTypeOrdering)
+            assert(items === sorted, s"unsorted: $d on $in")
+            assert(items.distinct === items, s"dupes: $d on $in")
+          case JUndefined => assert(d.deleteIfEmpty, s"undefined without ?: $d")
+          case other => fail(s"set delta produced $other")
+        }
+      }
+    }
+  }
 }
