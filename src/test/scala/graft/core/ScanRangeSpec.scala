@@ -74,4 +74,32 @@ class ScanRangeSpec extends AnyFunSuite {
     assert(ScanRange.compareHex("80", "7f") > 0)
     intercept[IllegalArgumentException](ScanRange.compareHex("abc", "ab"))
   }
+
+  test("FUZZ: intersection agrees with brute-force key membership") {
+    // model check over every endpoint pair from a boundary-heavy pool:
+    // for each probe key, membership in intersection(A, B) must equal
+    // membership in A AND membership in B. The r8 wrap-intersection bug
+    // (wrapped ranges with one empty piece returning empty for real
+    // intersections) is exactly the class this refutes.
+    val pool = Vector(ScanRange.MinHex, "00", "01", "40", "7f", "80",
+      "c0", "fe", "ff", "8000", "ff" + "00", ScanRange.MaxHex)
+    val probes = Vector("", "00", "0000", "01", "3f", "40", "4001", "7f",
+      "80", "8000", "80ff", "c0", "fdff", "fe", "ff", "ff00", "ffff",
+      "ff" * 8, "ff" * 8 + "fe")
+    var nonEmpty = 0
+    for (lf <- pool; lt <- pool; rf <- pool; rt <- pool) {
+      val a = ScanRange(lf, lt); val b = ScanRange(rf, rt)
+      val parts = ScanRange.intersection(a, b)
+      if (parts.nonEmpty) nonEmpty += 1
+      for (k <- probes) {
+        val expected = a.contains(k) && b.contains(k)
+        assert(parts.exists(_.contains(k)) === expected,
+          s"$a intersect $b = $parts wrong at key '$k' (expected $expected)")
+      }
+      // structural sanity: results are disjoint (no probe in two pieces)
+      for (k <- probes)
+        assert(parts.count(_.contains(k)) <= 1, s"$a intersect $b overlaps at '$k'")
+    }
+    assert(nonEmpty >= 1000, s"fuzz must bite: $nonEmpty non-empty intersections")
+  }
 }
