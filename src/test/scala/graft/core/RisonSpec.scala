@@ -63,6 +63,32 @@ class RisonSpec extends AnyFunSuite {
     strings.foreach { s => assert(Rison.encode(Rison.decode(s)) === s) }
   }
 
+  test("FUZZ: random JValues roundtrip through encode/decode") {
+    // hostile strings drive the ! escape pair and the bare-id/quoted split;
+    // numbers cover the long/double re-classification boundary
+    val pool = Vector("", "bare", "needs space", "!", "'", "!!", "!'", "a!b",
+      "it's!", "true", "null", "(", ")", ":", ",", "a:b,c", "héllo", "😀",
+      "\n\t", "\u0000", "0", "-1", "1.5", "mixed'!(quote")
+    val longs = Vector(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val doubles = Vector(0.5, -1.5, 0.1, 1e-7, 1.5e300, 123456.789)
+    def gen(r: scala.util.Random, depth: Int): JValue =
+      r.nextInt(if (depth <= 0) 5 else 7) match {
+        case 0 => JNull
+        case 1 => JBool(r.nextBoolean())
+        case 2 => JLong(longs(r.nextInt(longs.size)))
+        case 3 => JDouble(doubles(r.nextInt(doubles.size)))
+        case 4 => JString(pool(r.nextInt(pool.size)))
+        case 5 => JArr(Vector.fill(r.nextInt(3))(gen(r, depth - 1)))
+        case _ => obj(Seq.fill(r.nextInt(3))(
+          pool(r.nextInt(pool.size)) -> gen(r, depth - 1)): _*)
+      }
+    for (seed <- 1 to 800) {
+      val v = gen(new scala.util.Random(seed), 3)
+      val enc = Rison.encode(v)
+      assert(Rison.decode(enc) === v, s"seed=$seed roundtrip of <$enc>")
+    }
+  }
+
   test("O-Rison: object body without parens, empty string = empty object") {
     val audit = obj("comment" -> JString("initial write"),
       "host" -> JString("emodb-01"), "~sor" -> JBool(true))
