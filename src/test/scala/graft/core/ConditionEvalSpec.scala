@@ -203,4 +203,37 @@ class ConditionEvalSpec extends AnyFunSuite {
     assert(eval(s"partition(8:$p)", JNull, intrinsics))
     assert(!eval(s"partition(8:${p % 8 + 1})", JNull, intrinsics))
   }
+
+  test("FUZZ: glob matcher agrees with a regex model") {
+    // the segment-scan matcher (anchored head/tail + greedy leftmost middle
+    // segments) is hand-optimized; a differential against the obviously
+    // correct regex translation refutes it across the full small-alphabet
+    // space, including the overlap traps (middle segment eating into the
+    // anchored tail) and escape handling
+    import graft.condition.LikeCondition
+    val patternAtoms = Vector("a", "b", "*", "\\*", "\\\\", "\\a")
+    def regexFor(pattern: String): java.util.regex.Pattern = {
+      val u = LikeCondition.unescape(pattern) // same unescaping; model only the scan
+      val sb = new StringBuilder("^")
+      for (i <- u.chars.indices)
+        sb.append(if (u.isWildcard(i)) ".*"
+                  else java.util.regex.Pattern.quote(u.chars(i).toString))
+      java.util.regex.Pattern.compile(sb.append("$").toString)
+    }
+    val rnd = new scala.util.Random(909)
+    var mismatches = 0
+    for (_ <- 1 to 4000) {
+      val pattern = Vector.fill(rnd.nextInt(5))(
+        patternAtoms(rnd.nextInt(patternAtoms.size))).mkString
+      val s = Vector.fill(rnd.nextInt(7))(
+        Seq("a", "b", "*", "\\")(rnd.nextInt(4))).mkString
+      val got = LikeCondition(pattern).matches(s)
+      val expected = regexFor(pattern).matcher(s).matches()
+      if (got != expected) {
+        mismatches += 1
+        fail(s"glob <$pattern> on <$s>: matcher=$got regex=$expected")
+      }
+    }
+    assert(mismatches === 0)
+  }
 }
