@@ -78,4 +78,40 @@ class JsonCoreSpec extends AnyFunSuite {
     assert(Seq(d, c, b, a).sorted === Seq(a, b, c, d))
     assert(TimeUuid.parse(a.toString) === a)
   }
+
+  test("FUZZ: CrossTypeOrdering satisfies the comparator contract") {
+    // every sorted set delta and printed value set goes through a TreeSet
+    // over this ordering — an antisymmetry or transitivity violation
+    // corrupts them silently. Longs stay within +-2^53: past that, the
+    // reference's own rule (LiteralImpl.java:107 — mixed numeric pairs
+    // compare as doubles) makes distinct longs compare equal to one double,
+    // a DELIBERATE parity choice this engine reproduces; inside 2^53 the
+    // contract must hold exactly.
+    val ord = JValue.CrossTypeOrdering
+    val pool = Vector("", "a", "b", "ab", "z")
+    def gen(r: scala.util.Random, depth: Int): JValue =
+      r.nextInt(if (depth <= 0) 6 else 8) match {
+        case 0 => JNull
+        case 1 => JBool(r.nextBoolean())
+        case 2 => JLong(r.nextLong() >> 11) // within +-2^53
+        case 3 => JDouble(math.floor(r.nextDouble() * 100) / 4.0)
+        case 4 => JLong(r.nextInt(8))
+        case 5 => JDouble(r.nextInt(8))     // integral doubles collide with longs
+        case 6 => JArr(Vector.fill(r.nextInt(3))(gen(r, depth - 1)))
+        case _ => JObj(Seq.fill(r.nextInt(3))(
+          pool(r.nextInt(pool.size)) -> gen(r, depth - 1)).toMap)
+      }
+    def sgn(i: Int) = Integer.signum(i)
+    for (seed <- 1 to 3000) {
+      val r = new scala.util.Random(seed)
+      val a = gen(r, 2); val b = gen(r, 2); val c = gen(r, 2)
+      assert(ord.compare(a, a) === 0, s"irreflexive: $a")
+      assert(sgn(ord.compare(a, b)) === -sgn(ord.compare(b, a)), s"asym: $a vs $b")
+      if (ord.compare(a, b) <= 0 && ord.compare(b, c) <= 0)
+        assert(ord.compare(a, c) <= 0, s"transitivity: $a <= $b <= $c")
+      // equality consistency: compare==0 must behave like an equivalence
+      if (ord.compare(a, b) == 0 && ord.compare(b, c) == 0)
+        assert(ord.compare(a, c) === 0, s"equiv: $a == $b == $c")
+    }
+  }
 }
