@@ -1360,6 +1360,23 @@ object SparkEntry {
           evalSet, "doc_id", "text", n = 5, jaccardNum = 3, jaccardDen = 10)
     },
 
+    // embedding-space decontamination: eval set = the first 10 corpus
+    // vectors; the corpus additionally carries planted COPIES of the first
+    // 5 under new ids, so the flag set is genuinely mixed (eval identity
+    // hits + similarity hits on ids the eval set never saw) — broadcast
+    // nested-loop left-semi, no shuffle
+    "decon_semantic" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val evalSet = emb.where(col("vec_id") < 10).select(col("embedding"))
+      Decontaminate.semanticContaminatedIds(corpus, "vec_id", "embedding",
+          evalSet, "embedding", tau = 0.995)
+        .select(col("contaminated_id").cast("long").as("contaminated_id"))
+        .orderBy("contaminated_id")
+    },
+
     // CCNet-style corpus-global segment dedup WITH reconstruction: disjoint
     // 5-token windows hashed corpus-wide, windows seen in >= 2 distinct docs
     // dropped, documents re-assembled from survivors — the planted copies of
@@ -3236,6 +3253,15 @@ object SparkEntry {
         |SELECT doc_id AS contaminated_id, eval_doc_id,
         |       CAST(n_inter AS BIGINT) AS n_inter, CAST(n_union AS BIGINT) AS n_union
         |FROM r WHERE rn = 1 ORDER BY contaminated_id""".stripMargin,
+
+    "decon_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |c AS (SELECT vec_id, e FROM base
+        |      UNION ALL SELECT vec_id + 1000000, e FROM base WHERE vec_id < 5),
+        |ev AS (SELECT e FROM base WHERE vec_id < 10)
+        |SELECT DISTINCT c.vec_id AS contaminated_id FROM c JOIN ev
+        |  ON list_cosine_similarity(c.e, ev.e) >= 0.995
+        |ORDER BY contaminated_id""".stripMargin,
 
     "text_seg_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents

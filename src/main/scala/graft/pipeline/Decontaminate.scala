@@ -159,6 +159,49 @@ object Decontaminate {
   }
 
   /**
+   * Embedding-space decontamination — the semantic companion to the
+   * n-gram detectors: corpus documents whose embedding reaches cosine
+   * `tau` against ANY eval-set embedding are flagged, catching the
+   * paraphrased/translated/reformatted leakage that exact n-gram overlap
+   * misses (and that modern eval suites worry about most).
+   *
+   * Scale shape: eval suites are benchmark-sized (10² – 10⁵ items), so the
+   * eval side is BROADCAST and the check is one scan-local pass over the
+   * corpus — a broadcast nested-loop left-semi with |corpus| × |eval|
+   * codegen'd dot products and NO shuffle; the corpus side streams, only
+   * ids survive. For an eval side too large to broadcast, pre-bucket both
+   * sides (coarse k-means cells via [[Similarity.ivfBuild]], or
+   * [[Dedup.signCluster]]) and run the same test per cell — the
+   * [[Dedup.semanticDedup]] shape.
+   *
+   * Zero-norm embeddings (failed embedder outputs) score 0.0 and never
+   * flag, matching [[Similarity.cosine]]'s contract. Output: the distinct
+   * flagged ids as `contaminated_id`.
+   */
+  def semanticContaminatedIds(corpus: DataFrame, idCol: String, embCol: String,
+                              evalSet: DataFrame, evalEmbCol: String,
+                              tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val evalVecs = evalSet.select(col(evalEmbCol).as("__eval_vec"))
+    corpus.select(col(idCol), col(embCol))
+      .join(broadcast(evalVecs),
+        Similarity.cosine(col(embCol), col("__eval_vec")) >= tau, "left_semi")
+      .select(col(idCol).as("contaminated_id")).distinct()
+  }
+
+  /** Drop semantically contaminated documents: [[semanticContaminatedIds]]
+    * as a left-anti filter over the corpus (pass the corpus frame already
+    * joined with its embeddings, or a narrow (id, embedding) projection and
+    * re-join wide columns by id downstream). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
+                            evalSet: DataFrame, evalEmbCol: String,
+                            tau: Double): DataFrame = {
+    val bad = semanticContaminatedIds(corpus, idCol, embCol, evalSet, evalEmbCol, tau)
+      .select(col("contaminated_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Canary-string detection — the benchmark-suite variant of
    * decontamination: eval suites embed long random GUID "canary" strings
    * (the BIG-bench convention) precisely so corpus builders can grep for

@@ -41,6 +41,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L))
   }
 
+  test("semantic decontamination flags cosine>=tau against any eval vector") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // exact eval copy
+      (2L, Array(0.99f, 0.14f, 0.0f)),  // cos ~0.990 vs eval1 — below tau
+      (3L, Array(0.0f, 1.0f, 0.0f)),    // matches eval2 exactly
+      (4L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal to both
+      (5L, Array(2.0f, 0.02f, 0.0f)),   // cos ~0.99995 vs eval1 — scale-invariant
+      (6L, Array(0.0f, 0.0f, 0.0f)))    // zero-norm: scores 0, never flags
+      .toDF("id", "emb")
+    val evalSet = Seq(
+      Tuple1(Array(1.0f, 0.0f, 0.0f)),
+      Tuple1(Array(0.0f, 1.0f, 0.0f))).toDF("emb")
+    val flagged = Decontaminate.semanticContaminatedIds(
+        corpus, "id", "emb", evalSet, "emb", tau = 0.995)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 3L, 5L))
+    val kept = Decontaminate.semanticDecontaminate(
+        corpus, "id", "emb", evalSet, "emb", tau = 0.995)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 6L))
+  }
+
   test("decontaminate minHits requires that many distinct shared n-grams") {
     val evalSet = docs((0L, "alpha beta gamma delta epsilon zeta"))
     val corpus = docs(
