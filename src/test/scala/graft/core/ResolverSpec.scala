@@ -116,4 +116,18 @@ class ResolverSpec extends AnyFunSuite {
     r.update(cid(2), Deltas.fromString("""if intrinsic("~table":"tbl") then {..,"y":2} end"""), Set.empty)
     assert(r.result().content === JsonCodec.parse("""{"x":1,"y":2}"""))
   }
+
+  test("FUZZ: ISO-8601 intrinsic timestamps roundtrip epoch millis exactly") {
+    // the ~firstUpdateAt/~lastUpdateAt/~lastMutateAt wire strings must be
+    // loss-free: a conditional delta comparing them re-parses the format
+    val rnd = new scala.util.Random(1212)
+    val edges = Seq(0L, 1L, -1L, 999L, 1000L, -999L,
+      253402300799999L /* 9999-12-31T23:59:59.999Z */, -62135596800000L)
+    val samples = edges ++ Seq.fill(2000)(math.abs(rnd.nextLong()) % 253402300799999L)
+    samples.foreach { ms =>
+      val s = Iso8601.format(ms)
+      assert(Iso8601.parseMs(s) === ms, s"roundtrip of $ms via <$s>")
+      assert(s.endsWith("Z") && s.charAt(10) == 'T', s"shape: <$s>")
+    }
+  }
 }
