@@ -138,6 +138,67 @@ class EngineSpec extends AnyFunSuite {
     assert(checked >= 140, s"too many trees skipped: $checked") // fuzz must bite
   }
 
+  test("FUZZ: compiled conditions match parity on UNICODE data and literals") {
+    val s = spark
+    import s.implicits._
+    import graft.json._
+    // the ASCII fuzz above never crosses the UTF-8/UTF-16 order divergence
+    // (chars >= U+0080, and the demote-to-parity path for literals >=
+    // U+D800); this variant puts surrogate pairs, combining marks and
+    // boundary code points in BOTH the data and the condition literals
+    val uniPool = Vector("a", "\u00e9", "e\u0301", "\u00c9lan", "\ud83d\ude00",
+      "\ud7ff", "z\uffff", "\ud83d\ude00tail", "ascii", "\u07ff\u0800")
+    val rnd = new scala.util.Random(777)
+    val rows = (1L to 40L).map { i =>
+      (i,
+        if (i % 7 == 0) null else uniPool((i % uniPool.size).toInt),
+        Seq.tabulate((i % 4).toInt)(j => uniPool(((i + j) % uniPool.size).toInt)))
+    }
+    val df = rows.toDF("id", "name", "tags")
+    def lit(): String = {
+      val sl = uniPool(rnd.nextInt(uniPool.size))
+      "\"" + sl.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      } + "\""
+    }
+    def leaf(): String = rnd.nextInt(8) match {
+      case 0 => lit()
+      case 1 => s"in(${lit()},${lit()})"
+      case 2 => s"gt(${lit()})"
+      case 3 => s"le(${lit()})"
+      case 4 => s"contains(${lit()})"
+      case 5 => s"containsAny(${lit()},${lit()})"
+      case 6 => "like(\"*é*\")"
+      case _ => "like(\"😀*\")"
+    }
+    def fieldCond(): String = {
+      val f = Seq("name", "tags")(rnd.nextInt(2))
+      s"""{..,"$f":${if (rnd.nextBoolean()) leaf() else s"not(${leaf()})"}}"""
+    }
+    def rowJson(r: org.apache.spark.sql.Row): JValue = JObj(Map(
+      "id" -> JLong(r.getLong(0)),
+      "name" -> (if (r.isNullAt(1)) JNull else JString(r.getString(1))),
+      "tags" -> JArr(r.getSeq[String](2).map(JString(_)).toVector)))
+    val collected = df.collect()
+    var checked = 0
+    for (_ <- 1 to 200) {
+      val text = (1 to 2).map(_ => fieldCond()).mkString("or(", ",", ")")
+      val cond = Conditions.fromString(text)
+      val compiled =
+        try Some(df.where(graft.engine.ConditionCompiler.compileRow(cond, df))
+          .select("id").collect().map(_.getLong(0)).toSet)
+        catch { case _: UnsupportedOperationException => None } // demote = legit
+      compiled.foreach { ids =>
+        checked += 1
+        val expected = collected.filter(r =>
+          graft.condition.ConditionEvaluator.eval(cond, rowJson(r)))
+          .map(_.getLong(0)).toSet
+        assert(ids === expected, s"condition: $text")
+      }
+    }
+    assert(checked >= 100, s"fuzz must bite: $checked") // demotes can't eat the run
+  }
+
   test("map-condition on a MapType column refuses native compile (parity path)") {
     val s = spark
     import s.implicits._
