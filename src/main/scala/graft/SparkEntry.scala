@@ -1025,6 +1025,51 @@ object SparkEntry {
       Similarity.recallAtK(exact, approx, k = 5)
     },
 
+    // standing recall gates on the REAL ANN indexes (VERDICT r9 #3): the
+    // planted-copy fixtures prove plumbing (recall 1 by construction), so a
+    // bucket-cap or plane-count regression would pass every other gate.
+    // Here the production lshTopK/ivfPqTopK run un-planted against exact
+    // brute force at k=10 and the CORPUS-WIDE hit count is gated against a
+    // committed integer floor. The approximate side is deterministic
+    // (fixed hyperplanes / Lloyd-from-fixed-seeds) but not re-derivable in
+    // SQL, so the oracle pins the exact-derivable bookkeeping (n_queries,
+    // n_exact_total) plus the floor VERDICT as a literal: a recall drop
+    // below floor flips recall_ok to false Spark-side and the row
+    // hash-mismatches. Floors are measured-with-margin: LSH(planes=5,
+    // bands=32, cap=20000) measured 91/100 hits at sf0.01 and 96/100 at
+    // sf0.1 — floor 70; IVFPQ(16 cells, nProbe=8, rerank=256) measured
+    // 77/100 and 68/100 — floor 50. Either fires on any ~1.4×+ hit drop
+    // (e.g. nProbe halved: measured 34/100) while clearing host/SF drift.
+    "sim_recall_lsh" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, planes = 5, bands = 32, maxBucketSize = 20000)
+      Similarity.recallAtK(exact, approx, k = 10)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_exact").as("n_exact_total"),
+          lit(70L).as("recall_floor"),
+          (sum("n_hit") >= 70L).as("recall_ok"))
+    },
+
+    "sim_recall_ivfpq" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val (centroids, _) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val index = Similarity.ivfPqIndex(emb, "vec_id", "embedding", centroids, books)
+      val approx = Similarity.ivfPqTopK(centroids, books, index, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 256)
+      Similarity.recallAtK(exact, approx, k = 10)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_exact").as("n_exact_total"),
+          lit(50L).as("recall_floor"),
+          (sum("n_hit") >= 50L).as("recall_ok"))
+    },
+
     // curriculum bucketing by document length: 0-based global rank under
     // (n_chars, doc_id) via the distributed two-phase prefix sum, bucket =
     // rank*10 DIV N — all-integer, no ntile edge semantics, no global window
@@ -3049,6 +3094,25 @@ object SparkEntry {
         |SELECT e.qid AS query_id, count(*) AS n_exact, count(a.nid) AS n_hit
         |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The approximate side (hyperplane LSH / trained IVF-PQ) is not
+    // SQL-re-derivable; the oracle pins the exact-derivable bookkeeping and
+    // the committed floor verdict — a Spark-side recall regression flips
+    // recall_ok to false and hash-mismatches (floors documented at the
+    // query definition).
+    "sim_recall_lsh" ->
+      """SELECT count(*) AS n_queries,
+        |       10 * count(*) AS n_exact_total,
+        |       CAST(70 AS BIGINT) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_recall_ivfpq" ->
+      """SELECT count(*) AS n_queries,
+        |       10 * count(*) AS n_exact_total,
+        |       CAST(50 AS BIGINT) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "sim_pq" ->
       """WITH all_v AS (

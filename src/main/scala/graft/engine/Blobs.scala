@@ -60,8 +60,16 @@ object Blobs {
             // scatters across executors either way — that is a property of
             // the scheme on a multi-node cluster, not of the write API.
             val dirPath = local.pathToFile(base).toPath
+            // fs.create auto-creates parents on the Hadoop branch; match it
+            // here — the driver-side mkdirs never ran on THIS machine for a
+            // multi-node file:// deployment, and ids containing '/' need
+            // their own parent chain. createDirectories is idempotent.
+            java.nio.file.Files.createDirectories(dirPath)
             it.foreach { r =>
-              java.nio.file.Files.write(dirPath.resolve(r.getString(0) + ".txt"),
+              val target = dirPath.resolve(r.getString(0) + ".txt")
+              if (target.getParent != dirPath)
+                java.nio.file.Files.createDirectories(target.getParent)
+              java.nio.file.Files.write(target,
                 r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             }
           case fs =>

@@ -240,15 +240,20 @@ object Multimodal {
     // loses bit-parity once dim*maxDim exceeds 2^53. DIV stays in long
     // arithmetic end to end, so planned dims match the codec at any
     // magnitude.
-    val withLongest = f.withColumn("__longest",
+    // staging column must not collide with (and silently drop) a column the
+    // caller already carries — pick the first free __longest[_N] name
+    val lcol = Iterator.from(0)
+      .map(i => if (i == 0) "__longest" else s"__longest_$i")
+      .find(n => !f.columns.contains(n)).get
+    val withLongest = f.withColumn(lcol,
       greatest(col("width"), col("height")).cast("long"))
     def planned(name: String): org.apache.spark.sql.Column =
-      when(col("__longest") <= maxDim, col(name).cast("int"))
+      when(col(lcol) <= maxDim, col(name).cast("int"))
         .otherwise(expr(
-          s"CAST((CAST($name AS BIGINT) * $maxDim + __longest - 1) DIV __longest AS INT)"))
+          s"CAST((CAST($name AS BIGINT) * $maxDim + `$lcol` - 1) DIV `$lcol` AS INT)"))
     withLongest.withColumn("out_width", planned("width"))
       .withColumn("out_height", planned("height"))
-      .drop("__longest")
+      .drop(lcol)
   }
 
   /** REAL downsample of a 24-bpp BMP payload: nearest-neighbor resample so

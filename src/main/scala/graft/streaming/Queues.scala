@@ -38,12 +38,16 @@ object Queues {
     dedup(queue, keyCol).orderBy(keyCol)
 
   /** Size estimate, exact up to `limit` (Databus.java:45-57 semantics).
-    * Limits past Int.MaxValue-1 clamp to a plain count (the probe-row
-    * trick needs `limit+1` to fit an Int; a count that large is exact
-    * by definition since DataFrame.limit cannot exceed it either). */
+    * Limits past Int.MaxValue-1 fall back to a plain count (the probe-row
+    * trick needs `limit+1` to fit an Int), but the contract is unchanged:
+    * a count that still exceeds the near-2^31 limit — count() returns
+    * Long — reports (limit, false) exactly like the probe path. */
   def sizeEstimate(queue: DataFrame, limit: Long): (Long, Boolean) = {
     require(limit >= 0, s"limit must be non-negative: $limit")
-    if (limit >= Int.MaxValue - 1) return (queue.count(), true)
+    if (limit >= Int.MaxValue - 1) {
+      val n = queue.count()
+      return (math.min(n, limit), n <= limit)
+    }
     val n = queue.limit((limit + 1).toInt).count()
     if (n > limit) (limit, false) else (n, true)
   }
