@@ -111,6 +111,38 @@ object SparkEntry {
       path
     })
 
+  /** The audit-first composed Curation.run shared by pipeline_curation3 /
+    * pipeline_curation3_agree (one fixture, two gated projections): docs
+    * joined to embeddings, exact copies (+1e6) and token-reversed copies
+    * (+2e6, same SimHash token bag) for doc_id < 10, MinHash near-dedup at
+    * 0.995 with the SimHash agreement audit (hamming 0), then
+    * semantic-only decon (tau 0.995 vs the vec_id < 5 eval embeddings,
+    * deconGram off — the eval frame has no text column). */
+  private def curation3(s: SparkSession, dir: String): graft.pipeline.Curation.Result = {
+    import graft.pipeline.Curation
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
+    val emb = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val base = docs.join(emb, Seq("doc_id"))
+    val seeds = base.where(col("doc_id") < 10)
+    val planted = base
+      .unionByName(seeds.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("embedding")))
+      .unionByName(seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"),
+        col("embedding")))
+    val evalSet = Tables.read(s, dir, "embeddings")
+      .where(col("vec_id") < 5).select(col("embedding"))
+    Curation.run(planted, "doc_id", "text",
+      Curation.Config(exactDedup = false, nearDupThreshold = Some(0.995),
+        requireQuality = false, requireRepetitionOk = false,
+        dedupAgreement = Some(Curation.AgreementConfig(simhashBands = 4, maxHamming = 0)),
+        semanticDecon = Some(Curation.SemanticDeconConfig("embedding", "embedding", tau = 0.995)),
+        deconGram = false),
+      evalSet = Some(evalSet), trackFunnel = false, trackDrops = true)
+  }
+
   /** Output-ordering policy: queries do NOT end in a global orderBy unless
     * ordering IS the operator's contract (scan_page, timeline_*,
     * sort_topk, catalog_list_tables). The driver's compare canonicalizes
@@ -1278,6 +1310,36 @@ object SparkEntry {
           langs = Set("en")),
         trackFunnel = false, trackDrops = true)
       res.drops.get.orderBy("doc_id")
+    },
+
+    // the audit-first composed run (VERDICT r9 #4): one Curation.run call
+    // exercising the three r9 trust reports through the one-call driver —
+    // MinHash near-dedup WITH the SimHash agreement audit, then
+    // semantic-only decontamination (deconGram=false switches the gram
+    // modes off; the eval frame carries embeddings, not text). Fixture:
+    // docs joined to their embeddings; exact copies (+1e6 — caught by
+    // MinHash, SimHash, and semantic decon) and token-REVERSED copies
+    // (+2e6 — same token bag, so SimHash fingerprints them identically,
+    // while their 3-shingles diverge: the in_b-only disagreement class).
+    // This query returns the drops frame: copies die at near_dedup (plus
+    // any natural jaccard>=0.995 pair, oracle-computed), then survivors
+    // whose embedding reaches cosine>=0.995 against the vec_id<5 eval set
+    // die at decon_semantic (originals 0-4 and their reversed twins —
+    // reversal preserves the embedding, the exact copies are already gone).
+    "pipeline_curation3" -> { (s, dir) =>
+      curation3(s, dir).drops.get.orderBy("doc_id", "stage")
+    },
+
+    // the agreement audit from the same composed run, restricted to the
+    // planted id lattice (natural SimHash collisions are real but not
+    // SF-pinnable — dedup_simhash precedent): per planted doc the report
+    // must show the copy pair in BOTH methods and the two reversed-twin
+    // pairs in SimHash only, with in_a oracle-derived from true Jaccard
+    "pipeline_curation3_agree" -> { (s, dir) =>
+      curation3(s, dir).audits("dedup_agreement")
+        .where(col("id1") % 1000000L === col("id2") % 1000000L &&
+          col("id1") % 1000000L < 10 && col("id2") >= 1000000L)
+        .orderBy("id1", "id2")
     },
 
     // table metadata catalog: create/template/drop as a folded system-table
@@ -4260,6 +4322,65 @@ object SparkEntry {
         |WHERE dd.doc_id IS NULL
         |   OR d.doc_id NOT IN (SELECT doc_id FROM pass)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Both curation3 oracles COMPUTE the near-dup rule (true 3-shingle
+    // Jaccard >= 0.995 — the dedup_minhash recall-1 regime) and the
+    // semantic rule (list_cosine_similarity >= 0.995 — the decon_semantic
+    // pattern); only SimHash candidacy of the planted identical-token-bag
+    // pairs is construction-pinned (the dedup_simhash precedent).
+    "pipeline_curation3" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, text, emb FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text, emb FROM base WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' '),
+        |    emb FROM base WHERE doc_id < 10),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS s
+        |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |             FROM corpus) WHERE len(toks) >= 3),
+        |near_drop AS (
+        |  SELECT DISTINCT r.doc_id FROM sh l, sh r
+        |  WHERE l.doc_id < r.doc_id
+        |    AND CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(l.s, r.s))) >= 0.995),
+        |ev AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 5),
+        |sem_drop AS (
+        |  SELECT DISTINCT c.doc_id FROM corpus c JOIN ev
+        |    ON list_cosine_similarity(c.emb, ev.emb) >= 0.995
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM near_drop))
+        |SELECT doc_id, 'near_dedup' AS stage FROM near_drop
+        |UNION ALL SELECT doc_id, 'decon_semantic' AS stage FROM sem_drop
+        |ORDER BY doc_id, stage""".stripMargin,
+
+    "pipeline_curation3_agree" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ')
+        |  FROM base WHERE doc_id < 10),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS s
+        |       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |             FROM corpus) WHERE len(toks) >= 3),
+        |lattice AS (
+        |  SELECT CAST(i AS BIGINT) AS id1, CAST(i + 1000000 AS BIGINT) AS id2 FROM range(10) t(i)
+        |  UNION ALL SELECT CAST(i AS BIGINT), CAST(i + 2000000 AS BIGINT) FROM range(10) t(i)
+        |  UNION ALL SELECT CAST(i + 1000000 AS BIGINT), CAST(i + 2000000 AS BIGINT) FROM range(10) t(i))
+        |SELECT p.id1, p.id2,
+        |  (CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(l.s, r.s))) >= 0.995) AS in_a,
+        |  TRUE AS in_b
+        |FROM lattice p JOIN sh l ON p.id1 = l.doc_id JOIN sh r ON p.id2 = r.doc_id
+        |ORDER BY id1, id2""".stripMargin,
 
     "graph_pagerank" -> {
       // three unrolled integer PageRank iterations; '//' is DuckDB floor

@@ -47,6 +47,37 @@ object Curation {
     * page gates drop the doc. See [[C4Rules]]. */
   final case class C4Config(minWords: Int = 5, minLines: Int = 3)
 
+  /** Embedding-space decontamination — the "semantic" position of the
+    * decon-mode switch (exact / bloom / fuzzy gate on token overlap; this
+    * gates on meaning, catching paraphrased leaks no n-gram rule sees).
+    * Requires `embCol` on the input frame and `evalEmbCol` on `evalSet`;
+    * drops any doc whose embedding reaches cosine >= `tau` against ANY
+    * eval embedding. Composes with the gram modes — both run when both
+    * are configured. See [[Decontaminate.semanticDecontaminate]]. */
+  final case class SemanticDeconConfig(embCol: String, evalEmbCol: String,
+                                       tau: Double)
+
+  /** Dedup-method agreement audit: when the MinHash near-dup stage runs,
+    * ALSO run SimHash candidates (hamming <= `maxHamming`, `simhashBands`
+    * band buckets) over the SAME pool and emit the
+    * [[Dedup.pairAgreement]] (id1, id2, in_a, in_b) report as
+    * `Result.audits("dedup_agreement")` — the method-comparison evidence a
+    * pipeline reviews before trusting (or switching) its detector. */
+  final case class AgreementConfig(simhashBands: Int = 4, maxHamming: Int = 3)
+
+  /** ANN-backed near-dup over an embedding column (LSH-bucketed cosine
+    * pairs at `threshold`, [[Similarity.embeddingNearDuplicates]]), with an
+    * optional standing recall audit: when `recallAuditQueries` > 0, the
+    * `recallAuditQueries` smallest ids are re-queried both exactly and
+    * through the same LSH bucketing, and the per-query
+    * [[Similarity.recallAtK]] report (query_id, n_exact, n_hit) lands in
+    * `Result.audits("ann_recall")` — so a plane/band/cap change that
+    * silently degrades the index shows up in the run's own artifact. */
+  final case class EmbNearDupConfig(embCol: String, threshold: Double,
+                                    planes: Int = 16, bands: Int = 8,
+                                    recallAuditQueries: Int = 0,
+                                    recallAuditK: Int = 10)
+
   final case class Config(
       extractHtml: Boolean = false,                // HTML-to-text before any text op
       c4Rules: Option[C4Config] = None,            // C4 line/page gates (post-URL stage)
@@ -76,6 +107,10 @@ object Curation {
       scrubPii: Boolean = false,                   // redact instead of dropping
       langs: Set[String] = Set.empty,              // empty = keep all languages
       decontaminationN: Int = 13,
+      deconGram: Boolean = true,                   // run the token-overlap decon
+                                                   // stage when evalSet is present
+                                                   // (exact/bloom/fuzzy modes);
+                                                   // false = semantic-only decon
       bloomDecontamination: Boolean = false,       // scan-local bloom prefilter path
       fuzzyDeconThreshold: Option[(Int, Int)] = None, // (num, den): Jaccard >= num/den
                                                    // fuzzy rule instead of any-shared-gram
@@ -86,14 +121,24 @@ object Curation {
       packBudget: Option[Long] = None,             // emit seq_id when set
       shards: Option[ShardConfig] = None,          // emit shard/pos when set
       fixMojibake: Boolean = false,                // charset-repair rewrite (pre-C4)
-      blocklist: Option[BlocklistConfig] = None)   // badwords gate (with `gates`)
+      blocklist: Option[BlocklistConfig] = None,   // badwords gate (with `gates`)
+      semanticDecon: Option[SemanticDeconConfig] = None, // embedding-space decon
+      dedupAgreement: Option[AgreementConfig] = None,    // MinHash-vs-SimHash report
+      embNearDup: Option[EmbNearDupConfig] = None) // ANN near-dup (+recall audit)
 
   /** C4-style badwords gate: drop docs whose blocked-token rate exceeds
     * `maxPermille` (integer math — no float thresholds). */
   final case class BlocklistConfig(words: Seq[String], maxPermille: Int = 150)
 
+  /** `audits`: the standing trust reports the run emitted alongside its
+    * output (dedup_agreement / ann_recall as configured) — materialized
+    * EAGERLY at build time, same localCheckpoint reasoning as `drops`:
+    * audit frames are parameter-sized (pair lists, per-query recall rows),
+    * and a lazy plan would re-run the whole upstream pipeline when read
+    * after the stage caches advance. */
   final case class Result(docs: DataFrame, stageCounts: Seq[(String, Long)],
-                          drops: Option[DataFrame] = None)
+                          drops: Option[DataFrame] = None,
+                          audits: Map[String, DataFrame] = Map.empty)
 
   /** Runs the configured stages over (idCol, textCol); `evalSet` enables
     * decontamination. With `trackFunnel` each stage's surviving-row count
@@ -124,6 +169,7 @@ object Curation {
           trackDrops: Boolean = false): Result = {
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val dropParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val audits = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     var persisted: Option[DataFrame] = None
     var df = input
     def stage(name: String, next: DataFrame): DataFrame = {
@@ -236,6 +282,19 @@ object Curation {
       df = stage("exact_dedup", Dedup.dropExactDuplicates(df, textCol, idCol))
     cfg.nearDupThreshold.foreach { t =>
       val pairs = Dedup.minhashNearDuplicates(df, idCol, textCol, threshold = t)
+      // agreement audit BEFORE the drop, over the same pool the detector
+      // saw: SimHash candidates at the configured hamming radius vs the
+      // MinHash pairs that are about to decide survivors. Eager
+      // localCheckpoint — pair lists are capped-bucket outputs (tiny), and
+      // a lazy audit read after the stage caches advance would replay the
+      // whole upstream pipeline.
+      cfg.dedupAgreement.foreach { a =>
+        val sim = Dedup.simhashCandidates(df, idCol, textCol, bands = a.simhashBands)
+          .where(col("hamming") <= a.maxHamming)
+          .select("id1", "id2")
+        audits += "dedup_agreement" ->
+          Dedup.pairAgreement(pairs.select("id1", "id2"), sim).localCheckpoint()
+      }
       val kept = cfg.nearDupKeepBest match {
         case Some(scoreCol) =>
           // quality-aware survivor: each cluster keeps its best-scored
@@ -247,6 +306,28 @@ object Curation {
         case None => Dedup.dropNearDuplicates(df, pairs, idCol)
       }
       df = stage("near_dedup", kept)
+    }
+    // ANN-backed near-dup on embeddings (catches paraphrases MinHash's
+    // lexical shingles miss), with its recall audit taken BEFORE the drop
+    // so the report reflects the pool the index actually served
+    cfg.embNearDup.foreach { e =>
+      require(df.columns.contains(e.embCol),
+        s"embNearDup requires column '${e.embCol}' on the input frame")
+      if (e.recallAuditQueries > 0) {
+        val emb = df.select(col(idCol), col(e.embCol))
+        // deterministic bounded sample: the N smallest ids (a top-N, never
+        // a global sort of the corpus)
+        val queries = emb.orderBy(col(idCol)).limit(e.recallAuditQueries)
+        val exact = Similarity.bruteForceTopK(emb, queries, idCol, e.embCol,
+          k = e.recallAuditK)
+        val approx = Similarity.lshTopK(emb, queries, idCol, e.embCol,
+          k = e.recallAuditK, planes = e.planes, bands = e.bands)
+        audits += "ann_recall" ->
+          Similarity.recallAtK(exact, approx, e.recallAuditK).localCheckpoint()
+      }
+      val pairs = Similarity.embeddingNearDuplicates(df, idCol, e.embCol,
+        e.threshold, preBucket = Some(true), planes = e.planes, bands = e.bands)
+      df = stage("emb_near_dedup", Dedup.dropNearDuplicates(df, pairs, idCol))
     }
     // data-derived length threshold: the corpus's own p-quantile token
     // count (histogram-first, so deriving it is not a corpus sort). Only
@@ -282,7 +363,10 @@ object Curation {
       df = stage("gates", df.where(gates.reduce(_ && _)))
     if (cfg.scrubPii && !cfg.dropPii)
       df = stage("pii_scrub", df.withColumn(textCol, TextClean.scrub(col(textCol))))
-    evalSet.foreach { ev =>
+    // the decon-mode switch: gram-based modes (exact default, bloom, fuzzy)
+    // run below when deconGram is on; the semantic mode is its own stage
+    // after this block. All compose — they catch independent leak channels.
+    if (cfg.deconGram) evalSet.foreach { ev =>
       val cleaned =
         if (cfg.fuzzyDeconThreshold.isDefined) {
           val (num, den) = cfg.fuzzyDeconThreshold.get
@@ -306,6 +390,17 @@ object Curation {
         } else Decontaminate.decontaminate(df, idCol, textCol,
           ev, textCol, n = cfg.decontaminationN)
       df = stage("decontaminated", cleaned)
+    }
+    // semantic decon after the gram-based mode (both run when both are
+    // configured — token overlap and meaning are independent leak
+    // channels); eval embeddings broadcast, the corpus never shuffles
+    cfg.semanticDecon.foreach { sd =>
+      require(df.columns.contains(sd.embCol),
+        s"semanticDecon requires column '${sd.embCol}' on the input frame")
+      val ev = evalSet.getOrElse(throw new IllegalArgumentException(
+        "semanticDecon requires evalSet (with its embedding column)"))
+      df = stage("decon_semantic", Decontaminate.semanticDecontaminate(
+        df, idCol, sd.embCol, ev, sd.evalEmbCol, sd.tau))
     }
     // target-conditioned selection after the hygiene stages: DSIR picks
     // from the cleaned pool, so junk can't ride in on a high domain score.
@@ -386,6 +481,6 @@ object Curation {
         dropParts.foreach(_.unpersist())
         Some(u)
       } else None
-    Result(df, counts.toSeq, drops = drops)
+    Result(df, counts.toSeq, drops = drops, audits = audits.toMap)
   }
 }

@@ -58,6 +58,48 @@ object BenchDiff {
       curTotal = cur.values.filter(_ >= 0).sum)
   }
 
+  final case class RepDisagreement(key: String, reps: Seq[Double], ratio: Double)
+
+  /** Intra-run rep-disagreement advisory (the r8 bimodality signature —
+    * e.g. the driver's r9 sink reps of 51 s vs 13 s): Bench emits every
+    * streaming measurement per-rep as `<key>_repN`; any base key whose
+    * successful reps disagree by more than `ratioFlag`× is surfaced as its
+    * own advisory category — NOT a regression and NOT a gate (best-of-reps
+    * stays the headline), but the one-artifact signal that a measurement
+    * was bimodal and the merged value sits on the lucky mode. `minVal`
+    * suppresses sub-noise pairs (two sub-0.3 s timings disagreeing by 4×
+    * are both noise; every rows/s key clears it trivially). Failed-rep
+    * sentinels (-1) are excluded — a crash is failedCur's business. */
+  def repDisagreements(streaming: Map[String, Double], ratioFlag: Double = 3.0,
+                       minVal: Double = 0.3): Seq[RepDisagreement] = {
+    val repPat = "^(.*)_rep(\\d+)$".r
+    streaming.toSeq
+      .collect { case (repPat(base, i), v) => (base, i.toInt, v) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (base, entries) =>
+        val ordered = entries.sortBy(_._2).map(_._3)
+        val good = ordered.filter(_ >= 0)
+        if (good.size < 2 || good.max < minVal) None
+        else {
+          val ratio = good.max / math.max(good.min, 1e-9)
+          if (ratio > ratioFlag) Some(RepDisagreement(base, ordered, ratio))
+          else None
+        }
+      }
+  }
+
+  /** Reads the "streaming" map out of a Bench JSON line file (empty when
+    * the artifact predates the streaming section). */
+  def readStreaming(path: String): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+    val st = root.get("streaming")
+    if (st == null || !st.isObject) return Map.empty
+    val b = Map.newBuilder[String, Double]
+    st.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    b.result()
+  }
+
   /** Reads the "queries" map out of a Bench JSON line file. */
   def readQueries(path: String): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -73,16 +115,20 @@ object BenchDiff {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def render(r: Report, prevPath: String, curPath: String,
-             ratioFlag: Double, minSecs: Double): String = {
+             ratioFlag: Double, minSecs: Double,
+             repDis: Seq[RepDisagreement] = Seq.empty): String = {
     def rowJson(x: Row) =
       f"""{"query":${esc(x.query)},"prev_sec":${x.prev}%.3f,"cur_sec":${x.cur}%.3f,"ratio":${x.ratio}%.2f}"""
     def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
+    def repJson(d: RepDisagreement) =
+      f"""{"key":${esc(d.key)},"reps":${d.reps.map(v => f"$v%.3f").mkString("[", ",", "]")},"ratio":${d.ratio}%.2f}"""
     s"""{"prev":${esc(prevPath)},"cur":${esc(curPath)},
        |"rule":{"ratio_flag":$ratioFlag,"min_secs":$minSecs,"abs_allowance_secs":$minSecs},
        |"ok":${r.regressions.isEmpty && r.failedCur.isEmpty},
        |"prev_total_sec":${f"${r.prevTotal}%.1f"},"cur_total_sec":${f"${r.curTotal}%.1f"},
        |"regressions":${r.regressions.map(rowJson).mkString("[", ",", "]")},
        |"improvements":${r.improvements.map(rowJson).mkString("[", ",", "]")},
+       |"rep_disagreement":${repDis.map(repJson).mkString("[", ",", "]")},
        |"added":${arr(r.added)},"removed":${arr(r.removed)},
        |"failed_prev":${arr(r.failedPrev)},"failed_cur":${arr(r.failedCur)}}""".stripMargin
   }
@@ -94,9 +140,12 @@ object BenchDiff {
     val ratioFlag = sys.env.getOrElse("SPARK_GRAFT_DIFF_RATIO", "2.0").toDouble
     val minSecs = sys.env.getOrElse("SPARK_GRAFT_DIFF_MIN_SECS", "0.3").toDouble
     val r = diff(readQueries(prevPath), readQueries(curPath), ratioFlag, minSecs)
-    val json = render(r, prevPath, curPath, ratioFlag, minSecs)
+    val repDis = repDisagreements(readStreaming(curPath))
+    val json = render(r, prevPath, curPath, ratioFlag, minSecs, repDis)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
+    repDis.foreach(d => System.err.println(
+      f"[benchdiff] REP DISAGREEMENT (advisory): ${d.key} reps ${d.reps.mkString("/")} (${d.ratio}%.1fx)"))
     if (r.regressions.nonEmpty || r.failedCur.nonEmpty) {
       System.err.println(s"[benchdiff] ${r.regressions.size} regression(s), " +
         s"${r.failedCur.size} failed row(s) — see $outPath")

@@ -100,5 +100,69 @@ class BenchDiffSpec extends AnyFunSuite {
     val root = mapper.readTree(json)
     assert(root.get("ok").asBoolean())
     assert(root.get("regressions").size() === 0)
+    assert(root.get("rep_disagreement").size() === 0)
+  }
+
+  test("intra-run rep disagreement surfaces as its own advisory") {
+    // the driver's r9 sink pattern: reps 51s vs 13s inside ONE artifact
+    val streaming = Map(
+      "streaming_fanout500_sink_rep1" -> 51.0,
+      "streaming_fanout500_sink_rep2" -> 13.0,
+      // agreeing reps stay quiet (1.07x — the judge's idle-host signature)
+      "streaming_fanout500_sink_rows_per_sec_rep1" -> 46000.0,
+      "streaming_fanout500_sink_rows_per_sec_rep2" -> 49000.0,
+      // non-rep keys are never grouped
+      "streaming_fanout500_sink" -> 13.0)
+    val d = BenchDiff.repDisagreements(streaming)
+    assert(d.map(_.key) === Seq("streaming_fanout500_sink"))
+    assert(d.head.reps === Seq(51.0, 13.0))
+    assert(math.abs(d.head.ratio - 51.0 / 13.0) < 1e-9)
+  }
+
+  test("rep advisory ignores sub-noise pairs and failed-rep sentinels") {
+    // two sub-0.3s timings disagreeing 4x are both noise
+    assert(BenchDiff.repDisagreements(
+      Map("x_rep1" -> 0.05, "x_rep2" -> 0.2)).isEmpty)
+    // a -1 sentinel is failedCur's business, not a disagreement; the one
+    // surviving rep has nothing to disagree with
+    assert(BenchDiff.repDisagreements(
+      Map("x_rep1" -> -1.0, "x_rep2" -> 20.0)).isEmpty)
+    // rates disagreeing >3x DO flag (they clear minVal trivially)
+    val d = BenchDiff.repDisagreements(
+      Map("y_rows_per_sec_rep1" -> 9000.0, "y_rows_per_sec_rep2" -> 46000.0))
+    assert(d.map(_.key) === Seq("y_rows_per_sec"))
+  }
+
+  test("rep advisory lands in the rendered JSON without flipping ok") {
+    val r = BenchDiff.diff(Map("a" -> 1.0), Map("a" -> 1.1))
+    val dis = BenchDiff.repDisagreements(Map("s_rep1" -> 51.0, "s_rep2" -> 13.0))
+    val json = BenchDiff.render(r, "p.json", "c.json", 2.0, 0.3, dis)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(root.get("ok").asBoolean())  // advisory, not a gate
+    assert(root.get("rep_disagreement").size() === 1)
+    assert(root.get("rep_disagreement").get(0).get("key").asText() === "s")
+    assert(root.get("rep_disagreement").get(0).get("reps").size() === 2)
+  }
+
+  test("sink floor scales with the io calibration; CPU floors do not") {
+    val rates = Seq(
+      "streaming_materializer_rows_per_sec" -> 17000.0,
+      "streaming_materializer_fold_rows_per_sec" -> 78000.0,
+      "streaming_fanout500_rows_per_sec" -> 11000.0,
+      "streaming_materializer_commit_ms" -> 900.0,
+      // the driver's contended r9 value: below the absolute 27,900 floor
+      // but healthy for a host whose write capacity measured ~5x degraded
+      "streaming_fanout500_sink_rows_per_sec" -> 7833.0)
+    // idle host (scale 1.0): the absolute floor fires as before
+    assert(graft.Bench.floorViolations(rates, "/root/testdata/sf0.1", 1.0)
+      .exists(_.startsWith("streaming_fanout500_sink_rows_per_sec")))
+    // contended host at the 0.2 clamp: floor 5,580 — the row clears, and
+    // no CPU-bound floor moved (they'd fire identically at any scale)
+    assert(graft.Bench.floorViolations(rates, "/root/testdata/sf0.1", 0.2).isEmpty)
+    // a genuine collapse still gates even at the clamp
+    val dead = rates.map { case (k, v) =>
+      if (k == "streaming_fanout500_sink_rows_per_sec") (k, 4000.0) else (k, v) }
+    assert(graft.Bench.floorViolations(dead, "/root/testdata/sf0.1", 0.2)
+      .exists(_.startsWith("streaming_fanout500_sink_rows_per_sec")))
   }
 }
