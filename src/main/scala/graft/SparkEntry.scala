@@ -118,7 +118,8 @@ object SparkEntry {
     * 0.995 with the SimHash agreement audit (hamming 0), then
     * semantic-only decon (tau 0.995 vs the vec_id < 5 eval embeddings,
     * deconGram off — the eval frame has no text column). */
-  private def curation3(s: SparkSession, dir: String): graft.pipeline.Curation.Result = {
+  private def curation3(s: SparkSession, dir: String,
+                        trackDrops: Boolean = true): graft.pipeline.Curation.Result = {
     import graft.pipeline.Curation
     val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
       .where(col("text").isNotNull)
@@ -140,7 +141,7 @@ object SparkEntry {
         dedupAgreement = Some(Curation.AgreementConfig(simhashBands = 4, maxHamming = 0)),
         semanticDecon = Some(Curation.SemanticDeconConfig("embedding", "embedding", tau = 0.995)),
         deconGram = false),
-      evalSet = Some(evalSet), trackFunnel = false, trackDrops = true)
+      evalSet = Some(evalSet), trackFunnel = false, trackDrops = trackDrops)
   }
 
   /** Output-ordering policy: queries do NOT end in a global orderBy unless
@@ -1336,7 +1337,8 @@ object SparkEntry {
     // must show the copy pair in BOTH methods and the two reversed-twin
     // pairs in SimHash only, with in_a oracle-derived from true Jaccard
     "pipeline_curation3_agree" -> { (s, dir) =>
-      curation3(s, dir).audits("dedup_agreement")
+      // drops machinery off: this projection reads only the audit report
+      curation3(s, dir, trackDrops = false).audits("dedup_agreement")
         .where(col("id1") % 1000000L === col("id2") % 1000000L &&
           col("id1") % 1000000L < 10 && col("id2") >= 1000000L)
         .orderBy("id1", "id2")
