@@ -269,8 +269,9 @@ object Bench {
     * is DERIVED (total − batches × probed commit), so probe noise moves
     * it far more than the end-to-end rows; 40%-of-lower still catches the
     * fold-only ≥3× regression an end-to-end floor would miss behind a
-    * commit-time improvement. */
-  /** @param ioScale host-write-capacity scale from [[ioCalibrationRowsPerSec]]
+    * commit-time improvement.
+    *
+    * @param ioScale host-write-capacity scale from [[ioCalibrationRowsPerSec]]
     *   vs the committed idle-host baseline, clamped to [0.2, 1.0] by the
     *   caller. Scales ONLY the sink floor — the one disk-bound row; the
     *   clamp's 1.0 cap keeps the committed absolute floor as the idle-host

@@ -1311,8 +1311,8 @@ class CurationOpsSpec extends AnyFunSuite {
         semanticDecon = Some(Curation.SemanticDeconConfig("emb", "emb", tau = 0.995)),
         deconGram = false),  // eval frame has no text column: gram mode must not run
       evalSet = Some(evalSet), trackDrops = true)
-    // near-dedup dropped the exact copy; semantic decon dropped BOTH eval-2
-    // matches (3 carries eval-orthogonal emb? no — 3's emb IS eval2: dropped)
+    // near-dedup dropped the exact copy; semantic decon dropped both docs
+    // whose embedding IS the eval vector (3 and 5); 4 sits at cos ~0.98 < tau
     assert(res.docs.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
     val drops = res.drops.get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(drops === Map(2L -> "near_dedup", 3L -> "decon_semantic", 5L -> "decon_semantic"))
