@@ -144,6 +144,22 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(root.get("rep_disagreement").get(0).get("reps").size() === 2)
   }
 
+  test("readStreaming parses the artifact's streaming map; absent map reads empty") {
+    val withMap = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.write(withMap,
+      """{"metric":"total","value":1.0,"queries":{"a":1.0},
+        |"streaming":{"s_rep1":51.0,"s_rep2":13.0,"s":13.0},
+        |"host":{"loadavg_1m":2.2}}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val m = BenchDiff.readStreaming(withMap.toString)
+    assert(m === Map("s_rep1" -> 51.0, "s_rep2" -> 13.0, "s" -> 13.0))
+    assert(BenchDiff.repDisagreements(m).map(_.key) === Seq("s"))
+    // pre-r9 artifacts carry no streaming map: empty, not an error
+    val without = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.write(without,
+      """{"metric":"total","value":1.0,"queries":{"a":1.0}}""".getBytes("UTF-8"))
+    assert(BenchDiff.readStreaming(without.toString) === Map.empty)
+  }
+
   test("sink floor scales with the io calibration; CPU floors do not") {
     val rates = Seq(
       "streaming_materializer_rows_per_sec" -> 17000.0,

@@ -1356,4 +1356,55 @@ class CurationOpsSpec extends AnyFunSuite {
     val q0 = audit.find(_.getLong(0) === 0L).get
     assert(q0.getLong(2) >= 1L, "planted identical twin missed by the LSH audit path")
   }
+
+  test("PROPERTY: Curation drops partition the input — disjoint from survivors, " +
+      "exhaustive, single-attributed, stage names legal") {
+    import graft.pipeline.Curation
+    val s = spark
+    import s.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "plain", "prose", "words", "here")
+    val rnd = new scala.util.Random(42)
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    // 60 docs: varied lengths, some exact dups, some near-dups (95% shared
+    // prefix), a few PII carriers and short stubs
+    val base = (0L until 40L).map { i =>
+      val t = sentence(12 + rnd.nextInt(30))
+      (i, if (i % 11 == 0) t + " mail bob@x.io" else t)
+    }
+    val dups = (0L until 10L).map(i => (100L + i, base(i.toInt)._2))
+    val shorts = (0L until 10L).map(i => (200L + i, sentence(1 + rnd.nextInt(3))))
+    val input = (base ++ dups ++ shorts).toDF("id", "text")
+    val evalSet = Seq(Tuple1(base(5)._2), Tuple1(sentence(20))).toDF("text")
+    val configs = Seq(
+      Curation.Config(),
+      Curation.Config(nearDupThreshold = Some(0.8), dropPii = true,
+        dedupAgreement = Some(Curation.AgreementConfig(maxHamming = 3))),
+      Curation.Config(exactDedup = false, langs = Set("en"),
+        segDedup = Some(Curation.SegDedupConfig()), minTokens = 5),
+      Curation.Config(c4Rules = Some(Curation.C4Config(minWords = 3, minLines = 1)),
+        requireStructureOk = true, minTokensPermille = Some(200)))
+    for ((cfg, ci) <- configs.zipWithIndex) {
+      val res = Curation.run(input, "id", "text", cfg,
+        evalSet = Some(evalSet), trackFunnel = true, trackDrops = true)
+      val survivors = res.docs.select("id").collect().map(_.getLong(0)).toSet
+      val dropRows = res.drops.map(_.collect().toSeq).getOrElse(Seq.empty)
+      val dropped = dropRows.map(_.getLong(0))
+      // single attribution: each dropped id appears exactly once
+      assert(dropped.distinct.size === dropped.size, s"config $ci double-attributed")
+      // disjoint + exhaustive: drops ∪ survivors == input ids exactly
+      assert(dropped.toSet.intersect(survivors).isEmpty, s"config $ci overlap")
+      assert(dropped.toSet ++ survivors === (0L until 40L).map(identity).toSet
+        ++ (100L until 110L) ++ (200L until 210L), s"config $ci lost ids")
+      // every attribution names a stage the funnel actually ran
+      val ranStages = res.stageCounts.map(_._1).toSet
+      assert(dropRows.map(_.getString(1)).toSet.subsetOf(ranStages),
+        s"config $ci attributed to a stage that never ran")
+      // funnel monotone non-increasing for drop-only stages (all of these)
+      val funnelVals = res.stageCounts.map(_._2)
+      assert(funnelVals.zip(funnelVals.tail).forall { case (a, b) => b <= a },
+        s"config $ci funnel grew: ${res.stageCounts}")
+    }
+  }
 }
