@@ -100,6 +100,20 @@ object BenchDiff {
     b.result()
   }
 
+  /** Reads the "host" telemetry object out of a Bench JSON line file
+    * (empty when the artifact predates r10's calibration keys) — surfaced
+    * in the report so a regression adjudicates against the host state of
+    * BOTH runs without opening either artifact. */
+  def readHost(path: String): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+    val h = root.get("host")
+    if (h == null || !h.isObject) return Map.empty
+    val b = Map.newBuilder[String, Double]
+    h.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    b.result()
+  }
+
   /** Reads the "queries" map out of a Bench JSON line file. */
   def readQueries(path: String): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -116,12 +130,16 @@ object BenchDiff {
 
   def render(r: Report, prevPath: String, curPath: String,
              ratioFlag: Double, minSecs: Double,
-             repDis: Seq[RepDisagreement] = Seq.empty): String = {
+             repDis: Seq[RepDisagreement] = Seq.empty,
+             hostPrev: Map[String, Double] = Map.empty,
+             hostCur: Map[String, Double] = Map.empty): String = {
     def rowJson(x: Row) =
       f"""{"query":${esc(x.query)},"prev_sec":${x.prev}%.3f,"cur_sec":${x.cur}%.3f,"ratio":${x.ratio}%.2f}"""
     def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
     def repJson(d: RepDisagreement) =
       f"""{"key":${esc(d.key)},"reps":${d.reps.map(v => f"$v%.3f").mkString("[", ",", "]")},"ratio":${d.ratio}%.2f}"""
+    def hostJson(h: Map[String, Double]) = h.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"${esc(k)}:$v%.3f" }.mkString("{", ",", "}")
     s"""{"prev":${esc(prevPath)},"cur":${esc(curPath)},
        |"rule":{"ratio_flag":$ratioFlag,"min_secs":$minSecs,"abs_allowance_secs":$minSecs},
        |"ok":${r.regressions.isEmpty && r.failedCur.isEmpty},
@@ -129,6 +147,7 @@ object BenchDiff {
        |"regressions":${r.regressions.map(rowJson).mkString("[", ",", "]")},
        |"improvements":${r.improvements.map(rowJson).mkString("[", ",", "]")},
        |"rep_disagreement":${repDis.map(repJson).mkString("[", ",", "]")},
+       |"host_prev":${hostJson(hostPrev)},"host_cur":${hostJson(hostCur)},
        |"added":${arr(r.added)},"removed":${arr(r.removed)},
        |"failed_prev":${arr(r.failedPrev)},"failed_cur":${arr(r.failedCur)}}""".stripMargin
   }
@@ -141,7 +160,8 @@ object BenchDiff {
     val minSecs = sys.env.getOrElse("SPARK_GRAFT_DIFF_MIN_SECS", "0.3").toDouble
     val r = diff(readQueries(prevPath), readQueries(curPath), ratioFlag, minSecs)
     val repDis = repDisagreements(readStreaming(curPath))
-    val json = render(r, prevPath, curPath, ratioFlag, minSecs, repDis)
+    val json = render(r, prevPath, curPath, ratioFlag, minSecs, repDis,
+      readHost(prevPath), readHost(curPath))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
     repDis.foreach(d => System.err.println(

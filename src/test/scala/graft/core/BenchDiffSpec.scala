@@ -153,11 +153,20 @@ class BenchDiffSpec extends AnyFunSuite {
     val m = BenchDiff.readStreaming(withMap.toString)
     assert(m === Map("s_rep1" -> 51.0, "s_rep2" -> 13.0, "s" -> 13.0))
     assert(BenchDiff.repDisagreements(m).map(_.key) === Seq("s"))
+    assert(BenchDiff.readHost(withMap.toString) === Map("loadavg_1m" -> 2.2))
     // pre-r9 artifacts carry no streaming map: empty, not an error
     val without = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.write(without,
       """{"metric":"total","value":1.0,"queries":{"a":1.0}}""".getBytes("UTF-8"))
     assert(BenchDiff.readStreaming(without.toString) === Map.empty)
+    assert(BenchDiff.readHost(without.toString) === Map.empty)
+    // host objects render into the report for round-over-round adjudication
+    val r = BenchDiff.diff(Map("a" -> 1.0), Map("a" -> 1.1))
+    val json = BenchDiff.render(r, "p.json", "c.json", 2.0, 0.3, Seq.empty,
+      Map.empty, Map("io_floor_scale" -> 0.959, "loadavg_1m" -> 2.2))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(root.get("host_prev").size() === 0)
+    assert(root.get("host_cur").get("io_floor_scale").asDouble() === 0.959)
   }
 
   test("sink floor scales with the io calibration; CPU floors do not") {
