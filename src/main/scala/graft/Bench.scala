@@ -324,6 +324,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line JSON contract uses f-interpolated fractional numbers,
+    // which format under the DEFAULT locale — pin it so a comma-decimal
+    // locale can never emit {"loadavg_1m":3,35} and corrupt the artifact
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

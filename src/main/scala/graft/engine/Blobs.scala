@@ -65,9 +65,14 @@ object Blobs {
             // multi-node file:// deployment, and ids containing '/' need
             // their own parent chain. createDirectories is idempotent.
             java.nio.file.Files.createDirectories(dirPath)
+            // nested ids ('/' in the name) need their parent chain; memoize
+            // per partition so the repeated-prefix case costs one mkdir per
+            // DISTINCT directory, not a stat per object (this branch exists
+            // to eliminate per-object syscall overhead)
+            val made = scala.collection.mutable.HashSet[java.nio.file.Path](dirPath)
             it.foreach { r =>
               val target = dirPath.resolve(r.getString(0) + ".txt")
-              if (target.getParent != dirPath)
+              if (made.add(target.getParent))
                 java.nio.file.Files.createDirectories(target.getParent)
               java.nio.file.Files.write(target,
                 r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))

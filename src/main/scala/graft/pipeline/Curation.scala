@@ -167,6 +167,12 @@ object Curation {
           evalSet: Option[DataFrame] = None, trackFunnel: Boolean = true,
           dsirTarget: Option[DataFrame] = None,
           trackDrops: Boolean = false): Result = {
+    // fail fast, not silently: an agreement audit without the near-dup
+    // stage it audits would vanish from Result.audits and the caller's
+    // trust report would read as "no disagreements" (same discipline as
+    // semanticDecon's missing-evalSet throw below)
+    require(cfg.dedupAgreement.isEmpty || cfg.nearDupThreshold.isDefined,
+      "dedupAgreement audits the near-dup stage: set nearDupThreshold too")
     val counts = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val dropParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val audits = scala.collection.mutable.LinkedHashMap[String, DataFrame]()

@@ -90,13 +90,22 @@ object BenchDiff {
 
   /** Reads the "streaming" map out of a Bench JSON line file (empty when
     * the artifact predates the streaming section). */
-  def readStreaming(path: String): Map[String, Double] = {
+  def readStreaming(path: String): Map[String, Double] =
+    readField(path, "streaming", required = false)
+
+  /** One numeric-object field out of a Bench JSON line file; `required`
+    * distinguishes the contract field (queries) from the optional ones
+    * older artifacts lack (streaming pre-r9, host pre-r10). */
+  private def readField(path: String, field: String, required: Boolean): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
-    val st = root.get("streaming")
-    if (st == null || !st.isObject) return Map.empty
+    val node = root.get(field)
+    if (node == null || !node.isObject) {
+      require(!required, s"$path has no $field object")
+      return Map.empty
+    }
     val b = Map.newBuilder[String, Double]
-    st.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
+    node.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
     b.result()
   }
 
@@ -104,26 +113,12 @@ object BenchDiff {
     * (empty when the artifact predates r10's calibration keys) — surfaced
     * in the report so a regression adjudicates against the host state of
     * BOTH runs without opening either artifact. */
-  def readHost(path: String): Map[String, Double] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
-    val h = root.get("host")
-    if (h == null || !h.isObject) return Map.empty
-    val b = Map.newBuilder[String, Double]
-    h.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
-    b.result()
-  }
+  def readHost(path: String): Map[String, Double] =
+    readField(path, "host", required = false)
 
   /** Reads the "queries" map out of a Bench JSON line file. */
-  def readQueries(path: String): Map[String, Double] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
-    val qs = root.get("queries")
-    require(qs != null && qs.isObject, s"$path has no queries object")
-    val b = Map.newBuilder[String, Double]
-    qs.properties().forEach(e => b += e.getKey -> e.getValue.asDouble())
-    b.result()
-  }
+  def readQueries(path: String): Map[String, Double] =
+    readField(path, "queries", required = true)
 
   private def esc(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -153,6 +148,9 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
+    // same locale pin as Bench.main: the report's f-interpolated fractions
+    // must stay dot-decimal JSON under any host locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     require(args.length >= 2, "usage: BenchDiff PREV.json CUR.json [OUT.json]")
     val (prevPath, curPath) = (args(0), args(1))
     val outPath = if (args.length > 2) args(2) else "BENCH_diff_latest.json"

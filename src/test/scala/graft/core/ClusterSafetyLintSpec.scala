@@ -45,7 +45,17 @@ class ClusterSafetyLintSpec extends AnyFunSuite {
       }
     }
     while (i < src.length) {
-      if (src.startsWith("\"\"\"", i)) {
+      // char literals BEFORE string handling: '"' would otherwise flip the
+      // string phase for the rest of the file and '{'/'}' would skew brace
+      // depth (DslParser-style `case '{' =>` sites are real in this repo).
+      // Handles the 'x' and '\x' forms; longer escape forms (unicode)
+      // fall through harmlessly (no quote or brace inside them).
+      if (src.charAt(i) == '\'' && i + 2 < src.length &&
+          (if (src.charAt(i + 1) == '\\') i + 3 < src.length && src.charAt(i + 3) == '\''
+           else src.charAt(i + 2) == '\'')) {
+        val close = if (src.charAt(i + 1) == '\\') i + 3 else i + 2
+        wipe(i + 1, close); i = close + 1
+      } else if (src.startsWith("\"\"\"", i)) {
         val end = src.indexOf("\"\"\"", i + 3)
         val stop = if (end < 0) src.length else end + 3
         wipe(i + 3, stop - 3); i = stop
@@ -152,6 +162,15 @@ class ClusterSafetyLintSpec extends AnyFunSuite {
     assert(b.length === src.length)
     assert(!b.substring(0, src.indexOf('\n')).contains('{'))
     assert(b.indexOf("foo {") === src.indexOf("foo {"))
+  }
+
+  test("the blanker survives char literals that would invert its phases") {
+    // a '\"' char literal must not open a string; '{' must not add depth
+    val src = "case '\"' => q\ncase '{' => b\ncase '\\\\' => e\n" +
+      "df.foreachPartition { it =>\n  java.nio.file.Files.write(p, b)\n}"
+    val (g, v) = scan("CharLit.scala", src)
+    assert(g === 0 && v.size === 1, s"char literals blinded the lint: $v")
+    assert(v.head.startsWith("CharLit.scala:5"))
   }
 
   test("lambda extent matches the enclosing block, not the whole file") {
