@@ -1601,6 +1601,40 @@ object SparkEntry {
         star(Dedup.templateKey(col("text"))))
     },
 
+    // the dashboard rollup of the same agreement report: integer counts of
+    // both/a-only/b-only pairs (the consumer divides for a rate)
+    "dedup_agreement_summary" -> { (s, dir) =>
+      val docs = Tables.read(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" version 1")).as("text")))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" version 23")).as("text")))
+        .where(col("text").isNotNull)
+      def star(key: Column): DataFrame = {
+        val keyed = corpus.select(key.as("h"), col("doc_id"))
+        val groups = keyed.groupBy("h")
+          .agg(min("doc_id").as("id1"), count(lit(1)).as("n"))
+          .where(col("n") > 1).select("h", "id1")
+        keyed.join(groups, "h").where(col("doc_id") =!= col("id1"))
+          .select(col("id1"), col("doc_id").as("id2"))
+      }
+      Dedup.agreementSummary(Dedup.pairAgreement(star(md5(col("text"))),
+        star(Dedup.templateKey(col("text")))))
+    },
+
+    // threshold-sensitivity sweep: exact unigram Jaccard over the bounded
+    // doc_id<30 sample, counted at five candidate thresholds in one pass —
+    // the "how much does the dedup move if I nudge the knob" audit
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      val sample = Tables.read(s, dir, "documents").where(col("doc_id") < 30)
+      Dedup.thresholdSensitivity(
+        Dedup.ngramJaccardPairs(sample, "doc_id", "text", shingleN = 1),
+        Seq(0.1, 0.3, 0.5, 0.8, 0.995))
+    },
+
     // snapshot diff between two corpus versions: removed (ids 0-99),
     // modified (100-109, text edited), unchanged (110-399), added (400+)
     "pipeline_snapshot_diff" -> { (s, dir) =>
@@ -3559,6 +3593,40 @@ object SparkEntry {
         |       COALESCE(in_a, FALSE) AS in_a, COALESCE(in_b, FALSE) AS in_b
         |FROM ep FULL OUTER JOIN tp USING (id1, id2)
         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_agreement_summary" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' version 1'
+        |    FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id + 2000000, text || ' version 23'
+        |    FROM documents WHERE doc_id < 10),
+        |nn AS (SELECT doc_id, text FROM corpus WHERE text IS NOT NULL),
+        |ek AS (SELECT doc_id, md5(text) AS h FROM nn),
+        |eg AS (SELECT h, min(doc_id) AS id1 FROM ek GROUP BY 1 HAVING count(*) > 1),
+        |ep AS (SELECT DISTINCT eg.id1, ek.doc_id AS id2, TRUE AS in_a
+        |       FROM ek JOIN eg USING (h) WHERE ek.doc_id <> eg.id1),
+        |tk AS (SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS h FROM nn),
+        |tg AS (SELECT h, min(doc_id) AS id1 FROM tk GROUP BY 1 HAVING count(*) > 1),
+        |tp AS (SELECT DISTINCT tg.id1, tk.doc_id AS id2, TRUE AS in_b
+        |       FROM tk JOIN tg USING (h) WHERE tk.doc_id <> tg.id1),
+        |rep AS (SELECT COALESCE(in_a, FALSE) AS in_a, COALESCE(in_b, FALSE) AS in_b
+        |        FROM ep FULL OUTER JOIN tp USING (id1, id2))
+        |SELECT CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |       CAST(sum(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+        |FROM rep""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 30),
+        |p AS (SELECT CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(l.toks, r.toks))) AS j
+        |      FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+        |SELECT th.threshold,
+        |       CAST(sum(CASE WHEN p.j >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_ge
+        |FROM (SELECT unnest(CAST([0.1, 0.3, 0.5, 0.8, 0.995] AS DOUBLE[])) AS threshold) th, p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_template" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

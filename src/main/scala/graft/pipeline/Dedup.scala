@@ -251,6 +251,48 @@ object Dedup {
         sketches.sortedJaccard(col("l.sh"), col("r.sh")).as("jaccard"))
   }
 
+  /** One-row rollup of a [[pairAgreement]] report — the rate a dashboard
+    * reads after the pair-level audit: how many pairs both methods flag,
+    * how many each flags alone. Counts stay integer (the consumer divides
+    * for a rate) so an external oracle reproduces the summary bit-exactly.
+    * Scale shape: one aggregate over a pair list that is already a
+    * capped-bucket output — nothing corpus-sized. */
+  def agreementSummary(report: DataFrame): DataFrame = {
+    // coalesce: sum over an EMPTY report is null, but a dashboard's "no
+    // disagreements found" must read as zeros, not nulls
+    def n(cond: Column, as: String) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(as)
+    report.agg(
+      n(col("in_a") && col("in_b"), "n_both"),
+      n(col("in_a") && !col("in_b"), "n_a_only"),
+      n(!col("in_a") && col("in_b"), "n_b_only"))
+  }
+
+  /** Threshold-sensitivity sweep over a scored pair list (e.g.
+    * [[ngramJaccardPairs]] on a bounded sample, or the verified output of
+    * [[minhashNearDuplicates]]): for each candidate threshold, how many
+    * pairs would qualify — the "how much does my dedup move if I nudge
+    * the knob" audit run before committing a threshold change. One pass
+    * over the pairs (a conditional sum per threshold, no re-join); at
+    * corpus scale the honest input is an exact pair list over a
+    * DETERMINISTIC sample — the sweep's cost is the sample's O(n²), which
+    * is the standard way this question is answered at any size. */
+  def thresholdSensitivity(pairs: DataFrame, thresholds: Seq[Double],
+                           scoreCol: String = "jaccard"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val counts = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      thresholds.zipWithIndex.map { case (t, i) =>
+        sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"__t$i")
+      }: _*)
+    // unpivot to (threshold, n_pairs_ge) rows — thresholds are a tiny
+    // literal list, so the explode costs nothing
+    counts.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__t$i").as("n_pairs_ge"))
+      }: _*)).as("row"))
+      .select(col("row.threshold"), col("row.n_pairs_ge"))
+  }
+
   /** 64-bit SimHash over word tokens: for each of 64 bit positions, sum +1/-1
     * across token hashes, take the sign bit. Single-pass expression
     * ([[SimHash64Expr]]); [[simhash64Builtin]] keeps the equivalent

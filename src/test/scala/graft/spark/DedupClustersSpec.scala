@@ -132,4 +132,34 @@ class DedupClustersSpec extends AnyFunSuite {
       (3L, 4L, true, false),  // method A only
       (5L, 6L, false, true))) // method B only
   }
+
+  test("agreementSummary rolls the report up to integer both/a-only/b-only counts") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((2L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("id1", "id2")
+    val b = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.agreementSummary(Dedup.pairAgreement(a, b)).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((1L, 2L, 1L)))
+    // empty report: zero counts, not nulls (sum-over-empty would be null
+    // without the when/otherwise formulation feeding real zeros per row)
+    val empty = Dedup.agreementSummary(
+      Dedup.pairAgreement(a.limit(0), b.limit(0))).collect()(0)
+    assert(!empty.isNullAt(0) && empty.getLong(0) === 0L
+      && empty.getLong(1) === 0L && empty.getLong(2) === 0L)
+  }
+
+  test("thresholdSensitivity counts pairs at each threshold in one pass; " +
+      "null scores never qualify") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, 2L, Some(1.0)), (1L, 3L, Some(0.8)), (2L, 3L, Some(0.5)),
+      (4L, 5L, Some(0.09)), (6L, 7L, None)).toDF("id1", "id2", "jaccard")
+    val got = Dedup.thresholdSensitivity(pairs, Seq(0.1, 0.5, 0.8, 0.995))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // 0.09 sits BELOW the lowest threshold and the null row never counts
+    assert(got === Map(0.1 -> 3L, 0.5 -> 3L, 0.8 -> 2L, 0.995 -> 1L))
+    assertThrows[IllegalArgumentException](
+      Dedup.thresholdSensitivity(pairs, Seq.empty))
+  }
 }
