@@ -1103,6 +1103,41 @@ object SparkEntry {
           (sum("n_hit") >= 50L).as("recall_ok"))
     },
 
+    // the remaining two production indexes, same pattern — all four ANN
+    // paths now carry standing un-planted recall floors. IVF(16 cells,
+    // nProbe=8) measured 77/76 of 100 at sf0.01/sf0.1; PQ(m=8, k=16,
+    // rerank=256) measured 99/76 — floors 55 (~1.4× margin on the lower
+    // measurement, fires on a halved nProbe / rerank-class regression)
+    "sim_recall_ivf" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      val approx = Similarity.ivfTopK(centroids, index, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      Similarity.recallAtK(exact, approx, k = 10)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_exact").as("n_exact_total"),
+          lit(55L).as("recall_floor"),
+          (sum("n_hit") >= 55L).as("recall_ok"))
+    },
+
+    "sim_recall_pq" -> { (s, dir) =>
+      val emb = Tables.read(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+      val index = Similarity.pqIndex(emb, "vec_id", "embedding", books)
+      val approx = Similarity.pqTopK(books, index, queries,
+        "vec_id", "embedding", k = 10, rerank = 256)
+      Similarity.recallAtK(exact, approx, k = 10)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_exact").as("n_exact_total"),
+          lit(55L).as("recall_floor"),
+          (sum("n_hit") >= 55L).as("recall_ok"))
+    },
+
     // curriculum bucketing by document length: 0-based global rank under
     // (n_chars, doc_id) via the distributed two-phase prefix sum, bucket =
     // rank*10 DIV N — all-integer, no ntile edge semantics, no global window
@@ -3209,6 +3244,20 @@ object SparkEntry {
       """SELECT count(*) AS n_queries,
         |       10 * count(*) AS n_exact_total,
         |       CAST(50 AS BIGINT) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_recall_ivf" ->
+      """SELECT count(*) AS n_queries,
+        |       10 * count(*) AS n_exact_total,
+        |       CAST(55 AS BIGINT) AS recall_floor,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_recall_pq" ->
+      """SELECT count(*) AS n_queries,
+        |       10 * count(*) AS n_exact_total,
+        |       CAST(55 AS BIGINT) AS recall_floor,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

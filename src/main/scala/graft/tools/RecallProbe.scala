@@ -27,6 +27,26 @@ object RecallProbe {
       println(s"LSH planes=$planes bands=$bands cap=$cap: exact=${r.getLong(0)} hit=${r.getLong(1)} recall=${r.getLong(1).toDouble / r.getLong(0)}")
     }
 
+    for ((cells, probe) <- Seq((16, 8))) {
+      val (centroids, index) = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = cells, iters = 1)
+      val approx = Similarity.ivfTopK(centroids, index, queries,
+        "vec_id", "embedding", k = 10, nProbe = probe)
+      val r = Similarity.recallAtK(exact, approx, k = 10)
+        .agg(sum("n_exact"), sum("n_hit")).collect()(0)
+      println(s"IVF cells=$cells probe=$probe: exact=${r.getLong(0)} hit=${r.getLong(1)}")
+    }
+
+    for ((m, kc, rerank) <- Seq((8, 16, 256))) {
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = m, k = kc, iters = 1)
+      val index = Similarity.pqIndex(emb, "vec_id", "embedding", books)
+      val approx = Similarity.pqTopK(books, index, queries,
+        "vec_id", "embedding", k = 10, rerank = rerank)
+      val r = Similarity.recallAtK(exact, approx, k = 10)
+        .agg(sum("n_exact"), sum("n_hit")).collect()(0)
+      println(s"PQ m=$m k=$kc rerank=$rerank: exact=${r.getLong(0)} hit=${r.getLong(1)}")
+    }
+
     for ((cells, probe, rerank) <- Seq((16, 8, 256))) {
       val (centroids, _) = Similarity.ivfBuild(emb, "vec_id", "embedding",
         nCells = cells, iters = 1)
