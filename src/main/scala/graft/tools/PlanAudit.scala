@@ -27,7 +27,9 @@ object PlanAudit {
         "decon_canary", "stats_topk_sketch", "pipeline_pack_binned", "dedup_winnow", "scan_multiget_weak",
         "stats_quantile_sketch", "source_warc_roundtrip", "store_zorder_scan",
         "search_phrase", "store_optimize_scan", "store_merge_scan",
-        "catalog_analyze", "store_snapshot_scan", "url_rules")
+        "catalog_analyze", "store_snapshot_scan", "url_rules",
+        "sim_recall_lsh", "sim_recall_ivfpq", "pipeline_curation3",
+        "dedup_threshold_sweep")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
