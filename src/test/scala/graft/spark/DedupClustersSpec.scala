@@ -162,4 +162,45 @@ class DedupClustersSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Dedup.thresholdSensitivity(pairs, Seq.empty))
   }
+
+  test("FUZZ: both audit rollups match brute-force references on random inputs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 8) {
+      // random pair lists with duplicates and reversed orientations
+      def pairList(n: Int): Seq[(Long, Long)] = Seq.fill(n) {
+        val a = rnd.nextInt(12).toLong; var b = rnd.nextInt(12).toLong
+        if (a == b) b = a + 1
+        if (rnd.nextBoolean()) (a, b) else (b, a)
+      }
+      val aPairs = pairList(1 + rnd.nextInt(20))
+      val bPairs = pairList(1 + rnd.nextInt(20))
+      val aNorm = aPairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val bNorm = bPairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val expect = (
+        (aNorm & bNorm).size.toLong,
+        (aNorm -- bNorm).size.toLong,
+        (bNorm -- aNorm).size.toLong)
+      val got = Dedup.agreementSummary(Dedup.pairAgreement(
+          aPairs.toDF("id1", "id2"), bPairs.toDF("id1", "id2"))).collect()(0)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) === expect,
+        s"round $round: a=$aPairs b=$bPairs")
+
+      // random scored pairs (incl. nulls and exact-boundary scores) vs a
+      // direct filter count at every threshold
+      val scored = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextLong(), rnd.nextLong(),
+          if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(21) * 0.05))) // lands ON thresholds often
+      val thresholds = Seq(0.0, 0.25, 0.5, 0.75, 0.95)
+      val sweep = Dedup.thresholdSensitivity(
+          scored.toDF("id1", "id2", "jaccard"), thresholds)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      for (t <- thresholds) {
+        val brute = scored.count(_._3.exists(_ >= t)).toLong
+        assert(sweep(t) === brute, s"round $round t=$t: $scored")
+      }
+    }
+  }
 }
