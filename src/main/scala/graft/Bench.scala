@@ -96,13 +96,20 @@ object Bench {
       try {
         // warmup batch: 1 row, untimed — absorbs plan/codegen/store-open
         input.addData(all.take(1).toIndexedSeq); q.processAllAvailable()
-        // probe batch: 1 row — steady per-batch fixed overhead (global
-        // order preserved: warmup + probe rows are the log head, the rest
-        // follow in sequence)
-        val tp = System.nanoTime()
-        input.addData(all.slice(1, 2).toIndexedSeq); q.processAllAvailable()
-        val commitSecs = (System.nanoTime() - tp) / 1e9
-        val rest = all.drop(2)
+        // probe batches: TWO 1-row batches, min taken — the fold rate is
+        // DERIVED (total − batches × probed commit), so one slow probe
+        // (GC pause, RocksDB compaction tick) overstates the subtraction
+        // until the 5%-of-total clamp fires and the rate reads as the
+        // clamp, not the operator (r10's BenchDiff advisory caught reps
+        // splitting 364k/66k from exactly this). Min-of-2 bounds the
+        // commit estimate by the QUIETER probe; global order preserved —
+        // warmup + probes are the log head, the rest follow in sequence.
+        val commitSecs = (1 to 2).map { i =>
+          val tp = System.nanoTime()
+          input.addData(all.slice(i, i + 1).toIndexedSeq); q.processAllAvailable()
+          (System.nanoTime() - tp) / 1e9
+        }.min
+        val rest = all.drop(3)
         val t0 = System.nanoTime()
         val batches = rest.grouped(rest.length / 5 + 1).toSeq
         batches.foreach { b =>
