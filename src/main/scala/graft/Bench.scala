@@ -94,6 +94,11 @@ object Bench {
           java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
         .start()
       try {
+        // warmup (1 row) + two probes (1 row each) + ≥1 measured row: the
+        // derived fold rate is meaningless on a shorter log (empty probe
+        // batches time near zero and silently inflate the rate)
+        require(all.length > 3,
+          s"change log too small to probe commit overhead (${all.length} rows)")
         // warmup batch: 1 row, untimed — absorbs plan/codegen/store-open
         input.addData(all.take(1).toIndexedSeq); q.processAllAvailable()
         // probe batches: TWO 1-row batches, min taken — the fold rate is
@@ -224,9 +229,13 @@ object Bench {
       val rate = n / ((System.nanoTime() - t0) / 1e9)
       try { // temp hygiene: ~90 MB per calibration pass
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+        finally walk.close() // the walk Stream holds directory FDs until closed
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] io-calibration cleanup failed: ${e.getMessage}")
+      }
       rate
     }.max
   }

@@ -280,11 +280,13 @@ object Dedup {
   def thresholdSensitivity(pairs: DataFrame, thresholds: Seq[Double],
                            scoreCol: String = "jaccard"): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
-    val counts = pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      thresholds.zipWithIndex.map { case (t, i) =>
-        sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"__t$i")
-      }: _*)
+    // coalesce: sum over an EMPTY pair list is null; the sweep's contract
+    // (like agreementSummary's) is zeros-not-nulls so "no pairs qualify"
+    // and "no pairs at all" both read as 0
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col(scoreCol) >= t, 1L).otherwise(0L)), lit(0L)).as(s"__t$i")
+    }
+    val counts = pairs.agg(aggs.head, aggs.tail: _*)
     // unpivot to (threshold, n_pairs_ge) rows — thresholds are a tiny
     // literal list, so the explode costs nothing
     counts.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>

@@ -24,7 +24,11 @@ class ClusterSafetyLintSpec extends AnyFunSuite {
     "java.nio.file.Files.write", "Files.write(", "Files.writeString",
     "Files.newOutputStream", "FileOutputStream", "FileWriter",
     "PrintWriter")
-  private val guardToken = "LocalFileSystem"
+  // a real resolved-filesystem guard is a match branch on the resolved FS
+  // type — a bare mention of the token elsewhere in the lambda (identifier,
+  // import reference) must NOT satisfy the lint
+  private val guardPattern =
+    """case\s+\w+\s*:\s*(org\.apache\.hadoop\.fs\.)?LocalFileSystem""".r
 
   /** Allowed (file → guarded-write-site count). Adding a raw local write
     * inside a partition lambda anywhere else — or an extra one here —
@@ -128,7 +132,7 @@ class ClusterSafetyLintSpec extends AnyFunSuite {
         }.reverse
         for ((wIdx, _) <- sites) {
           val line = blanked.substring(0, start + wIdx).count(_ == '\n') + 1
-          val guarded = body.substring(0, wIdx).contains(guardToken)
+          val guarded = guardPattern.findFirstIn(body.substring(0, wIdx)).isDefined
           if (!guarded)
             violations += s"$rel:$line raw local-write API inside $tok lambda without a resolved-LocalFileSystem guard"
           else
@@ -193,6 +197,12 @@ class ClusterSafetyLintSpec extends AnyFunSuite {
       "      java.nio.file.Files.write(p, b)\n    case fs => hadoop(fs)\n  }\n}"
     val (g1, v1) = scan("Good.scala", good)
     assert(g1 === 1 && v1.isEmpty)
+    // a bare token mention (identifier, import reference) with no
+    // resolved-FS match branch must NOT satisfy the lint (ADVICE r10)
+    val bare = "df.foreachPartition { it =>\n" +
+      "  val useLocalFileSystem = true\n  java.nio.file.Files.write(p, b)\n}"
+    val (g2, v2) = scan("Bare.scala", bare)
+    assert(g2 === 0 && v2.size === 1, s"bare token satisfied the lint: $v2")
     // a driver-side write OUTSIDE any partition lambda is not this lint's
     // business (Bench/BenchDiff artifact writes)
     val driver = "java.nio.file.Files.write(p, b)\ndf.foreachPartition { it => send(it) }"

@@ -161,6 +161,11 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got === Map(0.1 -> 3L, 0.5 -> 3L, 0.8 -> 2L, 0.995 -> 1L))
     assertThrows[IllegalArgumentException](
       Dedup.thresholdSensitivity(pairs, Seq.empty))
+    // zeros-not-nulls on an EMPTY pair list (ADVICE r10): sum over an
+    // empty frame is null unless coalesced, like agreementSummary
+    val onEmpty = Dedup.thresholdSensitivity(pairs.limit(0), Seq(0.1, 0.5))
+      .collect().map(r => (r.getDouble(0), r.isNullAt(1), r.getLong(1)))
+    assert(onEmpty.toSeq === Seq((0.1, false, 0L), (0.5, false, 0L)))
   }
 
   test("FUZZ: both audit rollups match brute-force references on random inputs") {
