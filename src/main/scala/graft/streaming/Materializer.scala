@@ -196,8 +196,14 @@ object Materializer {
    * arrival-order semantics (see the ordering caveat above): one extra
    * latency window in exchange for cross-batch order.
    *
-   * Changes later than the watermark (beyond `latenessMs`) fold on arrival,
-   * degrading gracefully to [[materialize]] semantics rather than dropping.
+   * Changes arriving with event time at or below the current watermark
+   * (i.e. later than `latenessMs` behind the stream head) are DROPPED
+   * before this operator sees them — `FlatMapGroupsWithStateExec` with
+   * `EventTimeTimeout` applies the standard Structured Streaming late-data
+   * filter to its input (pinned by StreamingSpec's drop-contract test).
+   * Size `latenessMs` to the producer's real disorder bound; a deployment
+   * that cannot tolerate drops must use [[materialize]] (arrival-order,
+   * no watermark, nothing filtered) and accept its ordering caveat.
    */
   def materializeOrdered(changes: Dataset[ChangeRow], latenessMs: Long,
                          placement: String = "default"): Dataset[DocRow] = {

@@ -1,0 +1,238 @@
+package graft.spark
+
+import graft.resolve.ChangeRow
+import graft.streaming.Materializer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming restart/recovery gate (VERDICT r10 #1): the first thing a real
+  * cluster does in week one is restart the materializer. These tests kill
+  * and restart the query on a REUSED checkpoint directory and assert the
+  * changelog across the restart is duplicate-free and loses no version —
+  * the exactly-once-per-version contract that makes checkpoint-commit = ack
+  * safe (reference semantics: databus-api/.../Databus.java:63-91 — an
+  * acked poll must never be redelivered, an unacked one must never be
+  * lost). State recovery is asserted directly: post-restart versions
+  * CONTINUE (a reset fold would re-number from 1) and the signature chain
+  * matches an uninterrupted fold byte for byte.
+  *
+  * Three scenarios:
+  *   1. clean stop + restart of [[Materializer.materialize]], with new
+  *      changes arriving while the query is down;
+  *   2. the same for [[Materializer.materializeOrdered]] with a change
+  *      HELD IN THE WATERMARK BUFFER across the restart (the OrderedState
+  *      buffer — not just the fold state — must survive);
+  *   3. a simulated crash BETWEEN sink commit and offset commit (the
+  *      commit-log marker for the last batch is deleted before restart):
+  *      the engine re-executes that batch and the file sink must skip the
+  *      already-committed output — the idempotent-sink half of
+  *      exactly-once.
+  */
+class MaterializerRecoverySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def change(key: String, ms: Long, delta: String,
+                     tags: Seq[String] = Seq.empty) =
+    ChangeRow("t", key, ms, 0L, "n", delta, tags)
+
+  /** Committed changelog rows as (id, version, deleted, body, signature),
+    * read through the sink's own metadata log so only exactly-once-visible
+    * files count. */
+  private def changelog(outDir: String): Seq[(String, Long, Boolean, String, String)] =
+    spark.read.parquet(outDir)
+      .selectExpr("id", "version", "deleted", "body", "signature")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** Every (id, version) at most once — redelivery across a restart would
+    * violate the ack contract. */
+  private def assertDupFree(rows: Seq[(String, Long, Boolean, String, String)]): Unit = {
+    val dups = rows.groupBy(t => (t._1, t._2)).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"changelog redelivered versions across restart: $dups")
+  }
+
+  test("materialize: clean stop + restart on a reused checkpoint — changelog " +
+      "is duplicate-free, loss-free, and byte-identical to an uninterrupted run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ---- interrupted run: stop after batch 2, add batch 3 while down ----
+    val ckpt = tmp("ckpt_rec"); val out = tmp("out_rec")
+    val input = MemoryStream[ChangeRow]
+    def start() = Materializer.materialize(input.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    input.addData(change("k1", 1000, """{"name":"Bob","rating":3}"""),
+                  change("k2", 1000, """{"x":1}"""))
+    q1.processAllAvailable()
+    input.addData(change("k1", 2000, """{..,"rating":4}"""),
+                  change("k2", 2000, """{"x":1}""")) // redundant for k2
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+
+    // changes arriving while the materializer is down must not be lost
+    input.addData(change("k1", 3000, "~"), // tombstone
+                  change("k3", 3000, """{"fresh":true}"""))
+    val q2 = start()
+    q2.processAllAvailable()
+    input.addData(change("k1", 4000, """{..,"state":"APPROVED"}"""))
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+
+    val got = changelog(out)
+    assertDupFree(got)
+    // state recovered, not reset: k1's post-restart versions CONTINUE (3, 4)
+    val k1 = got.filter(_._1 == "k1").map(t => (t._2, t._3, t._4))
+    assert(k1.map(_._1) === Seq(1L, 2L, 3L, 4L), s"k1 versions: $k1")
+    assert(k1(2)._2 === true, "version 3 must be the tombstone")
+    assert(k1(3)._3 === """{"state":"APPROVED"}""")
+    // k2's redundant batch stays suppressed across the restart
+    assert(got.filter(_._1 == "k2").map(_._2) === Seq(1L))
+
+    // ---- uninterrupted reference run: same batches, one query ----
+    val ckptU = tmp("ckpt_unint"); val outU = tmp("out_unint")
+    val inputU = MemoryStream[ChangeRow]
+    val qU = Materializer.materialize(inputU.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outU).option("checkpointLocation", ckptU).start()
+    inputU.addData(change("k1", 1000, """{"name":"Bob","rating":3}"""),
+                   change("k2", 1000, """{"x":1}"""))
+    qU.processAllAvailable()
+    inputU.addData(change("k1", 2000, """{..,"rating":4}"""),
+                   change("k2", 2000, """{"x":1}"""))
+    qU.processAllAvailable()
+    inputU.addData(change("k1", 3000, "~"), change("k3", 3000, """{"fresh":true}"""))
+    qU.processAllAvailable()
+    inputU.addData(change("k1", 4000, """{..,"state":"APPROVED"}"""))
+    qU.processAllAvailable()
+    qU.stop(); qU.awaitTermination()
+
+    // byte-identical union: bodies, versions, tombstones AND the signature
+    // chain (order-sensitive MD5 over changeIds) all survive the restart
+    assert(got === changelog(outU))
+  }
+
+  test("materializeOrdered: a change held in the watermark buffer survives " +
+      "the restart and folds in global changeId order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lateness = 5000L
+
+    def run(interrupt: Boolean): Seq[(String, Long, Boolean, String, String)] = {
+      val ckpt = tmp("ckpt_ord"); val out = tmp("out_ord")
+      val input = MemoryStream[ChangeRow]
+      def start() = Materializer.materializeOrdered(input.toDS(), lateness)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+
+      var q = start()
+      // batch 1: k1@10000 — watermark still 0, so the change is HELD
+      input.addData(change("k1", 10000, """{"v":"a"}"""))
+      q.processAllAvailable()
+      if (interrupt) { // kill with a change sitting in OrderedState.buffer
+        q.stop(); q.awaitTermination()
+        q = start()
+      }
+      // batch 2 (post-restart, recovered wm = 5000): a late-but-in-lateness
+      // change with an earlier changeId than the next one — must fold
+      // between 10000 and 20000 despite arriving around the restart
+      input.addData(change("k1", 12000, """{..,"mid":true}"""))
+      q.processAllAvailable()
+      input.addData(change("k1", 20000, """{..,"late":"no"}"""))
+      q.processAllAvailable()
+      // watermark pushers on another key ripen everything held
+      input.addData(change("k2", 100000, """{"pusher":1}"""))
+      q.processAllAvailable()
+      input.addData(change("k2", 110000, """{"pusher":2}"""))
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      changelog(out)
+    }
+
+    val interrupted = run(interrupt = true)
+    assertDupFree(interrupted)
+    // the buffered change recovered: k1 reaches version 3 with the late
+    // 12000 change folded mid-sequence ({..,"late":"no"} at 20000 keeps it)
+    val k1 = interrupted.filter(_._1 == "k1")
+    assert(k1.map(_._2).max === 3L, s"k1 rows: $k1")
+    val finalK1 = k1.maxBy(_._2)
+    assert(finalK1._4 === """{"late":"no","mid":true,"v":"a"}""")
+    // signature parity with a single-process fold over the globally sorted
+    // log — the order-sensitive proof the restart did not reorder the fold
+    val sortedLog = Seq(
+      change("k1", 10000, """{"v":"a"}"""),
+      change("k1", 12000, """{..,"mid":true}"""),
+      change("k1", 20000, """{..,"late":"no"}"""))
+    val (expect, _) = Materializer.applyBatch("t", "k1",
+      Materializer.initialState, sortedLog)
+    assert(finalK1._5 === expect.sigHex)
+    // and the whole changelog matches the uninterrupted run byte for byte
+    assert(interrupted === run(interrupt = false))
+  }
+
+  test("simulated crash between sink commit and offset commit: the replayed " +
+      "batch must not double-write (file-sink idempotence)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = tmp("ckpt_crash"); val out = tmp("out_crash")
+    val input = MemoryStream[ChangeRow]
+    // rate-limit to one block per trigger so the post-restart replay of the
+    // un-committed batch re-reads exactly the rows the sink already wrote
+    def start() = Materializer.materialize(input.toDS())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    input.addData(change("k1", 1000, """{"a":1}"""))
+    q1.processAllAvailable()
+    input.addData(change("k1", 2000, """{..,"b":2}"""))
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+
+    // crash simulation: offsets/1 and the sink's _spark_metadata/1 exist,
+    // commits/1 does not — exactly the window after the sink committed
+    // batch 1 but before the engine recorded it. MemoryStream still holds
+    // batch 1's block (source purge happens at next-batch construction,
+    // which never ran), so the restarted query re-executes batch 1 with the
+    // SAME rows and the SINK must refuse to double-add them.
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(commit1),
+      s"expected commit marker $commit1 (checkpoint layout changed?)")
+    // the local Hadoop FS shadows every log file with a .crc — leaving it
+    // behind makes the re-written marker's rename fail
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+
+    val q2 = start()
+    q2.processAllAvailable()
+    input.addData(change("k1", 3000, """{..,"c":3}"""))
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+
+    val got = changelog(out)
+    assertDupFree(got)
+    // versions 1..3 each exactly once; the replayed batch's output appears
+    // ONCE even though the engine executed it twice
+    assert(got.filter(_._1 == "k1").map(_._2) === Seq(1L, 2L, 3L))
+    val finalRow = got.filter(_._1 == "k1").maxBy(_._2)
+    assert(finalRow._4 === """{"a":1,"b":2,"c":3}""")
+  }
+}

@@ -169,6 +169,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("materializeOrdered drop contract: a change at or below the watermark " +
+      "is filtered by the engine before the fold (documented in Materializer)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeRow]
+    val query = Materializer.materializeOrdered(input.toDS(), latenessMs = 5000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mat_drop_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_mat_drop").toString)
+      .start()
+    try {
+      input.addData(change("k1", 10000, """{"v":"a"}"""))
+      query.processAllAvailable() // wm -> 5000
+      input.addData(change("k1", 20000, """{..,"late":"no"}"""))
+      query.processAllAvailable() // wm -> 15000
+      // 12000 <= wm 15000: beyond lateness — FlatMapGroupsWithStateExec's
+      // EventTimeTimeout late-data filter drops it before the operator.
+      // This pins the TRUE contract (no silent arrival-order fold).
+      input.addData(change("k1", 12000, """{..,"mid":true}"""))
+      query.processAllAvailable()
+      input.addData(change("k2", 100000, """{"p":1}"""))
+      query.processAllAvailable()
+      input.addData(change("k2", 110000, """{"p":2}"""))
+      query.processAllAvailable()
+      val last = spark.table("mat_drop_out")
+        .filter(col("id") === "k1").orderBy(col("version")).collect().last
+      assert(last.getAs[Long]("version") === 2L) // 10000 + 20000, no 12000
+      assert(last.getAs[String]("body") === """{"late":"no","v":"a"}""")
+    } finally query.stop()
+  }
+
   test("streaming fanout routes events to matching subscription channels") {
     val s = spark
     import s.implicits._
