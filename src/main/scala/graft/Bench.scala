@@ -83,7 +83,9 @@ object Bench {
     repped("streaming_materializer",
       timeKeys = Seq("streaming_materializer", "streaming_materializer_commit_ms"),
       rateKeys = Seq("streaming_materializer_rows_per_sec",
-        "streaming_materializer_fold_rows_per_sec")) { repNo =>
+        "streaming_materializer_fold_rows_per_sec",
+        "streaming_materializer_state_rows",
+        "streaming_materializer_state_bytes")) { repNo =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[graft.resolve.ChangeRow]
@@ -125,10 +127,21 @@ object Bench {
         // the probe measured (floored at 5% of total so a commit-dominated
         // run reports a conservative rate instead of a wild extrapolation)
         val foldSecs = math.max(secs - batches.length * commitSecs, secs * 0.05)
+        // state-store telemetry (VERDICT r10 #6): at 100 TB the
+        // materializer is STATE-bound — one FoldState per live coordinate —
+        // so the artifact carries rows/bytes from the last committed batch
+        // (telemetry only, no floor; -1 when the progress carries no state
+        // operator, e.g. a future operator rewrite)
+        val state = q.recentProgress.reverse
+          .flatMap(_.stateOperators.toSeq).headOption
         Seq("streaming_materializer" -> secs,
           "streaming_materializer_rows_per_sec" -> rest.length / secs,
           "streaming_materializer_commit_ms" -> commitSecs * 1000,
-          "streaming_materializer_fold_rows_per_sec" -> rest.length / foldSecs)
+          "streaming_materializer_fold_rows_per_sec" -> rest.length / foldSecs,
+          "streaming_materializer_state_rows" ->
+            state.map(_.numRowsTotal.toDouble).getOrElse(-1.0),
+          "streaming_materializer_state_bytes" ->
+            state.map(_.memoryUsedBytes.toDouble).getOrElse(-1.0))
       } finally {
         try q.stop() // a leaked query would contaminate the fanout timing
         catch { case e: Throwable =>

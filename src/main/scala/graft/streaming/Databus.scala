@@ -194,7 +194,11 @@ object Databus {
   import graft.engine.ConditionCompiler
   import org.apache.spark.sql.types.{ArrayType, StringType}
 
-  private def tryCompileNative(cond: Condition,
+  // private[streaming]: NativeCompileCoverageSpec pins the per-node-type
+  // compiled/fallback matrix over the conformance corpus — a regression
+  // demoting a common shape to the parity UDF costs ~10x on fanout while
+  // passing every correctness gate, so coverage itself is gated
+  private[streaming] def tryCompileNative(cond: Condition,
                                placementCol: Option[String] = None): Option[Column] = cond match {
     case ConstantCondition(b) => Some(lit(b))
     case MapCondition(entries) if entries.keySet.subsetOf(Set("~tags")) =>

@@ -98,7 +98,13 @@ object BenchDiff {
     * older artifacts lack (streaming pre-r9, host pre-r10). */
   private def readField(path: String, field: String, required: Boolean): Map[String, Double] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+    val outer = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+    // the driver's BENCH_rNN.json wraps the Bench JSON line in
+    // {n, rc, cpus, sf, tail, parsed: {...}} — r10's 21x sink-rep split sat
+    // un-flagged because this reader only understood the bare line; accept
+    // both shapes so the driver pair adjudicates through the same advisory
+    val root = if (outer.has("parsed") && outer.get("parsed").isObject)
+      outer.get("parsed") else outer
     val node = root.get(field)
     if (node == null || !node.isObject) {
       require(!required, s"$path has no $field object")
@@ -147,23 +153,47 @@ object BenchDiff {
        |"failed_prev":${arr(r.failedPrev)},"failed_cur":${arr(r.failedCur)}}""".stripMargin
   }
 
+  /** The driver-pair advisory block: rep-disagreements + host telemetry for
+    * a second artifact pair (the driver's contended-host runs) rendered as
+    * one JSON object — advisory only, never a gate (the driver host swings
+    * 92-125 s on identical code; min-of-reps stays the headline). */
+  def renderDriverSection(prevPath: String, curPath: String): String = {
+    val repDis = repDisagreements(readStreaming(curPath))
+    def repJson(d: RepDisagreement) =
+      f"""{"key":${esc(d.key)},"reps":${d.reps.map(v => f"$v%.3f").mkString("[", ",", "]")},"ratio":${d.ratio}%.2f}"""
+    def hostJson(h: Map[String, Double]) = h.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"${esc(k)}:$v%.3f" }.mkString("{", ",", "}")
+    s"""{"prev":${esc(prevPath)},"cur":${esc(curPath)},
+       |"rep_disagreement":${repDis.map(repJson).mkString("[", ",", "]")},
+       |"host_prev":${hostJson(readHost(prevPath))},"host_cur":${hostJson(readHost(curPath))}}""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     // same locale pin as Bench.main: the report's f-interpolated fractions
     // must stay dot-decimal JSON under any host locale
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    require(args.length >= 2, "usage: BenchDiff PREV.json CUR.json [OUT.json]")
+    require(args.length >= 2,
+      "usage: BenchDiff PREV.json CUR.json [OUT.json [DRIVER_PREV.json DRIVER_CUR.json]]")
     val (prevPath, curPath) = (args(0), args(1))
     val outPath = if (args.length > 2) args(2) else "BENCH_diff_latest.json"
     val ratioFlag = sys.env.getOrElse("SPARK_GRAFT_DIFF_RATIO", "2.0").toDouble
     val minSecs = sys.env.getOrElse("SPARK_GRAFT_DIFF_MIN_SECS", "0.3").toDouble
     val r = diff(readQueries(prevPath), readQueries(curPath), ratioFlag, minSecs)
     val repDis = repDisagreements(readStreaming(curPath))
-    val json = render(r, prevPath, curPath, ratioFlag, minSecs, repDis,
+    var json = render(r, prevPath, curPath, ratioFlag, minSecs, repDis,
       readHost(prevPath), readHost(curPath))
+    // optional second pair: the DRIVER's wrapped artifacts, advisory-only
+    val driverDis = if (args.length > 4) {
+      val section = renderDriverSection(args(3), args(4))
+      json = json.dropRight(1) + s""",\n"driver":$section}"""
+      repDisagreements(readStreaming(args(4)))
+    } else Seq.empty
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
     println(json)
     repDis.foreach(d => System.err.println(
       f"[benchdiff] REP DISAGREEMENT (advisory): ${d.key} reps ${d.reps.mkString("/")} (${d.ratio}%.1fx)"))
+    driverDis.foreach(d => System.err.println(
+      f"[benchdiff] DRIVER REP DISAGREEMENT (advisory): ${d.key} reps ${d.reps.mkString("/")} (${d.ratio}%.1fx)"))
     if (r.regressions.nonEmpty || r.failedCur.nonEmpty) {
       System.err.println(s"[benchdiff] ${r.regressions.size} regression(s), " +
         s"${r.failedCur.size} failed row(s) — see $outPath")

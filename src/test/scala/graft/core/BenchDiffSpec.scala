@@ -169,6 +169,27 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(root.get("host_cur").get("io_floor_scale").asDouble() === 0.959)
   }
 
+  test("the driver's parsed/tail wrapper reads like a bare Bench line") {
+    // BENCH_rNN.json (driver shape) wraps the line in {n, rc, ..., parsed};
+    // r10's 21x sink-rep split went un-flagged because the reader only
+    // understood the bare line — both shapes must surface the advisory
+    val wrapped = java.nio.file.Files.createTempFile("bench_driver", ".json")
+    java.nio.file.Files.write(wrapped,
+      """{"n":10,"rc":0,"cpus":32,"sf":0.1,"tail":"...",
+        |"parsed":{"metric":"total","value":139.9,"queries":{"a":1.0},
+        |"streaming":{"sink_rep1":2.0,"sink_rep2":43.0,"sink":2.0},
+        |"host":{"loadavg_1m":7.11}}}""".stripMargin.replace("\n", "").getBytes("UTF-8"))
+    assert(BenchDiff.readQueries(wrapped.toString) === Map("a" -> 1.0))
+    assert(BenchDiff.readHost(wrapped.toString) === Map("loadavg_1m" -> 7.11))
+    val dis = BenchDiff.repDisagreements(BenchDiff.readStreaming(wrapped.toString))
+    assert(dis.map(_.key) === Seq("sink") && dis.head.ratio > 20)
+    // the driver advisory section renders as one parseable JSON object
+    val section = BenchDiff.renderDriverSection(wrapped.toString, wrapped.toString)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(section)
+    assert(root.get("rep_disagreement").get(0).get("key").asText() === "sink")
+    assert(root.get("host_cur").get("loadavg_1m").asDouble() === 7.11)
+  }
+
   test("sink floor scales with the io calibration; CPU floors do not") {
     val rates = Seq(
       "streaming_materializer_rows_per_sec" -> 17000.0,

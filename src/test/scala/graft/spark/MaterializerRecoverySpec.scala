@@ -92,6 +92,13 @@ class MaterializerRecoverySpec extends AnyFunSuite {
     q2.processAllAvailable()
     input.addData(change("k1", 4000, """{..,"state":"APPROVED"}"""))
     q2.processAllAvailable()
+    // the state-store telemetry Bench emits (streaming_materializer_state_*)
+    // must be readable off the restarted query's progress: one FoldState row
+    // per live coordinate (k1, k2, k3), recovered + new
+    val st = q2.recentProgress.reverse.flatMap(_.stateOperators).headOption
+    assert(st.exists(_.numRowsTotal === 3L),
+      s"stateOperators after restart: ${st.map(_.numRowsTotal)}")
+    assert(st.exists(_.memoryUsedBytes > 0L))
     q2.stop(); q2.awaitTermination()
 
     val got = changelog(out)
