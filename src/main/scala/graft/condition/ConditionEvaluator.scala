@@ -18,7 +18,14 @@ final case class IntrinsicsView(
     firstUpdateAt: String,
     lastUpdateAt: String,
     lastMutateAt: String,
-    placement: String)
+    placement: String) {
+  // memoized JValue wrappers for the intrinsics hot in multi-condition
+  // evaluation (fanout tests N conditions against one view): transient
+  // lazy, not constructor fields — equality/serialization untouched
+  @transient lazy val jId: JValue = JString(id)
+  @transient lazy val jTable: JValue = JString(table)
+  @transient lazy val jPlacement: JValue = JString(placement)
+}
 
 /**
  * Evaluates a [[Condition]] against a JSON value at a position.
@@ -67,8 +74,8 @@ object ConditionEvaluator {
       import Containment._
       if (condValues.isEmpty && containment != ONLY) true
       else json match {
-        case JArr(items) =>
-          val values = items.toSet
+        case arr: JArr =>
+          val values = arr.itemSet // memoized: N conditions probe one array
           containment match {
             case ANY  => condValues.exists(values.contains)
             case ALL  => condValues.forall(values.contains)
@@ -131,14 +138,14 @@ object ConditionEvaluator {
   }
 
   def intrinsicValue(name: String, in: IntrinsicsView): JValue = name match {
-    case Intrinsic.Id            => JString(in.id)
-    case Intrinsic.Table         => JString(in.table)
+    case Intrinsic.Id            => in.jId
+    case Intrinsic.Table         => in.jTable
     case Intrinsic.Signature     => JString(in.signature)
-    case Intrinsic.Deleted       => JBool(in.deleted)
+    case Intrinsic.Deleted       => if (in.deleted) JValue.JTrue else JValue.JFalse
     case Intrinsic.FirstUpdateAt => if (in.firstUpdateAt == null) JNull else JString(in.firstUpdateAt)
     case Intrinsic.LastUpdateAt  => if (in.lastUpdateAt == null) JNull else JString(in.lastUpdateAt)
     case Intrinsic.LastMutateAt  => if (in.lastMutateAt == null) JNull else JString(in.lastMutateAt)
-    case Intrinsic.Placement     => JString(in.placement)
+    case Intrinsic.Placement     => in.jPlacement
     case Intrinsic.Version =>
       throw new UnsupportedOperationException("~version is not supported in conditions (by design)")
     case other => throw new UnsupportedOperationException(other)

@@ -29,7 +29,14 @@ final case class JBool(value: Boolean) extends JValue
 final case class JLong(value: Long) extends JValue
 final case class JDouble(value: Double) extends JValue
 final case class JString(value: String) extends JValue
-final case class JArr(items: Vector[JValue]) extends JValue
+final case class JArr(items: Vector[JValue]) extends JValue {
+  /** Memoized set view for containment checks: multi-condition evaluation
+    * (fanout matching N subscriptions against one event) probes the same
+    * array once per condition — rebuilding the set per probe dominated the
+    * match loop. Transient (recomputed after deserialization) and not a
+    * constructor field, so case-class equality/serialization are untouched. */
+  @transient lazy val itemSet: Set[JValue] = items.toSet
+}
 final case class JObj(fields: Map[String, JValue]) extends JValue {
   /** Field access preserving the UNDEFINED-vs-null trichotomy. */
   def get(key: String): JValue = fields.getOrElse(key, JUndefined)

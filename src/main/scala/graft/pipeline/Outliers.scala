@@ -38,16 +38,16 @@ object Outliers {
     * magnitude fits — a narrower precision would overflow the cast (ANSI
     * error) on components >= 1e10. */
   def centroid(df: DataFrame, vecCol: String): Array[Double] = {
-    val rows = df.select(posexplode(col(vecCol)))
-      .groupBy("pos")
-      .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
-        .cast("double").as("m"))
-      .collect()
-    require(rows.nonEmpty, "centroid of an empty corpus")
-    val dims = rows.map(_.getInt(0)).max + 1
-    val arr = new Array[Double](dims)
-    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
-    arr
+    // one-pass exact aggregate (no posexplode, no N×dims shuffle): the
+    // per-dimension sums accumulate in the SAME decimal(38,15) arithmetic,
+    // and the sum/count division stays in Catalyst, so the means are
+    // bit-identical to the posexplode + groupBy(pos) formulation this
+    // replaces (see VecDimStatsAgg)
+    val row = df.agg(sketches.vecDimStats(col(vecCol)).as("st"))
+      .select(sketches.vecDimMeans(col("st")).as("means"))
+      .head()
+    require(!row.isNullAt(0), "centroid of an empty corpus")
+    row.getSeq[Double](0).toArray
   }
 
   /** Euclidean distance from a vector column to a fixed center, summed in
@@ -55,12 +55,12 @@ object Outliers {
     * literal (typedLit), not dims separate lit nodes — an element-wise
     * `array(lit,lit,…)` at 384 dims makes janino compile a thousand-node
     * expression per query (measured ~2s of fixed codegen latency). */
-  def distanceTo(vecCol: Column, center: Array[Double]): Column = {
-    val c = typedLit(center.toIndexedSeq)
-    sqrt(aggregate(
-      zip_with(vecCol, c, (v, m) => (v.cast("double") - m) * (v.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x))
-  }
+  def distanceTo(vecCol: Column, center: Array[Double]): Column =
+    // single-pass expression, bit-identical to the zip_with/aggregate
+    // formulation it replaces (per-element (v-m)² rounded and summed in
+    // index order, then sqrt) — one loop per row instead of an interpreted
+    // HOF chain with an intermediate array (see EuclidDistExpr)
+    sketches.euclidDist(vecCol, center.toIndexedSeq)
 
   /** Rows with a well-formed vector of exactly `dims` elements — a null or
     * ragged embedding would make the distance null and crash the heap

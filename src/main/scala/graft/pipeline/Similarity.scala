@@ -27,14 +27,11 @@ object Similarity {
     * scores 0.0 against anything: the unguarded division is a
     * DIVIDE_BY_ZERO error under ANSI (Spark 4 default) and would abort
     * the whole job on one bad row. */
-  def cosine(a: Column, b: Column): Column = {
-    val prods = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
-    val dot = aggregate(prods, lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot / (sqrt(na) * sqrt(nb)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    // single-pass expression, bit-identical to the zip_with/aggregate
+    // formulation (see CosineSimExpr): one loop per row instead of three
+    // interpreted higher-order-function traversals + an intermediate array
+    sketches.cosineSim(a, b)
 
   /** Scale-safe per-query top-k rank. A plain
     * `Window.partitionBy(query)` funnels every corpus row for a query
@@ -353,13 +350,12 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
+      // one-pass exact per-cell means (no posexplode, no N×dims shuffle, no
+      // second collect_list aggregate): same decimal(38,15) cast-and-sum,
+      // division in Catalyst — bit-identical means (see VecDimStatsAgg)
       val means = assigned
-        .select(col("cell"), posexplode(col("vec")))
-        .groupBy("cell", "pos")
-        .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cell"), transform(col("dims"), d => d.getField("m")).as("centroid"))
+        .groupBy("cell").agg(sketches.vecDimStats(col("vec")).as("st"))
+        .select(col("cell"), sketches.vecDimMeans(col("st")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
       it += 1
@@ -450,23 +446,31 @@ object Similarity {
     }
     var it = 0
     while (it < iters) {
-      // one pass: explode (pos, x), derive (subspace, dim-in-block, code), mean
+      // one pass: explode SUBSPACES only (m rows per vec, not dims), slice
+      // the block, and take exact per-dimension sums in one aggregate — the
+      // same decimal(38,15) cast-and-sum per element as the previous
+      // (sub, code, d)-keyed posexplode formulation (exact arithmetic makes
+      // the grouping order irrelevant), division in Catalyst: bit-identical
+      // codebooks (see VecDimStatsAgg)
       val assigned = base.withColumn("codes", sketches.pqEncode(col("vec"), books))
       val means = assigned
-        .select(col("codes"), posexplode(col("vec")))
-        .withColumn("sub", (col("pos") / subDim).cast("int"))
-        .withColumn("d", col("pos") % subDim)
-        .withColumn("code", element_at(col("codes"), col("sub") + 1))
-        .groupBy("sub", "code", "d")
-        .agg((sum(col("col").cast("decimal(38,15)")) / count(lit(1)))
-          .cast("double").as("mean"))
+        .select(posexplode(col("codes")).as(Seq("sub", "code")), col("vec"))
+        .select(col("sub"), col("code"),
+          slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("block"))
+        .groupBy("sub", "code")
+        .agg(sketches.vecDimStats(col("block")).as("st"))
+        .select(col("sub"), col("code"), sketches.vecDimMeans(col("st")).as("mean"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Any](2))
         .toMap
       books = (0 until m).map { s =>
         (0 until k).map { c =>
           val old = books(s)(c)
-          (0 until subDim).map(d => means.getOrElse((s, c, d), old(d)))
+          val ms = means.getOrElse((s, c), null)
+          (0 until subDim).map { d =>
+            val v = if (ms != null && d < ms.length) ms(d) else null
+            if (v == null) old(d) else v.asInstanceOf[Double]
+          }
         }
       }
       it += 1

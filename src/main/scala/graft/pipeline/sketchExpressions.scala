@@ -611,7 +611,277 @@ case class RandomProjectExpr(child: Expression, outDims: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact cosine similarity of two numeric arrays — ONE tight loop per row,
+  * replacing the three interpreted higher-order-function traversals
+  * (zip_with products array + two aggregate() norm passes) that dominated
+  * every scored ANN join. BIT-IDENTICAL to the builtin formulation it
+  * replaces: each product/square is rounded once and summed in index order
+  * (same double ops, same order), and the null/zero-norm semantics
+  * reproduce the SQL three-valued logic of
+  * `when(na === 0 || nb === 0, 0.0).otherwise(dot / (sqrt(na)*sqrt(nb)))`
+  * over aggregate()'s null propagation (null array, null element, or
+  * zip_with length-mismatch padding => null through that term). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def getterOf(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => (ad, i) => ad.getDouble(i)
+      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+      case LongType    => (ad, i) => ad.getLong(i).toDouble
+      case IntegerType => (ad, i) => ad.getInt(i).toDouble
+      case ShortType   => (ad, i) => ad.getShort(i).toDouble
+      case ByteType    => (ad, i) => ad.getByte(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"cosine: unsupported element type $other")
+    }
+  @transient private lazy val getL = getterOf(left)
+  @transient private lazy val getR = getterOf(right)
+
+  /** Σ v_i² in index order; null (as in aggregate()) when the array or any
+    * element is null. */
+  private def norm2(ad: ArrayData, get: (ArrayData, Int) => Double): java.lang.Double = {
+    if (ad == null) return null
+    var acc = 0.0
+    var i = 0
+    val n = ad.numElements()
+    while (i < n) {
+      if (ad.isNullAt(i)) return null
+      val v = get(ad, i)
+      acc += v * v
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    val na = norm2(a, getL)
+    val nb = norm2(b, getR)
+    // when(na === 0 || nb === 0, 0.0): the OR is true iff either norm is a
+    // NON-NULL zero (null || true = true, null || false = null != true)
+    if ((na != null && na.doubleValue == 0.0) ||
+        (nb != null && nb.doubleValue == 0.0)) return 0.0
+    // otherwise-branch: any null term (null array/element, or zip_with's
+    // null padding on a length mismatch) nulls the whole expression
+    if (na == null || nb == null || a.numElements() != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      dot += getL(a, i) * getR(b, i)
+      i += 1
+    }
+    dot / (math.sqrt(na.doubleValue) * math.sqrt(nb.doubleValue))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean distance from a numeric array to a fixed center — single-pass
+  * replacement for `sqrt(aggregate(zip_with(vec, centerLit, (v,m) =>
+  * (v-m)*(v-m)), 0.0, _+_))`, bit-identical: per-element (v-m) rounded,
+  * squared, summed in index order, then sqrt. Null array / null element /
+  * length mismatch (zip_with null padding) => null, as in the builtin. */
+case class EuclidDistExpr(child: Expression, center: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val c = center.toArray
+  @transient private lazy val get: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => (ad, i) => ad.getDouble(i)
+      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+      case LongType    => (ad, i) => ad.getLong(i).toDouble
+      case IntegerType => (ad, i) => ad.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"euclidDist: unsupported element type $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != c.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      if (vec.isNullAt(i)) return null
+      val d = get(vec, i) - c(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def withNewChildInternal(ch: Expression): Expression = copy(child = ch)
+}
+
+/** Growable per-dimension exact-sum buffer: counts[i] = rows where dim i
+  * exists, sums[i] = exact BigDecimal sum of its non-null values (null until
+  * the first value — matching SQL sum's all-null => null). */
+final class VecDimStatsBuffer {
+  var sums: Array[java.math.BigDecimal] = _
+  var counts: Array[Long] = _
+  def ensure(n: Int): Unit = {
+    if (counts == null) {
+      sums = new Array[java.math.BigDecimal](n)
+      counts = new Array[Long](n)
+    } else if (counts.length < n) {
+      sums = java.util.Arrays.copyOf(sums, n)
+      counts = java.util.Arrays.copyOf(counts, n)
+    }
+  }
+}
+
+/**
+ * Per-dimension exact sums + counts of an array column in ONE pass — the
+ * Lloyd/centroid building block. Replaces `posexplode + groupBy(pos) +
+ * sum(cast(decimal(38,15)))`, which paid an N×dims row explosion, a shuffle
+ * of all exploded rows, and a per-update unsafe-buffer round trip of a
+ * precision-38 decimal. The BigDecimal arithmetic here is EXACTLY the
+ * decimal(38,15) cast-and-sum it replaces (float/double -> decimal(38,15)
+ * is `new BigDecimal(Double.toString(v)).setScale(15, HALF_UP)` — parity
+ * probed over the full corpus in DecimalCastProbe — and BigDecimal addition
+ * is the same exact, associative sum), so the downstream `sum / count`
+ * division, left IN Catalyst by the callers, yields bit-identical means
+ * under any partitioning.
+ *
+ * Output: struct<sums: array<decimal(38,15)>, counts: array<long>>; null
+ * for a group that saw no arrays (sum-of-nothing parity).
+ */
+case class VecDimStatsAgg(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[VecDimStatsBuffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(DecimalType(38, 15), containsNull = true)),
+    StructField("counts", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dim_stats"
+
+  @transient private lazy val get: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType  => (ad, i) => ad.getDouble(i)
+      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"vec_dim_stats: unsupported element type $other")
+    }
+
+  override def createAggregationBuffer(): VecDimStatsBuffer = new VecDimStatsBuffer
+
+  override def update(buffer: VecDimStatsBuffer, input: InternalRow): VecDimStatsBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val ad = v.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      buffer.ensure(n)
+      var i = 0
+      while (i < n) {
+        buffer.counts(i) += 1
+        if (!ad.isNullAt(i)) {
+          // exact parity with cast(x as decimal(38,15)): shortest-string
+          // double repr, scale 15, HALF_UP (probed in DecimalCastProbe)
+          val bd = new java.math.BigDecimal(java.lang.Double.toString(get(ad, i)))
+            .setScale(15, java.math.RoundingMode.HALF_UP)
+          if (bd.precision > 38) throw new ArithmeticException(
+            s"vec_dim_stats: ${get(ad, i)} overflows decimal(38,15)")
+          buffer.sums(i) = if (buffer.sums(i) == null) bd else buffer.sums(i).add(bd)
+        }
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: VecDimStatsBuffer, other: VecDimStatsBuffer): VecDimStatsBuffer = {
+    if (other.counts != null) {
+      buffer.ensure(other.counts.length)
+      var i = 0
+      while (i < other.counts.length) {
+        buffer.counts(i) += other.counts(i)
+        if (other.sums(i) != null)
+          buffer.sums(i) =
+            if (buffer.sums(i) == null) other.sums(i)
+            else buffer.sums(i).add(other.sums(i))
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: VecDimStatsBuffer): Any = {
+    if (buffer.counts == null) return null
+    val sums = buffer.sums.map { bd =>
+      if (bd == null) null
+      else org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(bd), 38, 15)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(sums.asInstanceOf[Array[Any]]),
+      new GenericArrayData(buffer.counts)))
+  }
+
+  override def serialize(buffer: VecDimStatsBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val n = if (buffer.counts == null) -1 else buffer.counts.length
+    out.writeInt(n)
+    var i = 0
+    while (i < n) {
+      out.writeLong(buffer.counts(i))
+      val bd = buffer.sums(i)
+      if (bd == null) out.writeInt(-1)
+      else {
+        // scale is always 15 by construction; persist the unscaled bigint
+        val bytes = bd.unscaledValue.toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecDimStatsBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new VecDimStatsBuffer
+    val n = in.readInt()
+    if (n >= 0) {
+      buf.ensure(n)
+      var i = 0
+      while (i < n) {
+        buf.counts(i) = in.readLong()
+        val len = in.readInt()
+        if (len >= 0) {
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          buf.sums(i) = new java.math.BigDecimal(new java.math.BigInteger(b), 15)
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecDimStatsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecDimStatsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecDimStatsAgg =
+    copy(child = newChild)
+}
+
 object sketches {
+  import org.apache.spark.sql.functions.zip_with
+
   /** The tokenizer's locale-independent case fold, for probe/marker sets
     * built outside this file (see SketchHash.foldCase). */
   def foldMarker(s: String): String = SketchHash.foldCase(s)
@@ -651,4 +921,22 @@ object sketches {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expression(text), k, w))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def euclidDist(vec: Column, center: Seq[Double]): Column =
+    GraftBridge.column(EuclidDistExpr(GraftBridge.expression(vec), center))
+
+  def vecDimStats(vec: Column): Column =
+    GraftBridge.column(VecDimStatsAgg(GraftBridge.expression(vec))
+      .toAggregateExpression())
+
+  /** Per-dimension means from a [[vecDimStats]] struct — the division stays
+    * in Catalyst (`decimal(38,15) element / bigint` then cast double), the
+    * exact operator chain the posexplode formulation used, so means are
+    * bit-identical to it. */
+  def vecDimMeans(stats: Column): Column =
+    zip_with(stats.getField("sums"), stats.getField("counts"),
+      (s, c) => (s / c).cast("double"))
 }

@@ -37,8 +37,28 @@ case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
                                   children: Seq[Expression])
     extends Expression with CodegenFallback {
 
-  @transient private lazy val compiled: Array[(UTF8String, Condition, Long)] =
-    subs.map { case (n, c, m) => (UTF8String.fromString(n), Conditions.fromString(c), m) }.toArray
+  /** Distinct (conditionText, minMs) pairs evaluated ONCE per row, with each
+    * subscription resolving through an index — real registries repeat
+    * conditions heavily (templated subscriptions), so N subscriptions cost
+    * D <= N evaluations per event instead of N. Output order (and therefore
+    * the exploded row order) is the subscription order, unchanged. */
+  @transient private lazy val compiled: (Array[UTF8String], Array[Condition], Array[Long], Array[Int]) = {
+    val names = new Array[UTF8String](subs.length)
+    val subIdx = new Array[Int](subs.length)
+    val keyToIdx = scala.collection.mutable.LinkedHashMap.empty[(String, Long), Int]
+    var i = 0
+    subs.foreach { case (n, c, m) =>
+      names(i) = UTF8String.fromString(n)
+      subIdx(i) = keyToIdx.getOrElseUpdate((c, m), keyToIdx.size)
+      i += 1
+    }
+    val conds = new Array[Condition](keyToIdx.size)
+    val mins = new Array[Long](keyToIdx.size)
+    keyToIdx.foreach { case ((c, m), j) =>
+      conds(j) = Conditions.fromString(c); mins(j) = m
+    }
+    (names, conds, mins, subIdx)
+  }
 
   override def dataType: org.apache.spark.sql.types.DataType =
     ArrayType(StringType, containsNull = false)
@@ -74,14 +94,21 @@ case class MultiSubscriptionMatch(subs: Seq[(String, String, Long)],
       null, deleted = false, null, null, null,
       if (placementV == null) null else placementV.toString)
     val ms = if (msV == null) Long.MaxValue else msV.asInstanceOf[Long]
+    val (names, conds, mins, subIdx) = compiled
+    // evaluate each DISTINCT (condition, minMs) once; exception semantics
+    // are per-condition, so the memoized verdict equals the per-sub one
+    val verdict = new Array[Boolean](conds.length)
+    var j = 0
+    while (j < conds.length) {
+      verdict(j) = ms >= mins(j) &&
+        (try ConditionEvaluator.eval(conds(j), json, intr)
+         catch { case _: Exception => false })
+      j += 1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
-    while (i < compiled.length) {
-      val (name, cond, minMs) = compiled(i)
-      val matched = ms >= minMs &&
-        (try ConditionEvaluator.eval(cond, json, intr)
-         catch { case _: Exception => false })
-      if (matched) out += name
+    while (i < names.length) {
+      if (verdict(subIdx(i))) out += names(i)
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -9,12 +9,19 @@ import org.apache.spark.sql.SparkSession
   * in a handful of micro-batches and report changelog throughput. */
 object StreamStress {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B harness for streaming/state-store configs: comma-separated k=v
+    // pairs, e.g. STREAM_STRESS_EXTRA_CONF="spark.x=1,spark.y=2"
+    sys.env.get("STREAM_STRESS_EXTRA_CONF").toSeq.flatMap(_.split(','))
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -25,25 +32,30 @@ object StreamStress {
       .as[ChangeRow].collect()
     println(s"STREAM_STRESS input=${all.length} changes")
 
-    val input = MemoryStream[ChangeRow]
     val monitor = new graft.streaming.Databus.LagMonitor
     spark.streams.addListener(monitor)
-    val q = Materializer.materialize(input.toDS())
-      .writeStream.outputMode("append")
-      .format("memory").queryName("stress_out")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ckpt_stress").toString)
-      .start()
-    val t0 = System.nanoTime()
     val nBatches = sys.env.getOrElse("STREAM_STRESS_BATCHES", "5").toInt
-    val batches = all.grouped(all.length / nBatches + 1).toSeq
-    batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
-    val secs = (System.nanoTime() - t0) / 1e9
-    val outRows = spark.table("stress_out").count()
-    println(f"STREAM_STRESS batches=${batches.size} changes=${all.length} " +
-      f"changelog_rows=$outRows secs=$secs%.1f rows_per_sec=${all.length / secs}%.0f " +
-      f"monitor_batches=${monitor.batches}")
-    q.stop()
+    val reps = sys.env.getOrElse("STREAM_STRESS_REPS", "1").toInt
+    // in-JVM reps (fresh stream + checkpoint each) separate steady-state
+    // cost from first-run plan/codegen/state-store-open noise; report each
+    for (rep <- 1 to reps) {
+      val input = MemoryStream[ChangeRow]
+      val q = Materializer.materialize(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"stress_out_$rep")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_stress").toString)
+        .start()
+      val t0 = System.nanoTime()
+      val batches = all.grouped(all.length / nBatches + 1).toSeq
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.table(s"stress_out_$rep").count()
+      println(f"STREAM_STRESS rep=$rep batches=${batches.size} changes=${all.length} " +
+        f"changelog_rows=$outRows secs=$secs%.1f rows_per_sec=${all.length / secs}%.0f " +
+        f"monitor_batches=${monitor.batches}")
+      q.stop()
+    }
     spark.stop()
   }
 }
