@@ -927,15 +927,28 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir).select("user_id", "event_id")
       val w = Window.partitionBy("user_id").orderBy("event_id")
+      // r11: same ids, cheaper construction — the per-user md5 slab prefix
+      // is computed once per USER (it was one md5 per event row), the
+      // collect ships ints instead of 44-char strings, and the event-key
+      // codec runs ONCE (decode reads the already-encoded column; the
+      // previous decode(encode(ids)) nesting evaluated the encode
+      // expression twice per user). sort_array over the built eids is
+      // byte-identical to sorting them pre-build.
       val ids = ev.withColumn("rn", row_number().over(w))
-        .withColumn("eid", concat(md5(col("user_id").cast("string")),
-          lpad(lower(hex(col("rn"))), 4, "0"), lit("aaaa")))
       ids.groupBy("user_id")
-        .agg(sort_array(collect_list("eid")).as("ids"))
+        .agg(collect_list("rn").as("rns"))
+        // slab prefix in its OWN projection: a lambda re-evaluates captured
+        // expressions per element, a bound attribute is a buffer read
+        .select(col("user_id"), md5(col("user_id").cast("string")).as("__slab"),
+          col("rns"))
         .select(col("user_id"),
-          graft.streaming.EventKey.encodeCol(col("ids")).as("event_key"),
-          size(graft.streaming.EventKey.decodeCol(
-            graft.streaming.EventKey.encodeCol(col("ids")))).as("n_ids"))
+          sort_array(transform(col("rns"), rn =>
+            concat(col("__slab"), lpad(lower(hex(rn)), 4, "0"), lit("aaaa"))))
+            .as("ids"))
+        .select(col("user_id"),
+          graft.streaming.EventKey.encodeCol(col("ids")).as("event_key"))
+        .select(col("user_id"), col("event_key"),
+          size(graft.streaming.EventKey.decodeCol(col("event_key"))).as("n_ids"))
         .orderBy("user_id")
     },
 

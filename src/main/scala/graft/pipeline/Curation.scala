@@ -205,6 +205,18 @@ object Curation {
       }
       out
     }
+    // materialize the INPUT once when stage caching is on: the FIRST
+    // stage's own actions (e.g. near-dup candidate pairs, the agreement
+    // audit, the drops anti-diff, the funnel count) would otherwise each
+    // recompute the caller's input lineage from scratch — the same
+    // "each stage reads its predecessor's materialization" contract the
+    // per-stage persists below provide, applied to stage 0. Skipped when
+    // the caller already persisted the frame (its cache, its lifecycle).
+    if ((trackFunnel || trackDrops) &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted = Some(df)
+    }
     if (trackFunnel) counts += ("input" -> df.count())
 
     // raw crawl payloads become text before any content operator sees them

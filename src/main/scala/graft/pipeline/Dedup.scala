@@ -163,7 +163,10 @@ object Dedup {
     // exact verification on the candidate set only; shingles compared as
     // sorted 64-bit hash sets (collision odds negligible, set sizes
     // identical) so jaccard is a single merge walk per pair instead of
-    // per-row hash-set builds over string arrays
+    // per-row hash-set builds over string arrays. (r11 note: restricting
+    // the shingle pass to candidate docs via a semi-join was tried and
+    // REVERTED — the single-pass shingle expression is cheap, and the
+    // extra distinct/semi-join shuffles measured 3x slower end-to-end.)
     val sh = df.select(col(idCol).as("id"),
       sketches.hashedShingles(col(textCol), shingleN).as("shingles"))
     candidates
