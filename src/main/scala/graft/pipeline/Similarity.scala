@@ -435,11 +435,14 @@ object Similarity {
               m: Int = 8, k: Int = 16, iters: Int = 2,
               seedSample: Int = 8): Seq[Seq[Seq[Double]]] = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val dims = base.select(size(col("vec"))).head().getInt(0)
+    // candidate seed pool: the seedSample*k smallest-id-hash rows; dims come
+    // from the pool itself (one collected action instead of a separate
+    // head() job — the pool is non-empty whenever the corpus is)
+    val pool = seedPool(base, math.max(k, seedSample * k))
+    require(pool.nonEmpty, "pqTrain: empty corpus")
+    val dims = pool.head.length
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
     val subDim = dims / m
-    // candidate seed pool: the seedSample*k smallest-id-hash rows
-    val pool = seedPool(base, math.max(k, seedSample * k))
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       val blocks = pool.map(v => v.slice(s * subDim, (s + 1) * subDim))
       farthestPointSeeds(blocks, k).map(_.toSeq).toSeq
@@ -751,13 +754,17 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val e = exact.where(col("rank") <= k).select("query_id", "neighbor_id")
+    // distinct keeps semi-join parity on a (malformed) duplicate-bearing
+    // approx side: a left join would multiply matched e-rows, a semi never
     val a = approx.where(col("rank") <= k).select("query_id", "neighbor_id")
-    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .distinct().withColumn("__hit", lit(1))
+    // one join + one aggregate (was: semi-join + two aggregates + join):
+    // n_exact counts e-rows per query, n_hit counts those with a match —
+    // count(col) skips nulls, so unmatched rows contribute 0, exactly the
+    // coalesce(n_hit, 0) of the former outer join
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
   }
 
   /** One band's bucket key via builtins (cross-check formulation):
