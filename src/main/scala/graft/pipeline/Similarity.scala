@@ -352,8 +352,12 @@ object Similarity {
       val assigned = base.withColumn("cell", nearestCentroid(col("vec"), centroids))
       // one-pass exact per-cell means (no posexplode, no N×dims shuffle, no
       // second collect_list aggregate): same decimal(38,15) cast-and-sum,
-      // division in Catalyst — bit-identical means (see VecDimStatsAgg)
+      // division in Catalyst — bit-identical means (see VecDimStatsAgg).
+      // Null embeddings get cell = null (nearestCells is null-safe); the
+      // posexplode formulation silently dropped them, so drop the null-cell
+      // group here too rather than NPE-ing on getInt of a null key
       val means = assigned
+        .where(col("cell").isNotNull)
         .groupBy("cell").agg(sketches.vecDimStats(col("vec")).as("st"))
         .select(col("cell"), sketches.vecDimMeans(col("st")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
@@ -590,7 +594,10 @@ object Similarity {
     * rows' vectors — id as a tie-break makes the order total even on
     * hash collisions, so seeding is identical under any partitioning. */
   private def seedPool(base: DataFrame, n: Int): Array[Array[Double]] =
-    base.withColumn("h", xxhash64(col("id")))
+    // null embeddings are not seedable points: skip them (previously an
+    // NPE on collect when one landed in the pool window)
+    base.where(col("vec").isNotNull)
+      .withColumn("h", xxhash64(col("id")))
       .orderBy(col("h"), col("id")).limit(n)
       .select("vec").collect()
       .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue).toArray)

@@ -611,6 +611,23 @@ case class RandomProjectExpr(child: Expression, outDims: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared numeric-element accessor for the single-pass vector expressions:
+  * one dispatch, one supported-type domain (the per-expression match blocks
+  * had already drifted apart). Widening matches the `cast("double")` the
+  * replaced builtin formulations applied per element. */
+private object VecGetter {
+  def of(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case DoubleType  => (ad, i) => ad.getDouble(i)
+    case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+    case LongType    => (ad, i) => ad.getLong(i).toDouble
+    case IntegerType => (ad, i) => ad.getInt(i).toDouble
+    case ShortType   => (ad, i) => ad.getShort(i).toDouble
+    case ByteType    => (ad, i) => ad.getByte(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"unsupported numeric array element type $other")
+  }
+}
+
 /** Exact cosine similarity of two numeric arrays — ONE tight loop per row,
   * replacing the three interpreted higher-order-function traversals
   * (zip_with products array + two aggregate() norm passes) that dominated
@@ -627,19 +644,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def getterOf(e: Expression): (ArrayData, Int) => Double =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case DoubleType  => (ad, i) => ad.getDouble(i)
-      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
-      case LongType    => (ad, i) => ad.getLong(i).toDouble
-      case IntegerType => (ad, i) => ad.getInt(i).toDouble
-      case ShortType   => (ad, i) => ad.getShort(i).toDouble
-      case ByteType    => (ad, i) => ad.getByte(i).toDouble
-      case other => throw new IllegalArgumentException(
-        s"cosine: unsupported element type $other")
-    }
-  @transient private lazy val getL = getterOf(left)
-  @transient private lazy val getR = getterOf(right)
+  @transient private lazy val getL =
+    VecGetter.of(left.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val getR =
+    VecGetter.of(right.dataType.asInstanceOf[ArrayType].elementType)
 
   /** Σ v_i² in index order; null (as in aggregate()) when the array or any
     * element is null. */
@@ -696,14 +704,7 @@ case class EuclidDistExpr(child: Expression, center: Seq[Double])
 
   @transient private lazy val c = center.toArray
   @transient private lazy val get: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case DoubleType  => (ad, i) => ad.getDouble(i)
-      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
-      case LongType    => (ad, i) => ad.getLong(i).toDouble
-      case IntegerType => (ad, i) => ad.getInt(i).toDouble
-      case other => throw new IllegalArgumentException(
-        s"euclidDist: unsupported element type $other")
-    }
+    VecGetter.of(child.dataType.asInstanceOf[ArrayType].elementType)
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
@@ -767,10 +768,23 @@ case class VecDimStatsAgg(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dim_stats"
 
-  @transient private lazy val get: (ArrayData, Int) => Double =
+  // element -> decimal(38,15) with CAST parity per source type: float/double
+  // go through the shortest-string double repr + HALF_UP at scale 15
+  // (probed in DecimalCastProbe); integral types are exact (Spark's
+  // long->decimal cast never routes through double, so neither do we —
+  // values above 2^53 must not lose precision)
+  @transient private lazy val toDec: (ArrayData, Int) => java.math.BigDecimal =
     child.dataType.asInstanceOf[ArrayType].elementType match {
-      case DoubleType  => (ad, i) => ad.getDouble(i)
-      case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+      case DoubleType => (ad, i) =>
+        new java.math.BigDecimal(java.lang.Double.toString(ad.getDouble(i)))
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+      case FloatType => (ad, i) =>
+        new java.math.BigDecimal(java.lang.Double.toString(ad.getFloat(i).toDouble))
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+      case LongType    => (ad, i) => java.math.BigDecimal.valueOf(ad.getLong(i)).setScale(15)
+      case IntegerType => (ad, i) => java.math.BigDecimal.valueOf(ad.getInt(i).toLong).setScale(15)
+      case ShortType   => (ad, i) => java.math.BigDecimal.valueOf(ad.getShort(i).toLong).setScale(15)
+      case ByteType    => (ad, i) => java.math.BigDecimal.valueOf(ad.getByte(i).toLong).setScale(15)
       case other => throw new IllegalArgumentException(
         s"vec_dim_stats: unsupported element type $other")
     }
@@ -787,12 +801,9 @@ case class VecDimStatsAgg(child: Expression,
       while (i < n) {
         buffer.counts(i) += 1
         if (!ad.isNullAt(i)) {
-          // exact parity with cast(x as decimal(38,15)): shortest-string
-          // double repr, scale 15, HALF_UP (probed in DecimalCastProbe)
-          val bd = new java.math.BigDecimal(java.lang.Double.toString(get(ad, i)))
-            .setScale(15, java.math.RoundingMode.HALF_UP)
+          val bd = toDec(ad, i)
           if (bd.precision > 38) throw new ArithmeticException(
-            s"vec_dim_stats: ${get(ad, i)} overflows decimal(38,15)")
+            s"vec_dim_stats: element at $i overflows decimal(38,15)")
           buffer.sums(i) = if (buffer.sums(i) == null) bd else buffer.sums(i).add(bd)
         }
         i += 1

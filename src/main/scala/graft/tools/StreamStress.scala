@@ -39,6 +39,7 @@ object StreamStress {
     // in-JVM reps (fresh stream + checkpoint each) separate steady-state
     // cost from first-run plan/codegen/state-store-open noise; report each
     for (rep <- 1 to reps) {
+      val repStartBatches = monitor.batches
       val input = MemoryStream[ChangeRow]
       val q = Materializer.materialize(input.toDS())
         .writeStream.outputMode("append")
@@ -51,9 +52,10 @@ object StreamStress {
       batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
       val outRows = spark.table(s"stress_out_$rep").count()
+      // the listener accumulates across reps; report THIS rep's batch count
       println(f"STREAM_STRESS rep=$rep batches=${batches.size} changes=${all.length} " +
         f"changelog_rows=$outRows secs=$secs%.1f rows_per_sec=${all.length / secs}%.0f " +
-        f"monitor_batches=${monitor.batches}")
+        f"monitor_batches=${monitor.batches - repStartBatches}")
       q.stop()
     }
     spark.stop()
