@@ -19,6 +19,27 @@ import org.apache.spark.sql.SparkSession
   * the artifact the next round diffs against). */
 object Bench {
 
+  /** Temp hygiene for the streaming fixtures: each rep writes a sink output
+    * (~hundreds of MB of delivered-row parquet) and a checkpoint dir, and
+    * repeated runs on one host (the driver benches at TWO core counts
+    * back-to-back) accumulate enough /tmp litter + dirty pages to degrade
+    * the later runs' disk-bound sink row — measured on this host as a
+    * 59k -> 21k rows/s sink collapse with a still-healthy io-calibration.
+    * Deleted OUTSIDE the timed window; failures logged, never fatal. */
+  private def deleteRecursive(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] temp cleanup failed for $dir: ${e.getMessage}")
+    }
+
   /** Streaming measurements: each row measured `streamReps` times
     * (min-of-reps on every time, best-of-reps on every derived rate — the
     * same rep-min semantics the batch queries get; each rep uses a FRESH
@@ -89,11 +110,11 @@ object Bench {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[graft.resolve.ChangeRow]
+      val ckptDir = java.nio.file.Files.createTempDirectory("ckpt_bench").toString
       val q = graft.streaming.Materializer.materialize(input.toDS())
         .writeStream.outputMode("append")
         .format("memory").queryName(s"bench_stream_out_$repNo")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ckpt_bench").toString)
+        .option("checkpointLocation", ckptDir)
         .start()
       try {
         // warmup (1 row) + two probes (1 row each) + ≥1 measured row: the
@@ -146,6 +167,7 @@ object Bench {
         try q.stop() // a leaked query would contaminate the fanout timing
         catch { case e: Throwable =>
           System.err.println(s"[bench] materializer stop failed: ${e.getMessage}") }
+        deleteRecursive(ckptDir)
       }
     }
 
@@ -187,6 +209,7 @@ object Bench {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
       val outDir = java.nio.file.Files.createTempDirectory("fanout_sink").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("ckpt_fanout_sink").toString
       val input = MemoryStream[graft.resolve.ChangeRow]
       all.grouped(all.length / 32 + 1).foreach(c => input.addData(c.toIndexedSeq))
       val t0 = System.nanoTime()
@@ -197,8 +220,7 @@ object Bench {
             .write.mode("append").parquet(outDir)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ckpt_fanout_sink").toString)
+        .option("checkpointLocation", ckptDir)
         .start()
       try {
         q.awaitTermination()
@@ -209,6 +231,8 @@ object Bench {
         try q.stop() // AvailableNow self-terminates; stop() is a no-op guard
         catch { case e: Throwable =>
           System.err.println(s"[bench] sink stop failed: ${e.getMessage}") }
+        deleteRecursive(outDir) // ~19M delivered rows of parquet per rep
+        deleteRecursive(ckptDir)
       }
     }
     (times.toSeq, rates.toSeq)
