@@ -31,8 +31,10 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(p)) {
+        // depth-first via reverse path sort — children before parents,
+        // without materializing the walk into a Seq first
         val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
+        try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
         finally walk.close()
       }
@@ -48,7 +50,7 @@ object Bench {
     * artifact instead of across two rounds'.
     * @return (rows for the queries map: name -> seconds,
     *          throughput entries: name -> value for the streaming map) */
-  private def streamingRows(spark: SparkSession, sfDir: String)
+  private[graft] def streamingRows(spark: SparkSession, sfDir: String)
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     import spark.implicits._
     val streamReps = math.max(1,
@@ -173,15 +175,27 @@ object Bench {
 
     // fanout at 500 standing subscriptions over the change log — the
     // single-scan MultiSubscriptionMatch path (DefaultFanout's real
-    // cardinality); measured as events/s through the match + explode
+    // cardinality); measured as events/s through the match + explode.
+    //
+    // PARALLELISM (r12, guide §2): the sf corpus is ONE small parquet file
+    // = ONE scan partition, so the match+explode ran single-threaded at any
+    // core count — PERF_r11 measured an 8-vs-32-core ratio of exactly 1.00
+    // (6.18 s both) on this row. That is a bench-input artifact, not an
+    // operator cost: a real feed arrives partitioned (the sink row's
+    // 32-block MemoryStream shape, a Kafka topic). The batch is therefore
+    // distributed to the session's parallelism INSIDE the timed window; the
+    // round-robin shuffle of ~100k narrow rows is a few percent of the row
+    // and is honestly charged to it.
     repped("streaming_fanout500",
       timeKeys = Seq("streaming_fanout500"),
       rateKeys = Seq("streaming_fanout500_rows_per_sec")) { _ =>
       val events = graft.engine.EventLog.changes(spark, sfDir)
         .select("table", "key", "ms", "seq", "node", "tags")
       val nEvents = events.count()
+      val par = spark.sparkContext.defaultParallelism
       val t0 = System.nanoTime()
-      graft.streaming.Databus.fanout(events, subs).queryExecution.toRdd.count()
+      graft.streaming.Databus.fanout(events.repartition(par), subs)
+        .queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       Seq("streaming_fanout500" -> secs,
         "streaming_fanout500_rows_per_sec" -> nEvents / secs)

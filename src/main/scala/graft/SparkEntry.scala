@@ -790,9 +790,11 @@ object SparkEntry {
     // HashesSpec) — the same hash family store_pruned_scan verifies
     // semantically against partition directories
     "cond_partition" -> { (s, dir) =>
-      // pinned to the ids 0..149 present at EVERY scale factor, so the
-      // VALUES oracle (murmur3 partition counts, not SQL-expressible) is
-      // SF-independent — at sf0.01 the filter is a no-op
+      // bounded to ids <= 149 so the oracle's pinned per-id murmur3
+      // partition table (murmur3 is not SQL-expressible) stays 150 rows;
+      // the oracle joins those pins against the ACTIVE SF's user set, so
+      // the counts are correct even where not all 150 ids exist (sf0.001
+      // carries 15 of them)
       val docs = docsOf(s, dir).where(col("id").cast("long") <= 149)
       docs.select(col("id"),
           expressions.emoPartition(col("table"), col("id"), 8).as("part"))
@@ -1103,10 +1105,10 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
-      val (centroids, _) = Similarity.ivfBuild(emb, "vec_id", "embedding",
-        nCells = 16, iters = 1)
-      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
-      val index = Similarity.ivfPqIndex(emb, "vec_id", "embedding", centroids, books)
+      // fused build: one shared seed-pool collect; centroids/books/index
+      // bit-identical to the ivfBuild + pqTrain + ivfPqIndex it replaces
+      val (centroids, books, index) = Similarity.ivfPqBuild(emb,
+        "vec_id", "embedding", nCells = 16, m = 8, k = 16, iters = 1)
       val approx = Similarity.ivfPqTopK(centroids, books, index, queries,
         "vec_id", "embedding", k = 10, nProbe = 8, rerank = 256)
       Similarity.recallAtK(exact, approx, k = 10)
@@ -1140,8 +1142,9 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
-      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
-      val index = Similarity.pqIndex(emb, "vec_id", "embedding", books)
+      // fused build: pool collect + dims probe shared (bit-identical output)
+      val (books, index) = Similarity.pqBuild(emb,
+        "vec_id", "embedding", m = 8, k = 16, iters = 1)
       val approx = Similarity.pqTopK(books, index, queries,
         "vec_id", "embedding", k = 10, rerank = 256)
       Similarity.recallAtK(exact, approx, k = 10)
@@ -1230,8 +1233,9 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10)
       val corpus = emb.unionByName(
         queries.withColumn("vec_id", col("vec_id") + 1000000L))
-      val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
-      val index = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
+      // fused build: pool collect + dims probe shared (bit-identical output)
+      val (books, index) = Similarity.pqBuild(corpus,
+        "vec_id", "embedding", m = 8, k = 16, iters = 1)
       // rerank=64 (the operator default): ample headroom for the planted
       // copy to survive ADC candidate generation even at denser SFs
       Similarity.pqTopK(books, index, queries, "vec_id", "embedding", k = 1, rerank = 64)
@@ -1249,10 +1253,10 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10)
       val corpus = emb.unionByName(
         queries.withColumn("vec_id", col("vec_id") + 1000000L))
-      val (centroids, _) = Similarity.ivfBuild(corpus, "vec_id", "embedding",
-        nCells = 16, iters = 1)
-      val books = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 1)
-      val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", centroids, books)
+      // fused build: one shared seed-pool collect; centroids/books/index
+      // bit-identical to the ivfBuild + pqTrain + ivfPqIndex it replaces
+      val (centroids, books, index) = Similarity.ivfPqBuild(corpus,
+        "vec_id", "embedding", nCells = 16, m = 8, k = 16, iters = 1)
       Similarity.ivfPqTopK(centroids, books, index, queries,
           "vec_id", "embedding", k = 1, nProbe = 4, rerank = 64)
         .select("query_id", "rank", "neighbor_id")
@@ -3302,17 +3306,41 @@ object SparkEntry {
         |  FROM q, (SELECT vec_id AS nid, e AS cv FROM all_v) c WHERE qid <> nid)
         |WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
 
+    // only the murmur3 PARTITION of each id is pinned (not SQL-expressible;
+    // values from the Guava-parity golden vectors, HashesSpec) — the counts
+    // derive from the ACTIVE SF's user set, so the oracle is correct at
+    // every scale factor (sf0.001 carries only 15 of the 150 ids and no
+    // partition-8 user; the previous aggregate VALUES pin was sf0.01-only)
     "cond_partition" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(1 AS INTEGER), CAST(20 AS BIGINT)),
-        |  (CAST(2 AS INTEGER), CAST(19 AS BIGINT)),
-        |  (CAST(3 AS INTEGER), CAST(21 AS BIGINT)),
-        |  (CAST(4 AS INTEGER), CAST(14 AS BIGINT)),
-        |  (CAST(5 AS INTEGER), CAST(18 AS BIGINT)),
-        |  (CAST(6 AS INTEGER), CAST(18 AS BIGINT)),
-        |  (CAST(7 AS INTEGER), CAST(16 AS BIGINT)),
-        |  (CAST(8 AS INTEGER), CAST(24 AS BIGINT))
-        |) AS t(part, n) ORDER BY part""".stripMargin,
+      """WITH pins(id, part) AS (VALUES
+        |('0',1),('1',3),('2',5),('3',5),('4',4),('5',7),('6',4),('7',5),
+        |('8',6),('9',2),('10',1),('11',6),('12',4),('13',3),('14',7),
+        |('15',1),('16',6),('17',8),('18',1),('19',1),('20',5),('21',2),
+        |('22',1),('23',8),('24',1),('25',7),('26',8),('27',8),('28',7),
+        |('29',3),('30',5),('31',8),('32',5),('33',8),('34',8),('35',8),
+        |('36',8),('37',4),('38',1),('39',4),('40',4),('41',1),('42',3),
+        |('43',8),('44',3),('45',1),('46',4),('47',7),('48',6),('49',2),
+        |('50',3),('51',1),('52',8),('53',3),('54',5),('55',6),('56',5),
+        |('57',6),('58',7),('59',4),('60',2),('61',7),('62',1),('63',3),
+        |('64',3),('65',8),('66',4),('67',8),('68',2),('69',1),('70',2),
+        |('71',4),('72',5),('73',8),('74',6),('75',4),('76',2),('77',5),
+        |('78',3),('79',3),('80',3),('81',3),('82',2),('83',7),('84',1),
+        |('85',5),('86',3),('87',7),('88',6),('89',2),('90',8),('91',6),
+        |('92',1),('93',2),('94',7),('95',2),('96',6),('97',8),('98',2),
+        |('99',8),('100',3),('101',7),('102',4),('103',6),('104',7),
+        |('105',8),('106',6),('107',6),('108',1),('109',8),('110',5),
+        |('111',5),('112',2),('113',2),('114',1),('115',7),('116',6),
+        |('117',8),('118',2),('119',5),('120',6),('121',7),('122',2),
+        |('123',7),('124',8),('125',4),('126',5),('127',6),('128',7),
+        |('129',1),('130',6),('131',3),('132',5),('133',5),('134',1),
+        |('135',5),('136',8),('137',4),('138',3),('139',6),('140',8),
+        |('141',2),('142',3),('143',2),('144',2),('145',3),('146',3),
+        |('147',3),('148',8),('149',1)),
+        |u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
+        |      FROM events WHERE user_id <= 149)
+        |SELECT CAST(part AS INTEGER) AS part, count(*) AS n
+        |FROM u JOIN pins USING (id)
+        |GROUP BY 1 ORDER BY part""".stripMargin,
 
     "pipeline_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'

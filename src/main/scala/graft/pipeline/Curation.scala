@@ -217,6 +217,10 @@ object Curation {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persisted = Some(df)
     }
+    // run-owned input persist, released before returning when NO stage()
+    // call ever consumed it (a config enabling zero stages would otherwise
+    // leave the caller's frame cached for the session)
+    val inputFrame = df
     if (trackFunnel) counts += ("input" -> df.count())
 
     // raw crawl payloads become text before any content operator sees them
@@ -499,6 +503,12 @@ object Curation {
         dropParts.foreach(_.unpersist())
         Some(u)
       } else None
+    // zero-stage degenerate config: the stage-0 input persist was never
+    // handed off to a stage()'s unpersist chain — release it now
+    if (persisted.exists(_ eq inputFrame)) {
+      inputFrame.unpersist()
+      persisted = None
+    }
     Result(df, counts.toSeq, drops = drops, audits = audits.toMap)
   }
 }

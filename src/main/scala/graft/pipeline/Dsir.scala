@@ -63,9 +63,15 @@ object Dsir {
     // hash-the-gram convention; a 64-bit collision merging two grams is
     // negligible and the oracle would catch it). Per-(doc, gram) counts
     // first — instances never cross the wire individually.
+    // persisted: this per-(doc, gram) table feeds BOTH the corpus gram
+    // counts (materialized at plan time by the normalizer head() below) and
+    // the per-doc vote join at action time — without the persist the raw
+    // corpus is tokenized and aggregated twice per run (same policy as the
+    // `counts` persist below)
     val rdg = raw
       .select(col(idCol), explode(gramHashes(col(textCol))).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCounts = target
       .select(explode(gramHashes(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c_t"))
@@ -84,6 +90,7 @@ object Dsir {
     val tot = counts.agg(count(lit(1)).as("v"), sum("c_r").as("nr"), sum("c_t").as("nt")).head()
     if (tot.getLong(0) == 0L) { // both corpora empty: no votes, empty result
       counts.unpersist()
+      rdg.unpersist()
       return raw.select(col(idCol)).where(lit(false))
         .withColumn("n_target", lit(0L)).withColumn("n_raw", lit(0L))
         .withColumn("margin", lit(0L))

@@ -150,10 +150,17 @@ object Incremental {
                           store: DataFrame, segSize: Int = 5,
                           minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // the store feeds two consumers — the seg-size probe just below (a
+    // plan-time action) and the condemned-set union at action time — so
+    // persist it FIRST: without this the whole store lineage (typically a
+    // segmentHashStore distinct over the curated corpus) runs twice per
+    // call (session-cached, see the Dedup band table policy)
+    val storeP = store
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a store built at a different window size can never match — fail loud
     // instead of silently degrading to intra-batch-only dedup
-    if (store.columns.contains("seg_size")) {
-      val sizes = store.select("seg_size").distinct().limit(3).collect()
+    if (storeP.columns.contains("seg_size")) {
+      val sizes = storeP.select("seg_size").distinct().limit(3).collect()
       sizes.foreach { r =>
         require(r.getInt(0) == segSize,
           s"store was built with segSize=${r.getInt(0)}, rewrite uses $segSize")
@@ -165,7 +172,7 @@ object Incremental {
       .agg(countDistinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select("seg_hash")
-    val condemned = store.select(col("seg_hash")).unionByName(inBatch).distinct()
+    val condemned = storeP.select(col("seg_hash")).unionByName(inBatch).distinct()
     Lines.rebuildWithoutSegments(newDocs, idCol, textCol, segSize, condemned, segs)
   }
 

@@ -361,7 +361,13 @@ object Similarity {
         .groupBy("cell").agg(sketches.vecDimStats(col("vec")).as("st"))
         .select(col("cell"), sketches.vecDimMeans(col("st")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      // a cell whose members all have EMPTY vectors yields a present-but-
+      // empty (or short) means entry; keep the old centroid in that case —
+      // the posexplode formulation produced a missing key there, and an
+      // empty centroid would poison nearestCells on the next iteration
+      centroids = centroids.indices.map { i =>
+        means.get(i).filter(_.length == centroids(i).length).getOrElse(centroids(i))
+      }
       it += 1
     }
     centroids
@@ -443,6 +449,16 @@ object Similarity {
     // from the pool itself (one collected action instead of a separate
     // head() job — the pool is non-empty whenever the corpus is)
     val pool = seedPool(base, math.max(k, seedSample * k))
+    pqTrainFromPool(base, pool, m, k, iters)
+  }
+
+  /** [[pqTrain]] body over an already-collected seed pool — shared with the
+    * fused builds below so the pool collect happens once per query. The
+    * pool must be (a prefix-extension of) `seedPool(base, max(k,
+    * seedSample*k))`; farthest-point seeding and the Lloyd passes are
+    * unchanged, so codebooks are bit-identical to the unfused path. */
+  private def pqTrainFromPool(base: DataFrame, pool: Array[Array[Double]],
+                              m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
     require(pool.nonEmpty, "pqTrain: empty corpus")
     val dims = pool.head.length
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
@@ -523,13 +539,68 @@ object Similarity {
               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     // same guard as pqTrain — externally supplied codebooks with mismatched
     // block width would otherwise silently drop trailing dimensions
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    pqIndexWithDims(corpus, idCol, vecCol, codebooks,
+      corpus.select(size(col(vecCol))).head().getInt(0))
+  }
+
+  /** [[pqIndex]] with the dims guard fed from an already-known dimension
+    * count (the fused builds take it from the seed pool) — skips the
+    * head() probe job; the projection is identical. */
+  private def pqIndexWithDims(corpus: DataFrame, idCol: String, vecCol: String,
+                              codebooks: Seq[Seq[Seq[Double]]], dims: Int): DataFrame = {
     val m = codebooks.size
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m codebooks")
     require(codebooks.forall(_.forall(_.size == dims / m)),
       s"codebook centroid width != dims/m = ${dims / m}")
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sketches.pqEncode(col(vecCol), codebooks).as("codes"))
+  }
+
+  /**
+   * Fused PQ build: codebooks + encoded index from ONE shared seed-pool
+   * collect. Identical outputs to `pqTrain` followed by `pqIndex` — the
+   * pool is the same deterministic hash-sampled set, and the `pqIndex`
+   * dims guard reads the pool instead of a separate head() probe — with
+   * two plan-time driver actions fewer per query (the pool collect and the
+   * dims probe were each their own job).
+   */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 2, seedSample: Int = 8)
+      : (Seq[Seq[Seq[Double]]], DataFrame) = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pool = seedPool(base, math.max(k, seedSample * k))
+    require(pool.nonEmpty, "pqTrain: empty corpus")
+    val books = pqTrainFromPool(base, pool, m, k, iters)
+    (books, pqIndexWithDims(corpus, idCol, vecCol, books, pool.head.length))
+  }
+
+  /**
+   * Fused IVF+PQ build: coarse centroids, PQ codebooks and the encoded
+   * index from ONE shared seed-pool collect (`seedPool` is a deterministic
+   * total order — orderBy(hash, id) + limit returns rows IN that order —
+   * so the first `nCells` rows of the larger pool ARE `seedPool(base,
+   * nCells)`, and the first `max(k, seedSample*k)` rows ARE pqTrain's
+   * pool). Centroids, codebooks and index are bit-identical to
+   * `ivfBuild` + `pqTrain` + `ivfPqIndex`; the fused build collapses four
+   * plan-time driver actions (two seed-pool collects and two dims probes)
+   * into one. The Lloyd and PQ refinement passes are unchanged.
+   */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, m: Int = 8, k: Int = 16, iters: Int = 2,
+                 seedSample: Int = 8)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(nCells > 0, "ivfPqBuild: pass an explicit nCells (the sqrt-N " +
+      "auto-sizing would cost the count() action this fused build removes)")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pqPool = math.max(k, seedSample * k)
+    val pool = seedPool(base, math.max(nCells, pqPool))
+    require(pool.nonEmpty, "ivfPqBuild: empty corpus")
+    val centroids = lloydRefine(base,
+      pool.take(nCells).map(_.toSeq).toSeq, iters)
+    val books = pqTrainFromPool(base, pool.take(pqPool), m, k, iters)
+    val index = ivfPqIndexWithDims(corpus, idCol, vecCol, centroids, books,
+      pool.head.length)
+    (centroids, books, index)
   }
 
   /**
@@ -637,8 +708,15 @@ object Similarity {
     * coarse-quantizer cell AND the PQ codes in one pass. */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[Seq[Double]],
-                 codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+                 codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfPqIndexWithDims(corpus, idCol, vecCol, centroids, codebooks,
+      corpus.select(size(col(vecCol))).head().getInt(0))
+
+  /** [[ivfPqIndex]] with the dims guard fed from an already-known dimension
+    * count — skips the head() probe job; the projection is identical. */
+  private def ivfPqIndexWithDims(corpus: DataFrame, idCol: String, vecCol: String,
+                                 centroids: Seq[Seq[Double]],
+                                 codebooks: Seq[Seq[Seq[Double]]], dims: Int): DataFrame = {
     val m = codebooks.size
     require(dims % m == 0, s"vector dims $dims not divisible by m=$m codebooks")
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),

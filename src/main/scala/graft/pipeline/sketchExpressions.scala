@@ -614,8 +614,33 @@ case class RandomProjectExpr(child: Expression, outDims: Int)
 /** Shared numeric-element accessor for the single-pass vector expressions:
   * one dispatch, one supported-type domain (the per-expression match blocks
   * had already drifted apart). Widening matches the `cast("double")` the
-  * replaced builtin formulations applied per element. */
+  * replaced builtin formulations applied per element (decimal included —
+  * Spark's decimal→double cast is Decimal.toDouble). Unsupported element
+  * types now fail at ANALYSIS time via [[VecGetter.check]] instead of
+  * lazily per-task at executor eval. */
 private object VecGetter {
+  def supports(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+         ByteType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Analysis-time gate shared by the vector expressions: every child must
+    * be an array of a supported numeric element type. */
+  def check(name: String, children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = children.map(_.dataType).find {
+      case ArrayType(et, _) => !supports(et)
+      case _                => true
+    }
+    bad match {
+      case Some(dt) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array arguments of numeric elements, got ${dt.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   def of(dt: DataType): (ArrayData, Int) => Double = dt match {
     case DoubleType  => (ad, i) => ad.getDouble(i)
     case FloatType   => (ad, i) => ad.getFloat(i).toDouble
@@ -623,6 +648,22 @@ private object VecGetter {
     case IntegerType => (ad, i) => ad.getInt(i).toDouble
     case ShortType   => (ad, i) => ad.getShort(i).toDouble
     case ByteType    => (ad, i) => ad.getByte(i).toDouble
+    case d: DecimalType => (ad, i) => ad.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalArgumentException(
+      s"unsupported numeric array element type $other")
+  }
+
+  /** The same element-as-double access as [[of]], as a Java source snippet
+    * over an ArrayData variable `arr` and an int index variable `i` — the
+    * codegen twin; keep the two in lockstep. */
+  def javaGet(dt: DataType, arr: String, i: String): String = dt match {
+    case DoubleType  => s"$arr.getDouble($i)"
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case ShortType   => s"(double) $arr.getShort($i)"
+    case ByteType    => s"(double) $arr.getByte($i)"
+    case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
     case other => throw new IllegalArgumentException(
       s"unsupported numeric array element type $other")
   }
@@ -639,10 +680,13 @@ private object VecGetter {
   * over aggregate()'s null propagation (null array, null element, or
   * zip_with length-mismatch padding => null through that term). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecGetter.check(prettyName, Seq(left, right))
 
   @transient private lazy val getL =
     VecGetter.of(left.dataType.asInstanceOf[ArrayType].elementType)
@@ -687,6 +731,67 @@ case class CosineSimExpr(left: Expression, right: Expression)
     dot / (math.sqrt(na.doubleValue) * math.sqrt(nb.doubleValue))
   }
 
+  /** Codegen twin of [[eval]] — same double ops in the same order, same
+    * null/zero-norm branches, so interpreted and generated paths are
+    * bit-identical (VectorExprParitySpec). Participating in whole-stage
+    * codegen keeps every scored-join projection in one generated span
+    * (the CodegenFallback it replaces broke the span at this node). */
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    val a = ctx.freshName("cosA"); val b = ctx.freshName("cosB")
+    val naNull = ctx.freshName("naNull"); val na = ctx.freshName("na")
+    val nbNull = ctx.freshName("nbNull"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val v = ctx.freshName("v"); val dot = ctx.freshName("dot")
+    val getA = VecGetter.javaGet(left.dataType.asInstanceOf[ArrayType].elementType, a, i)
+    val getB = VecGetter.javaGet(right.dataType.asInstanceOf[ArrayType].elementType, b, i)
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      $ad $a = ${leftGen.isNull} ? null : ${leftGen.value};
+      $ad $b = ${rightGen.isNull} ? null : ${rightGen.value};
+      boolean $naNull = true; double $na = 0.0;
+      if ($a != null) {
+        $naNull = false;
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $naNull = true; break; }
+          double $v = $getA;
+          $na += $v * $v;
+        }
+      }
+      boolean $nbNull = true; double $nb = 0.0;
+      if ($b != null) {
+        $nbNull = false;
+        int $n = $b.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if ($b.isNullAt($i)) { $nbNull = true; break; }
+          double $v = $getB;
+          $nb += $v * $v;
+        }
+      }
+      if ((!$naNull && $na == 0.0) || (!$nbNull && $nb == 0.0)) {
+        ${ev.isNull} = false;
+        ${ev.value} = 0.0;
+      } else if (!$naNull && !$nbNull && $a.numElements() == $b.numElements()) {
+        double $dot = 0.0;
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += ($getA) * ($getB);
+        }
+        ${ev.isNull} = false;
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      }
+    """)
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -697,10 +802,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * squared, summed in index order, then sqrt. Null array / null element /
   * length mismatch (zip_with null padding) => null, as in the builtin. */
 case class EuclidDistExpr(child: Expression, center: Seq[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecGetter.check(prettyName, Seq(child))
 
   @transient private lazy val c = center.toArray
   @transient private lazy val get: (ArrayData, Int) => Double =
@@ -719,6 +827,37 @@ case class EuclidDistExpr(child: Expression, center: Seq[Double])
     }
     math.sqrt(acc)
   }
+
+  /** Codegen twin of [[nullSafeEval]] — same per-element (v−m) rounding,
+    * squaring and index-order summation, so generated and interpreted
+    * results are bit-identical; keeps the distance projection inside the
+    * surrounding whole-stage-codegen span. */
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val cRef = ctx.addReferenceObj("center", c, "double[]")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val getV = VecGetter.javaGet(
+        child.dataType.asInstanceOf[ArrayType].elementType, vec, i)
+      s"""
+      ${ev.isNull} = true;
+      if ($vec.numElements() == $cRef.length) {
+        double $acc = 0.0;
+        boolean $bad = false;
+        for (int $i = 0; $i < $cRef.length; $i++) {
+          if ($vec.isNullAt($i)) { $bad = true; break; }
+          double $d = ($getV) - $cRef[$i];
+          $acc += $d * $d;
+        }
+        if (!$bad) {
+          ${ev.isNull} = false;
+          ${ev.value} = java.lang.Math.sqrt($acc);
+        }
+      }
+      """
+    })
 
   override protected def withNewChildInternal(ch: Expression): Expression = copy(child = ch)
 }
@@ -773,21 +912,39 @@ case class VecDimStatsAgg(child: Expression,
   // (probed in DecimalCastProbe); integral types are exact (Spark's
   // long->decimal cast never routes through double, so neither do we —
   // values above 2^53 must not lose precision)
+  // a NaN/Infinity element would otherwise surface as a raw
+  // NumberFormatException from BigDecimal parsing — name the aggregate and
+  // the dimension instead (mirrors the precision-overflow guard below)
+  private def finiteOr(v: Double, i: Int): Double = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      throw new ArithmeticException(
+        s"vec_dim_stats: non-finite element $v at dimension $i")
+    v
+  }
+
   @transient private lazy val toDec: (ArrayData, Int) => java.math.BigDecimal =
     child.dataType.asInstanceOf[ArrayType].elementType match {
       case DoubleType => (ad, i) =>
-        new java.math.BigDecimal(java.lang.Double.toString(ad.getDouble(i)))
+        new java.math.BigDecimal(java.lang.Double.toString(finiteOr(ad.getDouble(i), i)))
           .setScale(15, java.math.RoundingMode.HALF_UP)
       case FloatType => (ad, i) =>
-        new java.math.BigDecimal(java.lang.Double.toString(ad.getFloat(i).toDouble))
+        new java.math.BigDecimal(java.lang.Double.toString(finiteOr(ad.getFloat(i).toDouble, i)))
           .setScale(15, java.math.RoundingMode.HALF_UP)
       case LongType    => (ad, i) => java.math.BigDecimal.valueOf(ad.getLong(i)).setScale(15)
       case IntegerType => (ad, i) => java.math.BigDecimal.valueOf(ad.getInt(i).toLong).setScale(15)
       case ShortType   => (ad, i) => java.math.BigDecimal.valueOf(ad.getShort(i).toLong).setScale(15)
       case ByteType    => (ad, i) => java.math.BigDecimal.valueOf(ad.getByte(i).toLong).setScale(15)
+      // exact: scale-up for s <= 15, HALF_UP rounding above — the same
+      // decimal(p,s) -> decimal(38,15) cast the posexplode formulation paid
+      case d: DecimalType => (ad, i) =>
+        ad.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          .setScale(15, java.math.RoundingMode.HALF_UP)
       case other => throw new IllegalArgumentException(
         s"vec_dim_stats: unsupported element type $other")
     }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecGetter.check(prettyName, Seq(child))
 
   override def createAggregationBuffer(): VecDimStatsBuffer = new VecDimStatsBuffer
 

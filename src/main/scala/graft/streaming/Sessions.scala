@@ -130,33 +130,46 @@ object Sessions {
    * tie-key-free and engine-portable). Returns (entityCol, depth) with
    * depth in 0..stages.length for every entity in `df`.
    *
-   * Scale shape: one bounded `min` aggregate per stage, each joined
-   * co-keyed on the entity — K aggregates on the SAME hash key (exchange
-   * reuse, no per-entity sequence materialization, no window over the
-   * full stream). Stage frames shrink monotonically: stage i+1 only scans
-   * entities that reached stage i.
+   * Scale shape: ONE entity-hash shuffle + per-entity chained range
+   * windows (one `min` layer per stage transition, all on the same
+   * partitioning and ordering, so no second exchange or sort) + one
+   * co-partitioned `max` aggregate. No per-entity sequence
+   * materialization, no join chain: the former formulation (one bounded
+   * min aggregate + two joins per stage) planned K scans of the stream
+   * and 2K co-keyed joins; this is a single scan.
+   *
+   * EQUIVALENCE to the nested-min definition (reach_1 = min ts of
+   * stage-1 events; reach_i = min ts of stage-i events with
+   * ts > reach_{i-1}; depth = largest i with reach_i defined), pinned by
+   * the randomized SessionsSpec test: define qual_1(e) = "e is a stage-1
+   * event" and qual_i(e) = "e is a stage-i event with SOME qual_{i-1}
+   * event strictly earlier". By induction, reach_i exists iff a chain
+   * e_1 < ... < e_i of stage-1..i events exists iff some event is
+   * qual_i: (⇐) a qual_i event e_i unwinds to such a chain; (⇒) given
+   * the chain, reach_1 <= ts(e_1) < ts(e_2) so e_2 qualifies and
+   * reach_2 <= ts(e_2), and so on. "Some qual_{i-1} strictly earlier" is
+   * exactly `min(qual_{i-1} ts) over RANGE (-inf, -1]` being non-null —
+   * the range frame bounds by the ts VALUE, so equal-timestamp events
+   * are excluded (strict-ts advancement, tie-key-free), and a null-ts
+   * qual event contributes a null to the min (ignored), matching the
+   * nested min's null comparison semantics.
    */
   def funnelDepth(df: DataFrame, entityCol: String, tsCol: String,
                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    var depth = df.select(col(entityCol)).distinct()
-      .withColumn("depth", lit(0))
-    var prev: Option[DataFrame] = None
-    stages.zipWithIndex.foreach { case (stage, i) =>
-      val cand = df.where(col(typeCol) === stage)
-        .select(col(entityCol), col(tsCol))
-      val reached = (prev match {
-        case None => cand
-        case Some(p) => cand.join(p, entityCol).where(col(tsCol) > col("_reach"))
-      }).groupBy(entityCol).agg(min(col(tsCol)).as("_reach"))
-      depth = depth.join(reached.select(col(entityCol), lit(1).as("_hit")),
-          Seq(entityCol), "left")
-        .withColumn("depth",
-          when(col("_hit").isNotNull, lit(i + 1)).otherwise(col("depth")))
-        .drop("_hit")
-      prev = Some(reached)
+    val strictlyBefore = Window.partitionBy(entityCol).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = df.withColumn("_q1", col(typeCol) === stages.head)
+    for (i <- 2 to stages.length)
+      cur = cur.withColumn(s"_q$i",
+        col(typeCol) === stages(i - 1) &&
+          min(when(col(s"_q${i - 1}"), col(tsCol))).over(strictlyBefore).isNotNull)
+    // highest qualifying stage wins per row (stages may repeat a type, so
+    // one row can be qual_i for several i)
+    val rowDepth = (1 to stages.length).foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_q$i"), lit(i)).otherwise(acc)
     }
-    depth
+    cur.groupBy(col(entityCol)).agg(max(rowDepth).as("depth"))
   }
 
   /** Streaming formulation of the same sessions: Structured Streaming's
@@ -178,22 +191,34 @@ object Sessions {
    * epoch, offset >= 0, n_users = distinct entities from `cohort` active
    * in `cohort + offset`.
    *
-   * Scale shape: first-event extraction is one entity-keyed min
-   * aggregate; per-period activity is a distinct over (entity, period)
-   * pairs (map-side combinable); the join is entity-keyed; the triangle
-   * rollup is keyed by (cohort, offset) whose cardinality is periods² —
-   * tiny. No windows, nothing corpus-sized in one partition.
+   * Scale shape: ONE entity-keyed aggregate computes the first period AND
+   * the distinct-period set per entity in the same pass (the former
+   * {min aggregate + (entity, period) distinct + entity join} shape paid
+   * two scans and three exchanges for the same information); the set is
+   * bounded by the CALENDAR — |periods| = time-span / periodMs,
+   * independent of corpus size (10 years of weeks is ~520 entries) — and
+   * the aggregate map-side-combines, so shuffle bytes per entity are the
+   * distinct periods seen per map partition. The triangle rollup is keyed
+   * by (cohort, offset), cardinality periods² — tiny. No windows, nothing
+   * corpus-sized in one partition.
    */
   def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
                        periodMs: Long): DataFrame = {
     require(periodMs > 0, s"periodMs must be positive: $periodMs")
     val period = expr(s"$tsCol DIV $periodMs")
-    val first = df.groupBy(col(entityCol).as("entity"))
-      .agg(min(period).as("cohort"))
-    val active = df.select(col(entityCol).as("entity"), period.as("p")).distinct()
-    active.join(first, Seq("entity"))
+    // collect_set drops nulls, but a null ts (null period) must still
+    // produce the (entity, null) activity row the former distinct-then-join
+    // formulation emitted — re-append one null when the entity had any
+    val perEntity = df.groupBy(col(entityCol).as("entity"))
+      .agg(min(period).as("cohort"), collect_set(period).as("ps"),
+        (count(lit(1)) > count(period)).as("had_null_p"))
+    perEntity
+      .select(col("cohort"),
+        explode(when(col("had_null_p"),
+            concat(col("ps"), array(lit(null).cast("long"))))
+          .otherwise(col("ps"))).as("p"))
       .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
-      .agg(count(lit(1)).as("n_users"))  // (entity, p) distinct upstream
+      .agg(count(lit(1)).as("n_users"))  // periods deduped per entity upstream
   }
 
   /**

@@ -205,6 +205,59 @@ class SessionsSpec extends AnyFunSuite {
       (1L, 1L, 1L)))  // user 3 back one period later
   }
 
+  test("retentionCohorts: null-ts activity rows survive the single-pass " +
+       "rewrite (parity with the former distinct-then-join formulation)") {
+    val s = spark
+    import s.implicits._
+    // user 1 has a real cohort plus one null-ts event -> a (cohort, null)
+    // activity row (offset null); user 2 is all-null -> (null, null)
+    val ev: Seq[(Long, java.lang.Long)] = Seq(
+      (1L, java.lang.Long.valueOf(1L)), (1L, java.lang.Long.valueOf(12L)),
+      (1L, null), (2L, null))
+    val got = Sessions.retentionCohorts(ev.toDF("user_id", "ts_ms"),
+        "user_id", "ts_ms", periodMs = 10L)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set[(Any, Any, Long)](
+      (0L, 0L, 1L), (0L, 1L, 1L), // user 1's real triangle
+      (0L, null, 1L),             // user 1's null-period activity row
+      (null, null, 1L)))          // user 2: null cohort, null period
+  }
+
+  test("funnelDepth: repeated stage types advance correctly " +
+       "(strictly-later same-type events, randomized vs nested-min)") {
+    val s = spark
+    import s.implicits._
+    val types = Array("view", "click")
+    val rnd = new scala.util.Random(53)
+    val stages = Seq("view", "view", "click")
+    val events = (0 until 300).map { _ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(2)))
+    }
+    val got = graft.streaming.Sessions.funnelDepth(
+        events.toDF("user_id", "ts_ms", "event_type"),
+        "user_id", "ts_ms", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      def minAfter(t: String, after: Option[Long]): Option[Long] = {
+        val c = evs.filter(e => e._3 == t && after.forall(e._2 > _)).map(_._2)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      var reach: Option[Long] = None
+      var depth = 0
+      var advanced = true
+      for (st <- stages if advanced) {
+        minAfter(st, if (depth == 0) None else reach) match {
+          case Some(t) => reach = Some(t); depth += 1
+          case None => advanced = false
+        }
+      }
+      u -> depth
+    }
+    assert(got === expected)
+  }
+
   test("rollingCounts: trailing RANGE frame, simultaneous events symmetric") {
     val s = spark
     import s.implicits._

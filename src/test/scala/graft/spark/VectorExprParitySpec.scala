@@ -117,6 +117,44 @@ class VectorExprParitySpec extends AnyFunSuite {
     assert(mean(1) === 2.0)
   }
 
+  test("CosineSimExpr / EuclidDistExpr accept decimal arrays with " +
+       "cast-to-double parity (r12: decimal arm added to VecGetter)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Seq(BigDecimal("1.25"), BigDecimal("-2.50")),
+       Seq(BigDecimal("0.75"), BigDecimal("4.00"))),
+      (Seq(BigDecimal("0.00"), BigDecimal("0.00")),
+       Seq(BigDecimal("1.00"), BigDecimal("1.00"))))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      sketches.cosineSim(col("a"), col("b")).as("fast"),
+      cosineBuiltin(col("a"), col("b")).as("ref"),
+      sketches.euclidDist(col("a"), Seq(1.0, 1.0)).as("dFast"),
+      sqrt(aggregate(
+        zip_with(col("a"), typedLit(Seq(1.0, 1.0)),
+          (v, m) => (v.cast("double") - m) * (v.cast("double") - m)),
+        lit(0.0), (acc, x) => acc + x)).as("dRef")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("vector expressions fail at ANALYSIS time on unsupported element " +
+       "types (r12: was a lazy per-task IllegalArgumentException)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("x", "y"), Seq("a", "b"))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(sketches.cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("numeric") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("lloydRefine-backed kmeans tolerates a null embedding row " +
        "(dropped, as the posexplode formulation dropped it)") {
     val s = spark
