@@ -595,9 +595,19 @@ object Similarity {
     val pqPool = math.max(k, seedSample * k)
     val pool = seedPool(base, math.max(nCells, pqPool))
     require(pool.nonEmpty, "ivfPqBuild: empty corpus")
-    val centroids = lloydRefine(base,
-      pool.take(nCells).map(_.toSeq).toSeq, iters)
+    // the Lloyd refinement and the PQ codebook training are independent
+    // passes over `base` with independent driver state — overlap them
+    // (guide §2.6: actions are only sequential because the driver calls
+    // them sequentially), so the coarse quantizer's jobs back-fill the PQ
+    // pass's stragglers. Results are unchanged: each pass is exact and
+    // deterministic on its own.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCentroids = Future(lloydRefine(base,
+      pool.take(nCells).map(_.toSeq).toSeq, iters))
     val books = pqTrainFromPool(base, pool.take(pqPool), m, k, iters)
+    val centroids = Await.result(fCentroids,
+      scala.concurrent.duration.Duration.Inf)
     val index = ivfPqIndexWithDims(corpus, idCol, vecCol, centroids, books,
       pool.head.length)
     (centroids, books, index)
