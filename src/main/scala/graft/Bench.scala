@@ -413,6 +413,17 @@ object Bench {
       // saving grows with state size).
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
+      // row-count tracking costs a get-before-put per state update purely to
+      // maintain the numRowsTotal metric; disabling it is the documented
+      // production setting for update-heavy large state and measured -12%
+      // on the commit-heavy StreamStress A/B (interleaved: 31.4->27.5 s,
+      // 30.0->26.3 s). Env-overridable; with tracking off the
+      // streaming_materializer_state_rows telemetry reads 0 instead of the
+      // exact row count (state_bytes is unaffected) — documented in
+      // OPTIMIZATION_r12.md, no floor reads it; set the env to true to
+      // restore the exact count.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // OFF: executor logs share the forked process's console with the
