@@ -31,8 +31,9 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(p)) {
-        // depth-first via reverse path sort — children before parents,
-        // without materializing the walk into a Seq first
+        // children delete before parents via reverse lexicographic path
+        // sort (sorted() buffers the stream internally — same memory as
+        // the Seq it replaced, just without the extra Scala copy)
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
@@ -157,12 +158,20 @@ object Bench {
         // operator, e.g. a future operator rewrite)
         val state = q.recentProgress.reverse
           .flatMap(_.stateOperators.toSeq).headOption
+        // with row-count tracking disabled (the default since r12) RocksDB
+        // reports numRowsTotal=0 — indistinguishable from genuinely empty
+        // state, so emit the -1 missing-metric sentinel instead of a
+        // plausible-looking 0
+        val trackRows = spark.conf
+          .getOption("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows")
+          .forall(_.toBoolean)
         Seq("streaming_materializer" -> secs,
           "streaming_materializer_rows_per_sec" -> rest.length / secs,
           "streaming_materializer_commit_ms" -> commitSecs * 1000,
           "streaming_materializer_fold_rows_per_sec" -> rest.length / foldSecs,
           "streaming_materializer_state_rows" ->
-            state.map(_.numRowsTotal.toDouble).getOrElse(-1.0),
+            (if (!trackRows) -1.0
+             else state.map(_.numRowsTotal.toDouble).getOrElse(-1.0)),
           "streaming_materializer_state_bytes" ->
             state.map(_.memoryUsedBytes.toDouble).getOrElse(-1.0))
       } finally {
@@ -390,14 +399,14 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    // the one-line JSON contract uses f-interpolated fractional numbers,
-    // which format under the DEFAULT locale — pin it so a comma-decimal
-    // locale can never emit {"loadavg_1m":3,35} and corrupt the artifact
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The bench session. Every measurement main (Bench, and A/B tools like
+    * StreamRowsBench) MUST build its session here, so a config knob added
+    * to the bench can never silently drift out of the tool that claims to
+    * reproduce the bench session. Honors SPARK_GRAFT_CPUS and the
+    * state-store env knobs. */
+  private[graft] def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -407,10 +416,10 @@ object Bench {
       // changelog checkpointing moves the RocksDB snapshot upload out of the
       // commit path (background maintenance uploads changelogs instead of
       // full zips) — the standard production setting for RocksDB state
-      // stores, and measured ~0.35 s/batch lower commit cost on this
-      // harness (StreamStress, 25 batches: 36.7 s -> 28.0 s). Env-
-      // overridable so a deployment can A/B it; scale-independent (the
-      // saving grows with state size).
+      // stores; r11's StreamStress A/B measured 36.7 s -> 28.0 s over 25
+      // batches, and r12's interleaved driver-methodology A/B confirmed
+      // 20-30% on the materializer row. Env-overridable so a deployment can
+      // A/B it; scale-independent (the saving grows with state size).
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
       // row-count tracking costs a get-before-put per state update purely to
@@ -418,14 +427,23 @@ object Bench {
       // production setting for update-heavy large state and measured -12%
       // on the commit-heavy StreamStress A/B (interleaved: 31.4->27.5 s,
       // 30.0->26.3 s). Env-overridable; with tracking off the
-      // streaming_materializer_state_rows telemetry reads 0 instead of the
-      // exact row count (state_bytes is unaffected) — documented in
+      // streaming_materializer_state_rows telemetry emits the -1
+      // missing-metric sentinel (state_bytes is unaffected) — documented in
       // OPTIMIZATION_r12.md, no floor reads it; set the env to true to
       // restore the exact count.
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    // the one-line JSON contract uses f-interpolated fractional numbers,
+    // which format under the DEFAULT locale — pin it so a comma-decimal
+    // locale can never emit {"loadavg_1m":3,35} and corrupt the artifact
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
     // OFF: executor logs share the forked process's console with the
     // one-line JSON contract; any ERROR interleaving could corrupt it
     spark.sparkContext.setLogLevel("OFF")

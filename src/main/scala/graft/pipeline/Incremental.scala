@@ -158,13 +158,17 @@ object Incremental {
     val storeP = store
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a store built at a different window size can never match — fail loud
-    // instead of silently degrading to intra-batch-only dedup
+    // instead of silently degrading to intra-batch-only dedup. On that
+    // failure path (or any probe error) release the persist immediately:
+    // nothing will ever consume it and the caller has no handle to it
     if (storeP.columns.contains("seg_size")) {
-      val sizes = storeP.select("seg_size").distinct().limit(3).collect()
-      sizes.foreach { r =>
-        require(r.getInt(0) == segSize,
-          s"store was built with segSize=${r.getInt(0)}, rewrite uses $segSize")
-      }
+      try {
+        val sizes = storeP.select("seg_size").distinct().limit(3).collect()
+        sizes.foreach { r =>
+          require(r.getInt(0) == segSize,
+            s"store was built with segSize=${r.getInt(0)}, rewrite uses $segSize")
+        }
+      } catch { case t: Throwable => storeP.unpersist(); throw t }
     }
     val segs = Lines.segmentHashes(newDocs, idCol, textCol, segSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // session-cached, see Dedup band table

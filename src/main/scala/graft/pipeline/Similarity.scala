@@ -595,21 +595,31 @@ object Similarity {
     val pqPool = math.max(k, seedSample * k)
     val pool = seedPool(base, math.max(nCells, pqPool))
     require(pool.nonEmpty, "ivfPqBuild: empty corpus")
+    // validate BEFORE spawning any concurrent work: a dims/m mismatch must
+    // fail on the calling thread with nothing left running in background
+    val dims = pool.head.length
+    require(dims % m == 0, s"vector dims $dims not divisible by m=$m subspaces")
     // the Lloyd refinement and the PQ codebook training are independent
     // passes over `base` with independent driver state — overlap them
     // (guide §2.6: actions are only sequential because the driver calls
     // them sequentially), so the coarse quantizer's jobs back-fill the PQ
     // pass's stragglers. Results are unchanged: each pass is exact and
-    // deterministic on its own.
+    // deterministic on its own. If the foreground PQ pass fails, the
+    // centroid future is still awaited so no orphaned jobs outlive the call.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val fCentroids = Future(lloydRefine(base,
       pool.take(nCells).map(_.toSeq).toSeq, iters))
-    val books = pqTrainFromPool(base, pool.take(pqPool), m, k, iters)
+    val books =
+      try pqTrainFromPool(base, pool.take(pqPool), m, k, iters)
+      catch { case t: Throwable =>
+        try Await.result(fCentroids, scala.concurrent.duration.Duration.Inf)
+        catch { case _: Throwable => () } // the primary failure wins
+        throw t
+      }
     val centroids = Await.result(fCentroids,
       scala.concurrent.duration.Duration.Inf)
-    val index = ivfPqIndexWithDims(corpus, idCol, vecCol, centroids, books,
-      pool.head.length)
+    val index = ivfPqIndexWithDims(corpus, idCol, vecCol, centroids, books, dims)
     (centroids, books, index)
   }
 

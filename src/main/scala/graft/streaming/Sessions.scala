@@ -157,6 +157,18 @@ object Sessions {
   def funnelDepth(df: DataFrame, entityCol: String, tsCol: String,
                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // the RANGE (-inf, ts-1] frame encodes "strictly earlier" EXACTLY only
+    // for integral timestamps (ts-1 excludes equal, includes everything
+    // below); a fractional ts at distance <1 would be silently missed, and
+    // a TimestampType column fails range-frame analysis — fail loud
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"funnelDepth requires an integral epoch-ms timestamp column, got $other")
+    }
     val strictlyBefore = Window.partitionBy(entityCol).orderBy(col(tsCol))
       .rangeBetween(Window.unboundedPreceding, -1)
     var cur = df.withColumn("_q1", col(typeCol) === stages.head)

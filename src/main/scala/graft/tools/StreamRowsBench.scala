@@ -13,20 +13,9 @@ object StreamRowsBench {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
-      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
-        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the session comes from the ONE bench builder, so a config knob added
+    // to the bench can never drift out of this A/B tool
+    val spark = graft.Bench.buildSession()
     spark.sparkContext.setLogLevel("OFF")
     // minimal JIT/codegen warmup, as in Bench.main
     spark.range(2000000).selectExpr("sum(id)").collect()
